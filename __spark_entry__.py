@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline-shaped query (the
+biallelicGenotyper hot path re-expressed relationally: scan → filter →
+interval join → broadcast dim join → wide agg) on sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full operator registry —
+one entry per SURVEY.md §2 operator — for the duckdb differential gate.
 """
 
 from __future__ import annotations
@@ -13,26 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: prefiltered reads ⋈(interval) discovered variants →
+    per-contig rollup. Exercises scan, F1 predicate stack, J1 interval
+    join, and the wide aggregation — the reference's hot path shape
+    (avocado-core/.../genotyping/BiallelicGenotyper.scala:438-556)."""
+    from avocado_spark.queries import get_queries
+
+    return get_queries()["interval_join_broadcast"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from avocado_spark.queries import get_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from avocado_spark.queries import get_oracles
+
+    return get_oracles()

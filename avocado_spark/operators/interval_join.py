@@ -1,0 +1,180 @@
+"""Genomic interval-overlap joins (SURVEY §2.4 J1/J3/J4).
+
+The reference implements interval joins twice:
+  * TreeRegionJoin — sort + collect the small side to the driver,
+    broadcast a binary-searchable array, stream the big side map-side
+    (avocado-core/.../util/TreeRegionJoin.scala:43-203);
+  * shuffleRegionJoinAndGroupByLeft — ADAM's sort-merge interval join
+    for two large sides (avocado-core/.../genotyping/SquareOffReferenceModel.scala:87).
+
+Spark-first re-expression: ONE api, two physical strategies, chosen by
+a size heuristic (the reference hard-codes the choice per pipeline):
+
+  * ``broadcast`` — plain theta join with an explicit broadcast hint.
+    Catalyst executes BroadcastNestedLoopJoin: fine when the dim side
+    is small after discovery's count-prefilter (SURVEY §4 P5), but the
+    per-partition probe is O(n·m).
+  * ``binned`` — the 100 TB path. Both sides are bucketed into
+    fixed-width genome bins (an interval spanning k bins explodes into
+    k rows), equi-joined on (contig, bin) — a shuffle hash/sort-merge
+    join that scales linearly and co-partitions — then exact-overlap
+    post-filtered and de-duplicated. This turns the theta join into an
+    equi join Catalyst can plan well, at the cost of duplication
+    bounded by (interval_len / bin_width + 1).
+
+Overlap semantics are half-open, matching ReferenceRegion
+(avocado-core/.../util/TreeRegionJoin.scala:175-177):
+    same contig AND l.start < r.end AND l.end > r.start
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BIN_WIDTH = 10_000
+# conservative driver-memory contract for the broadcast path (SURVEY §7
+# "hard parts"): fall back to the binned shuffle join above this.
+BROADCAST_MAX_ROWS = 3_000_000
+
+
+def _overlap_cond(left: DataFrame, right: DataFrame, lpre: str, rpre: str) -> Column:
+    return (
+        (left[f"{lpre}contig"] == right[f"{rpre}contig"])
+        & (left[f"{lpre}start"] < right[f"{rpre}end"])
+        & (left[f"{lpre}end"] > right[f"{rpre}start"])
+    )
+
+
+def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+
+
+def _binned_side(df: DataFrame, prefix: str, bin_width: int) -> DataFrame:
+    """Explode an interval table into one row per genome bin it touches.
+
+    sequence() is JVM-side; the explode factor is bounded by
+    interval_length / bin_width + 1, so pick bin_width near the median
+    interval length of the *larger* side.
+    """
+    return df.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(f"{prefix}start") / bin_width).cast("long"),
+                # end is exclusive: last touched bin is (end-1) // width
+                ((F.col(f"{prefix}end") - F.lit(1)) / bin_width).cast("long"),
+            )
+        ),
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    strategy: str = "auto",
+    how: str = "inner",
+    bin_width: int = DEFAULT_BIN_WIDTH,
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+) -> DataFrame:
+    """Join two interval tables on genomic overlap.
+
+    Both inputs must carry (contig, start, end) columns. Output carries
+    every column from both sides, prefixed with ``lprefix``/``rprefix``.
+
+    strategy: 'broadcast' (small left dim), 'binned' (both sides big),
+    or 'auto' (count-based heuristic mirroring the reference's implicit
+    contract that the variant set fits in driver memory).
+    """
+    lp, rp = _prefixed(left, lprefix), _prefixed(right, rprefix)
+
+    if strategy == "auto":
+        # cheap upper-bound probe; at scale callers should pass an
+        # explicit strategy and skip the count.
+        strategy = (
+            "broadcast"
+            if left.limit(BROADCAST_MAX_ROWS + 1).count() <= BROADCAST_MAX_ROWS
+            else "binned"
+        )
+
+    if strategy == "broadcast":
+        return rp.join(F.broadcast(lp), _overlap_cond(lp, rp, lprefix, rprefix), how="inner" if how == "inner" else how).select(
+            *[lp[c] for c in lp.columns], *[rp[c] for c in rp.columns]
+        )
+
+    if strategy == "binned":
+        lb = _binned_side(lp, lprefix, bin_width).withColumnRenamed("_bin", "_lbin")
+        rb = _binned_side(rp, rprefix, bin_width).withColumnRenamed("_bin", "_rbin")
+        joined = lb.join(
+            rb,
+            (lb[f"{lprefix}contig"] == rb[f"{rprefix}contig"])
+            & (lb["_lbin"] == rb["_rbin"])
+            & (lb[f"{lprefix}start"] < rb[f"{rprefix}end"])
+            & (lb[f"{lprefix}end"] > rb[f"{rprefix}start"])
+            # dedup: credit the match only to the FIRST shared bin, so a
+            # pair overlapping in k bins emits exactly one row — no
+            # post-hoc distinct() shuffle needed.
+            & (
+                lb["_lbin"]
+                == F.greatest(
+                    (lb[f"{lprefix}start"] / bin_width).cast("long"),
+                    (rb[f"{rprefix}start"] / bin_width).cast("long"),
+                )
+            ),
+            how="inner",
+        )
+        return joined.select(
+            *[F.col(f"{lprefix}{c}") for c in left.columns],
+            *[F.col(f"{rprefix}{c}") for c in right.columns],
+        )
+
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def interval_join_group_right(
+    left: DataFrame,
+    right: DataFrame,
+    right_key: str,
+    strategy: str = "broadcast",
+    bin_width: int = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """J1 fused form: join + groupByKey(right) — one output row per right
+    row with the list of matching left rows (TreeRegionJoin.joinAndGroupByRight,
+    avocado-core/.../util/TreeRegionJoin.scala:163-203; right rows with no
+    match are dropped, matching the reference's inner semantics)."""
+    j = interval_join(left, right, strategy=strategy, bin_width=bin_width)
+    lcols = [c for c in j.columns if c.startswith("l_")]
+    rcols = [c for c in j.columns if c.startswith("r_")]
+    return (
+        j.groupBy(f"r_{right_key}")
+        .agg(
+            *[F.first(c).alias(c) for c in rcols if c != f"r_{right_key}"],
+            F.collect_list(F.struct(*lcols)).alias("matches"),
+        )
+    )
+
+
+def point_lookup_with_default(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    default,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """J4: per point/interval row, find a covering interval in a small
+    side table and take its value, else a default — the reference's
+    CopyNumberMap.overlappingVariants driver-side scan
+    (avocado-core/.../models/CopyNumberMap.scala:45-111) re-expressed as
+    a broadcast left outer join + coalesce(default)."""
+    iv = _prefixed(intervals, "iv_")
+    cond = (
+        (points["contig"] == iv["iv_contig"])
+        & (points["start"] < iv["iv_end"])
+        & (points["end"] > iv["iv_start"])
+    )
+    joined = points.join(F.broadcast(iv), cond, "left")
+    return joined.select(
+        *[points[c] for c in points.columns],
+        F.coalesce(iv[f"iv_{value_col}"], F.lit(default)).alias(value_col),
+    )

@@ -1,0 +1,99 @@
+"""Plain-relational operator spine (SURVEY §2.1/2.2/2.5/2.6/2.7).
+
+Everything here is stock DataFrame/SQL — declared declaratively so
+Catalyst does pushdown, pruning, partial aggregation and join
+selection. The functions exist to give the reference's operators a
+named, testable surface; none of them hand-schedules physical work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefilter_reads(
+    reads: DataFrame,
+    min_mapq: int = 10,
+    keep_duplicates: bool = False,
+    keep_non_primary: bool = False,
+    contig_pattern: str | None = None,
+) -> DataFrame:
+    """F1 — the reference's composite read filter
+    (avocado-core/.../util/PrefilterReads.scala:67-166): mapped AND
+    (primary OR keep) AND mapq > min AND NOT duplicate AND contig
+    whitelist. One declarative predicate stack; Catalyst pushes the
+    conjuncts into the parquet scan."""
+    cond = F.col("read_mapped") & (F.col("mapq") > F.lit(min_mapq))
+    if not keep_non_primary:
+        cond = cond & F.col("primary_alignment")
+    if not keep_duplicates:
+        cond = cond & ~F.col("duplicate_read")
+    if contig_pattern is not None:
+        cond = cond & F.col("contig").rlike(contig_pattern)
+    return reads.filter(cond)
+
+
+def count_filter(
+    df: DataFrame, keys: Sequence[str], min_observations: int
+) -> DataFrame:
+    """A1 — discovery's support filter: group by the variant key and keep
+    rows observed more than ``min_observations`` times, then drop the
+    count (avocado-core/.../genotyping/DiscoverVariants.scala:87-97).
+    Hash aggregate with map-side partial aggregation; this is also the
+    broadcast-size guard for the downstream interval join (P5)."""
+    return (
+        df.groupBy(*keys)
+        .count()
+        .where(F.col("count") > min_observations)
+        .drop("count")
+    )
+
+
+def merge_discovered(dfs: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """A4/U1 — mergeDiscovered: union N per-sample variant sets and
+    dropDuplicates on the site key
+    (avocado-cli/.../MergeDiscovered.scala:48-64)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.dropDuplicates(list(keys))
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_col: str, k: int, desc: bool = True
+) -> DataFrame:
+    """O2-adjacent — per-key cap via a rank window; the scalable
+    approximation of HardLimiter's sorted coverage sweep
+    (avocado-core/.../util/HardLimiter.scala:40-137). Exact interval-depth
+    capping lives in operators/coverage.py."""
+    ordering = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.partitionBy(*keys).orderBy(ordering, *[F.col(c) for c in keys])
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+
+
+def genome_sort(df: DataFrame, contig_col: str = "contig", start_col: str = "start") -> DataFrame:
+    """O1 — total genome order before emit (avocado-cli/.../Jointer.scala:144).
+    Range-partitioned sort; at 100 TB this is the standard pre-sink
+    global sort and should be the LAST shuffle in the plan."""
+    return df.orderBy(contig_col, start_col)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Dedup-against-cohort EXISTS (SURVEY §2.4 join-coverage note)."""
+    return left.join(right, list(on), "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS — e.g. novel-variant extraction vs a cohort."""
+    return left.join(right, list(on), "left_anti")
+
+
+def money_sum(col: str | Column) -> Column:
+    """Deterministic money aggregation: per-row round to integer cents,
+    sum as BIGINT. Exact in any engine / partitioning — used so oracle
+    hashes can never drift on FP accumulation order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * 100).cast("bigint"))

@@ -1,0 +1,709 @@
+"""Query registry — the correctness surface of the engine.
+
+Each entry pairs a PySpark implementation (DataFrame ops over the
+driver-provided parquet tables at ``sf_dir``) with an equivalent ANSI
+SQL oracle that DuckDB runs on the same tables. Registry keys map 1:1
+to SURVEY.md §2 operator IDs (noted in each docstring).
+
+Hash-stability conventions (see avocado_spark.tables):
+  * money/double aggregates → integer cent-sums or rounded doubles;
+  * arrays in output → sorted + joined to a single string;
+  * every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avocado_spark import tables
+from avocado_spark.functions import math_fns as M
+from avocado_spark.operators import interval_join as IJ
+from avocado_spark.operators import relational as R
+from avocado_spark.session import load_table
+from avocado_spark.tables import (
+    CALLS_REL_SQL,
+    READS_REL_SQL,
+    VARIANTS_REL_SQL,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Scans / filters / wide aggregation — the reference's relational spine
+# ===========================================================================
+
+
+@query(
+    "wide_agg_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)      AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def wide_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — the wide hash aggregation at the heart of biallelicGenotyper
+    (avocado-core/.../genotyping/BiallelicGenotyper.scala:475-501),
+    expressed in its canonical relational form (TPC-H Q1 shape): scan →
+    pushed-down filter → groupBy → many sums. Partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.sum(F.round(c * 100).cast("bigint")).cast("bigint")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            cents(F.col("l_quantity")).alias("sum_qty_c"),
+            cents(F.col("l_extendedprice")).alias("sum_price_c"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price_c"),
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "scan_project_filter",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount > 0.05
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S8 — projection + predicate pushdown to the parquet scan
+    (avocado-cli/.../BiallelicGenotyper.scala:218-222). Catalyst must
+    show PushedFilters + a pruned ReadSchema (asserted in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        )
+    )
+
+
+@query(
+    "prefilter_reads",
+    f"""
+    WITH reads_rel AS ({READS_REL_SQL})
+    SELECT read_id, contig, start, "end", mapq, sample_id
+    FROM reads_rel
+    WHERE read_mapped AND primary_alignment AND NOT duplicate_read
+      AND mapq > 10 AND regexp_matches(contig, '^chr[0-3]$')
+    """,
+)
+def prefilter_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — PrefilterReads composite predicate stack
+    (avocado-core/.../util/PrefilterReads.scala:67-166)."""
+    reads = tables.derived(spark, sf_dir, "reads_rel")
+    return R.prefilter_reads(reads, min_mapq=10, contig_pattern="^chr[0-3]$").select(
+        "read_id", "contig", "start", "end", "mapq", "sample_id"
+    )
+
+
+@query(
+    "count_filter_discovery",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT contig, start, ref_allele, alt_allele
+    FROM calls_rel
+    GROUP BY contig, start, ref_allele, alt_allele
+    HAVING COUNT(*) > 3
+    """,
+)
+def count_filter_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — discovery support filter: count() > minObservations then
+    drop the count (avocado-core/.../genotyping/DiscoverVariants.scala:87-97)."""
+    calls = tables.derived(spark, sf_dir, "calls_rel")
+    return R.count_filter(calls, ["contig", "start", "ref_allele", "alt_allele"], 3)
+
+
+@query(
+    "merge_discovered_dedup",
+    f"""
+    WITH variants_rel AS ({VARIANTS_REL_SQL}),
+    u AS (
+      SELECT contig, start, "end", ref_allele, alt_allele FROM variants_rel WHERE variant_id % 2 = 0
+      UNION ALL
+      SELECT contig, start, "end", ref_allele, alt_allele FROM variants_rel WHERE variant_id % 3 = 0
+    )
+    SELECT DISTINCT contig, start, "end", ref_allele, alt_allele FROM u
+    """,
+)
+def merge_discovered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/U1/U2 — mergeDiscovered: union per-sample discovered variants,
+    dropDuplicates on the site key (avocado-cli/.../MergeDiscovered.scala:48-64)."""
+    v = tables.derived(spark, sf_dir, "variants_rel")
+    cols = ["contig", "start", "end", "ref_allele", "alt_allele"]
+    return R.merge_discovered(
+        [
+            v.where(F.col("variant_id") % 2 == 0).select(cols),
+            v.where(F.col("variant_id") % 3 == 0).select(cols),
+        ],
+        cols,
+    )
+
+
+@query(
+    "broadcast_equijoin_dim",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand
+    """,
+)
+def broadcast_equijoin_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — fact ⋈ broadcast(dimension) equi-join, the shape of the
+    score-table join (avocado-core/.../genotyping/BiallelicGenotyper.scala:458-472)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            R.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("bigint")
+            .alias("revenue_c"),
+        )
+    )
+
+
+@query(
+    "multiway_union",
+    """
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, 'p1' AS src FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'p2' AS src FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'p3' AS src FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT src, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust FROM u GROUP BY src
+    """,
+)
+def multiway_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/U1 — trio-style 3-way union (avocado-cli/.../TrioGenotyper.scala:216,253-259)."""
+    o = _t(spark, sf_dir, "orders")
+    parts = [
+        o.where(F.col("o_orderstatus") == s).select(
+            "o_orderkey", "o_custkey", F.lit(f"p{i+1}").alias("src")
+        )
+        for i, s in enumerate(["F", "O", "P"])
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.groupBy("src").agg(
+        F.count("*").alias("n"), F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+@query(
+    "semi_join_cohort",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def semi_join_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (SURVEY §2.4 coverage note — dedup-against-cohort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return R.semi_join(
+        c, o.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_novel",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def anti_join_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — novel-site extraction vs cohort (SURVEY §2.4 note).
+    Threshold keeps the result non-empty at sf0.01 (a 0-row pass would
+    verify nothing)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return R.anti_join(
+        c, o.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"]
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "genome_sort_rank",
+    f"""
+    WITH variants_rel AS ({VARIANTS_REL_SQL})
+    SELECT contig, start, variant_id,
+           ROW_NUMBER() OVER (ORDER BY contig, start, variant_id) AS genome_rank
+    FROM variants_rel
+    """,
+)
+def genome_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — total genome order (avocado-cli/.../Jointer.scala:144).
+    row_number bakes the order into values so the order-insensitive
+    hash still verifies the sort."""
+    from pyspark.sql import Window
+
+    v = tables.derived(spark, sf_dir, "variants_rel")
+    w = Window.orderBy("contig", "start", "variant_id")
+    return R.genome_sort(v).select(
+        "contig", "start", "variant_id", F.row_number().over(w).alias("genome_rank")
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem) t
+    WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — per-key cap as a rank window (HardLimiter's scalable form,
+    avocado-core/.../util/HardLimiter.scala:40-137)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+            "rn",
+        )
+    )
+
+
+# ===========================================================================
+# Interval joins (J1 / J3 / J4) — the custom primitive
+# ===========================================================================
+
+_IJ_ORACLE = f"""
+    WITH variants_rel AS ({VARIANTS_REL_SQL}),
+         reads_rel AS ({READS_REL_SQL})
+    SELECT v.contig AS contig,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT v.variant_id) AS n_variants,
+           COUNT(DISTINCT r.read_id) AS n_reads,
+           CAST(SUM(r.mapq) AS BIGINT) AS sum_mapq
+    FROM variants_rel v
+    JOIN reads_rel r
+      ON v.contig = r.contig AND v.start < r."end" AND v."end" > r.start
+    GROUP BY v.contig
+"""
+
+
+def _interval_join_agg(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    v = tables.derived(spark, sf_dir, "variants_rel")
+    r = tables.derived(spark, sf_dir, "reads_rel")
+    j = IJ.interval_join(v, r, strategy=strategy)
+    return j.groupBy(F.col("l_contig").alias("contig")).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("l_variant_id").alias("n_variants"),
+        F.countDistinct("r_read_id").alias("n_reads"),
+        F.sum("r_mapq").cast("bigint").alias("sum_mapq"),
+    )
+
+
+@query("interval_join_broadcast", _IJ_ORACLE)
+def interval_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast interval-overlap join (TreeRegionJoin,
+    avocado-core/.../util/TreeRegionJoin.scala:163-203)."""
+    return _interval_join_agg(spark, sf_dir, "broadcast")
+
+
+@query("interval_join_binned", _IJ_ORACLE)
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — binned shuffle interval join (the 100 TB path; reference
+    analog: ADAM shuffleRegionJoin, SquareOffReferenceModel.scala:87).
+    Same oracle as the broadcast path — strategies must agree."""
+    return _interval_join_agg(spark, sf_dir, "binned")
+
+
+@query(
+    "interval_join_group_right",
+    f"""
+    WITH variants_rel AS ({VARIANTS_REL_SQL}),
+         reads_rel AS ({READS_REL_SQL}),
+    per_read AS (
+      SELECT r.read_id, COUNT(*) AS n_variants
+      FROM reads_rel r
+      JOIN variants_rel v
+        ON v.contig = r.contig AND v.start < r."end" AND v."end" > r.start
+      GROUP BY r.read_id
+    )
+    SELECT n_variants, COUNT(*) AS n_reads FROM per_read GROUP BY n_variants
+    """,
+)
+def interval_join_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 fused join+groupByRight form (TreeRegionJoin.joinAndGroupByRight):
+    per read, the set of overlapping variants; histogrammed for a
+    compact deterministic output."""
+    v = tables.derived(spark, sf_dir, "variants_rel")
+    r = tables.derived(spark, sf_dir, "reads_rel")
+    grouped = IJ.interval_join_group_right(v, r, right_key="read_id")
+    return (
+        grouped.select(F.size("matches").alias("n_variants"))
+        .groupBy("n_variants")
+        .agg(F.count("*").alias("n_reads"))
+    )
+
+
+@query(
+    "cnv_point_lookup",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL}),
+    cnv AS (
+      SELECT concat('chr', CAST(n_nationkey % 4 AS STRING)) AS contig,
+             (n_nationkey * 4000) % 100000 AS start,
+             (n_nationkey * 4000) % 100000 + 2500 AS "end",
+             CAST(CASE WHEN n_nationkey % 2 = 0 THEN 3 ELSE 1 END AS INT) AS copy_number
+      FROM nation
+    ),
+    looked AS (
+      SELECT c.call_id,
+             COALESCE(MAX(v.copy_number), 2) AS copy_number
+      FROM calls_rel c
+      LEFT JOIN cnv v
+        ON c.contig = v.contig AND c.start < v."end" AND c."end" > v.start
+      GROUP BY c.call_id
+    )
+    SELECT copy_number, COUNT(*) AS n_calls FROM looked GROUP BY copy_number
+    """,
+)
+def cnv_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — copy-number interval lookup with default ploidy
+    (avocado-core/.../models/CopyNumberMap.scala:45-111): broadcast left
+    join + coalesce(basePloidy). Ploidy histogram as compact output.
+    Note MAX over matches mirrors the oracle's dedup of multi-matches."""
+    calls = tables.derived(spark, sf_dir, "calls_rel")
+    n = _t(spark, sf_dir, "nation")
+    cnv = n.select(
+        F.concat(F.lit("chr"), (F.col("n_nationkey") % 4).cast("string")).alias("contig"),
+        ((F.col("n_nationkey") * 4000) % 100000).alias("start"),
+        ((F.col("n_nationkey") * 4000) % 100000 + 2500).alias("end"),
+        F.when(F.col("n_nationkey") % 2 == 0, 3).otherwise(1).cast("int").alias("copy_number"),
+    )
+    iv = cnv.select(
+        F.col("contig").alias("iv_contig"),
+        F.col("start").alias("iv_start"),
+        F.col("end").alias("iv_end"),
+        F.col("copy_number").alias("iv_copy_number"),
+    )
+    joined = calls.join(
+        F.broadcast(iv),
+        (calls["contig"] == iv["iv_contig"])
+        & (calls["start"] < iv["iv_end"])
+        & (calls["end"] > iv["iv_start"]),
+        "left",
+    )
+    looked = joined.groupBy("call_id").agg(
+        F.coalesce(F.max("iv_copy_number"), F.lit(2)).alias("copy_number")
+    )
+    return looked.groupBy("copy_number").agg(F.count("*").alias("n_calls"))
+
+
+# ===========================================================================
+# Scalar kernels (X10-X17) — expression-level differential checks
+# ===========================================================================
+
+
+@query(
+    "phred_kernels",
+    f"""
+    WITH reads_rel AS ({READS_REL_SQL})
+    SELECT mapq,
+           ROUND(1.0 - POW(10.0, -mapq / 10.0), 8) AS p_ok,
+           ROUND(LN(1.0 - POW(10.0, -CAST(base_qual AS DOUBLE) / 10.0)), 8) AS log_base_ok,
+           COUNT(*) AS n
+    FROM reads_rel
+    GROUP BY mapq, base_qual
+    """,
+)
+def phred_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — Phred↔probability conversions (Observer.scala:163-164,
+    LogPhred.scala:38-40) as JVM column math."""
+    r = tables.derived(spark, sf_dir, "reads_rel")
+    return r.groupBy("mapq", "base_qual").agg(F.count("*").alias("n")).select(
+        "mapq",
+        F.round(M.phred_to_success_prob(F.col("mapq").cast("double")), 8).alias("p_ok"),
+        F.round(
+            F.log(M.phred_to_success_prob(F.col("base_qual").cast("double"))), 8
+        ).alias("log_base_ok"),
+        "n",
+    )
+
+
+@query(
+    "log_space_kernels",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL}),
+    k AS (
+      SELECT call_id, ll0, ll1, ll2,
+             GREATEST(ll0, ll1, ll2)
+               + LN(EXP(ll0 - GREATEST(ll0, ll1, ll2))
+                  + EXP(ll1 - GREATEST(ll0, ll1, ll2))
+                  + EXP(ll2 - GREATEST(ll0, ll1, ll2))) AS lse
+      FROM calls_rel
+    )
+    SELECT call_id,
+           ROUND(lse, 8)       AS log_sum,
+           ROUND(ll0 - lse, 8) AS norm0,
+           ROUND(ll1 - lse, 8) AS norm1,
+           ROUND(ll2 - lse, 8) AS norm2
+    FROM k
+    """,
+)
+def log_space_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — log-sum-exp + log-normalize (LogUtils.scala:39-137) as pure
+    array expressions (no UDF)."""
+    c = tables.derived(spark, sf_dir, "calls_rel")
+    arr = F.array("ll0", "ll1", "ll2")
+    lse = M.log_sum_exp([F.col("ll0"), F.col("ll1"), F.col("ll2")])
+    return c.select(
+        "call_id",
+        F.round(lse, 8).alias("log_sum"),
+        F.round(F.col("ll0") - lse, 8).alias("norm0"),
+        F.round(F.col("ll1") - lse, 8).alias("norm1"),
+        F.round(F.col("ll2") - lse, 8).alias("norm2"),
+    )
+
+
+@query(
+    "genotype_state_quality",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT call_id,
+           CASE WHEN ll0 >= ll1 AND ll0 >= ll2 THEN 0
+                WHEN ll1 >= ll0 AND ll1 >= ll2 THEN 1
+                ELSE 2 END AS gt_argmax,
+           ROUND((10.0 / LN(10.0)) *
+                 (GREATEST(ll0, ll1, ll2) -
+                  CASE WHEN ll0 >= ll1 AND ll0 >= ll2 THEN GREATEST(ll1, ll2)
+                       WHEN ll1 >= ll0 AND ll1 >= ll2 THEN GREATEST(ll0, ll2)
+                       ELSE GREATEST(ll0, ll1) END), 8) AS gq
+    FROM calls_rel
+    """,
+)
+def genotype_state_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 — argmax genotype state + quality from max−second gap
+    (BiallelicGenotyper.scala:622-668). NOTE the oracle's CASE prefers
+    the LOWEST index on ties, matching array_position-of-max."""
+    c = tables.derived(spark, sf_dir, "calls_rel")
+    state, qual = M.genotype_state_and_quality(F.array("ll0", "ll1", "ll2"))
+    return c.select(
+        "call_id", state.alias("gt_argmax"), F.round(qual, 8).alias("gq")
+    )
+
+
+@query(
+    "reversed_array_add",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT call_id,
+           ROUND(ll0 + ll2, 8) AS blend0,
+           ROUND(ll1 + ll1, 8) AS blend1,
+           ROUND(ll2 + ll0, 8) AS blend2
+    FROM calls_rel
+    """,
+)
+def reversed_array_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 — out[i] = a[i] + b[n−1−i] via zip_with(a, reverse(b), +)
+    (BiallelicGenotyper.scala:585-595,717-729)."""
+    c = tables.derived(spark, sf_dir, "calls_rel")
+    blended = M.reversed_array_add(F.array("ll0", "ll1", "ll2"), F.array("ll0", "ll1", "ll2"))
+    return c.select(
+        "call_id",
+        F.round(F.element_at(blended, 1), 8).alias("blend0"),
+        F.round(F.element_at(blended, 2), 8).alias("blend1"),
+        F.round(F.element_at(blended, 3), 8).alias("blend2"),
+    )
+
+
+@query(
+    "rms_mapq_rollup",
+    f"""
+    WITH reads_rel AS ({READS_REL_SQL})
+    SELECT contig,
+           ROUND(SQRT(CAST(SUM(CAST(mapq AS BIGINT) * mapq) AS DOUBLE) / COUNT(*)), 8) AS rms_mapq,
+           COUNT(*) AS n_reads
+    FROM reads_rel
+    WHERE read_mapped
+    GROUP BY contig
+    """,
+)
+def rms_mapq_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 — RMS mapQ = sqrt(Σ mapq² / n) (BiallelicGenotyper.scala:709).
+    Integer sum-of-squares keeps the aggregate exact; sqrt of identical
+    ints is bit-stable."""
+    r = tables.derived(spark, sf_dir, "reads_rel").where(F.col("read_mapped"))
+    return r.groupBy("contig").agg(
+        F.round(
+            M.rms_mapq(
+                F.sum(F.col("mapq").cast("bigint") * F.col("mapq")).cast("double"),
+                F.count("*"),
+            ),
+            8,
+        ).alias("rms_mapq"),
+        F.count("*").alias("n_reads"),
+    )
+
+
+@query(
+    "score_table_gen",
+    """
+    WITH grid AS (
+      -- phred 0 is degenerate (P(ok)=0 -> log 0); grid starts at 1 like
+      -- any real quality score
+      SELECT q.q AS qual, m.m AS mapq, g.g AS g
+      FROM (SELECT UNNEST(generate_series(1, 50)) AS q) q
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 60)) AS m) m
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS g) g
+    )
+    SELECT qual, mapq, g,
+           ROUND(LN((2 - g) * (1.0 - (1.0 - POW(10.0, -qual / 10.0)) * (1.0 - POW(10.0, -mapq / 10.0)))
+                    + g * ((1.0 - POW(10.0, -qual / 10.0)) * (1.0 - POW(10.0, -mapq / 10.0)))) - LN(2.0), 8) AS log_l
+    FROM grid
+    """,
+)
+def score_table_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/X12 — the precomputed likelihood dimension table: for every
+    (base qual, mapQ, genotype state) combination, L(g) = log((m−g)ε +
+    g(1−ε)) − log m with ε = 1 − P(base ok)·P(map ok)
+    (ScoredObservation.scala:101-165, Observer.scala:151-185). Generated
+    with spark.range cross joins — pure column math, no data read."""
+    quals = spark.range(1, 51).select(F.col("id").alias("qual"))
+    mapqs = spark.range(1, 61).select(F.col("id").alias("mapq"))
+    gs = spark.range(0, 3).select(F.col("id").alias("g"))
+    grid = quals.crossJoin(mapqs).crossJoin(gs)
+    eps = 1 - M.phred_to_success_prob(F.col("qual").cast("double")) * M.phred_to_success_prob(
+        F.col("mapq").cast("double")
+    )
+    return grid.select(
+        "qual",
+        "mapq",
+        "g",
+        F.round(
+            M.genotype_log_likelihood(F.col("g").cast("double"), F.lit(2.0), eps), 8
+        ).alias("log_l"),
+    )
+
+
+@query(
+    "fisher_strand_bias",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL}),
+    cells AS (
+      SELECT DISTINCT ref_fwd, ref_rev, alt_fwd, alt_rev FROM calls_rel
+    ),
+    expanded AS (
+      SELECT c.ref_fwd, c.ref_rev, c.alt_fwd, c.alt_rev,
+             x.x,
+             (lgamma(c.ref_fwd + c.ref_rev + 1) + lgamma(c.alt_fwd + c.alt_rev + 1)
+              + lgamma(c.ref_fwd + c.alt_fwd + 1) + lgamma(c.ref_rev + c.alt_rev + 1)
+              - lgamma(c.ref_fwd + c.ref_rev + c.alt_fwd + c.alt_rev + 1)
+              - lgamma(x.x + 1) - lgamma(c.ref_fwd + c.ref_rev - x.x + 1)
+              - lgamma(c.ref_fwd + c.alt_fwd - x.x + 1)
+              - lgamma(c.alt_fwd + c.alt_rev - c.ref_fwd - c.alt_fwd + x.x + 1)) AS log_pmf,
+             (lgamma(c.ref_fwd + c.ref_rev + 1) + lgamma(c.alt_fwd + c.alt_rev + 1)
+              + lgamma(c.ref_fwd + c.alt_fwd + 1) + lgamma(c.ref_rev + c.alt_rev + 1)
+              - lgamma(c.ref_fwd + c.ref_rev + c.alt_fwd + c.alt_rev + 1)
+              - lgamma(c.ref_fwd + 1) - lgamma(c.ref_rev + 1)
+              - lgamma(c.alt_fwd + 1) - lgamma(c.alt_rev + 1)) AS log_obs
+      FROM cells c
+      JOIN (SELECT UNNEST(generate_series(0, 100)) AS x) x
+        ON x.x >= GREATEST(0, c.ref_fwd + c.alt_fwd - c.alt_fwd - c.alt_rev)
+       AND x.x <= LEAST(c.ref_fwd + c.alt_fwd, c.ref_fwd + c.ref_rev)
+    )
+    SELECT ref_fwd, ref_rev, alt_fwd, alt_rev,
+           ROUND(LEAST(SUM(CASE WHEN log_pmf <= log_obs + 1e-7 THEN EXP(log_pmf) ELSE 0.0 END), 1.0), 6) AS fisher_p
+    FROM expanded
+    GROUP BY ref_fwd, ref_rev, alt_fwd, alt_rev
+    """,
+)
+def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — Fisher exact strand-bias p-value, log-factorial form
+    (BiallelicGenotyper.scala:755-797). Spark side: Arrow pandas UDF
+    over the DISTINCT contingency cells (dedup-before-UDF mirrors the
+    reference's precompute-don't-recompute stance, P3)."""
+    c = tables.derived(spark, sf_dir, "calls_rel")
+    cells = c.select("ref_fwd", "ref_rev", "alt_fwd", "alt_rev").distinct()
+    return cells.select(
+        "ref_fwd",
+        "ref_rev",
+        "alt_fwd",
+        "alt_rev",
+        F.round(
+            F.least(
+                M.fisher_exact_two_sided("ref_fwd", "ref_rev", "alt_fwd", "alt_rev"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("fisher_p"),
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # import for registration side effects
+    from avocado_spark import queries_genomic, queries_pipeline  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    from avocado_spark import queries_genomic, queries_pipeline  # noqa: F401
+
+    return dict(ORACLES)

@@ -1,0 +1,84 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+The reference hand-tunes Kryo serialization and partition counts
+(avocado-core/.../serialization/AvocadoKryoRegistrator.scala:24-38,
+avocado-cli/.../BiallelicGenotyper.scala:90-97); under DataFrame/Tungsten
+those knobs are replaced by AQE + Arrow + sane shuffle-partition defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "avocado_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    Defaults matter at 100 TB:
+      - AQE on: runtime coalescing, skew-join splitting, plan re-opt.
+      - Arrow on: pandas-UDF exchange is columnar, not pickled rows.
+      - UTC session TZ: deterministic timestamp semantics vs oracles.
+      - shuffle partitions ~ cores locally; on a real cluster leave the
+        override to the submitter (AQE coalesces down from a high count).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes TIMESTAMP(NANOS) (events.ts); read as
+        # long nanos and convert explicitly (see sources/events loader)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local mode: all "executors" share the driver JVM; bound the
+        # result size so a runaway collect fails fast instead of OOMing.
+        .config("spark.driver.maxResultSize", "8g")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Scan one driver-provided parquet table (S1-S4: all reference scans
+    are columnar Parquet reads; projection/filter pushdown is Catalyst's
+    job once the plan is declared). Ref: avocado-cli/.../BiallelicGenotyper.scala:218-222.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk — read as long nanos
+    (session config) and surfaced as a proper timestamp column here.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        # the driver hands us ITS session, which won't carry this conf;
+        # it is runtime-settable, so pin it before the scan. Also pin
+        # UTC so timestamp comparisons against the (UTC-naive) DuckDB
+        # oracle are stable regardless of host TZ.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df

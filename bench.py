@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Headline set = the shuffle/join-heavy operators whose physical plans
+matter at 100 TB (interval joins, wide agg, window cap, broadcast dim
+join) — not the cheap per-row kernels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from avocado_spark.queries import get_queries
+    from avocado_spark.session import get_spark
+
+    spark = get_spark(app_name="avocado_spark_bench")
+
+    headline = [
+        "wide_agg_q1",
+        "interval_join_broadcast",
+        "interval_join_binned",
+        "interval_join_group_right",
+        "broadcast_equijoin_dim",
+        "topk_per_group",
+        "count_filter_discovery",
+        "cnv_point_lookup",
+        "fisher_strand_bias",
+        "minhash_dedup_pairs",
+        "ann_topk_cosine",
+        "biallelic_pipeline",
+    ]
+    registry = get_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        # warm the parquet footers/JVM once per query set; time the action
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
