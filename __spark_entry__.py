@@ -17,13 +17,14 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: prefiltered reads ⋈(interval) discovered variants →
-    per-contig rollup. Exercises scan, F1 predicate stack, J1 interval
-    join, and the wide aggregation — the reference's hot path shape
+    """Flagship: the full biallelic genotyping pipeline — discovery
+    (CIGAR/MD kernel) → binned broadcast interval join → Arrow
+    classification → broadcast score-table join → wide site roll-up →
+    genotype emission — the reference's §3.1 hot path
     (avocado-core/.../genotyping/BiallelicGenotyper.scala:438-556)."""
     from avocado_spark.queries import get_queries
 
-    return get_queries()["interval_join_broadcast"](spark, SF0001)
+    return get_queries()["biallelic_pipeline"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
