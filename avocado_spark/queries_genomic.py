@@ -218,3 +218,309 @@ def biallelic_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alt_read_depth",
         F.round("rms_mapq", 6).alias("rms_mapq"),
     )
+
+
+# ==========================================================================
+# Filter / post-processing layers (F2/F3/F4), joint caller (A5-A7, E4,
+# X14), trio (F5/F6), allele trim (X8) — all over the calls_rel spine.
+# ==========================================================================
+
+from avocado_spark.tables import CALLS_REL_SQL  # noqa: E402
+
+TRIM_REL_SQL = """
+SELECT
+  l_orderkey * 10 + l_linenumber AS call_id,
+  concat('chr', CAST(l_partkey % 4 AS STRING)) AS contig,
+  (l_partkey * 911) % 100000 AS start,
+  CASE CAST((l_orderkey * 10 + l_linenumber) % 5 AS INT)
+    WHEN 0 THEN 'TAC' WHEN 1 THEN 'AA' WHEN 2 THEN 'ACCC'
+    WHEN 3 THEN 'AGG' ELSE 'G' END AS ref_allele,
+  CASE CAST((l_orderkey * 10 + l_linenumber) % 5 AS INT)
+    WHEN 0 THEN 'TC' WHEN 1 THEN 'A' WHEN 2 THEN 'A'
+    WHEN 3 THEN 'CGG' ELSE 'G' END AS alt_allele,
+  (l_partkey * 911) % 100000 + CASE CAST((l_orderkey * 10 + l_linenumber) % 5 AS INT)
+    WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 3 ELSE 1 END AS end
+FROM lineitem
+"""
+tables.DERIVED_SQL["trim_rel"] = TRIM_REL_SQL
+
+
+@query(
+    "rewrite_hets",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT call_id,
+           CASE WHEN gt_state = 1
+                 AND CAST(alt_read_depth AS DOUBLE) / read_depth >= 0.666
+                THEN 2 ELSE gt_state END AS gt_state_out,
+           CASE WHEN gt_state = 1
+                 AND CAST(alt_read_depth AS DOUBLE) / read_depth >= 0.666
+                THEN NULL ELSE genotype_quality END AS gq_out
+    FROM calls_rel
+    """,
+)
+def rewrite_hets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — RewriteHets (RewriteHets.scala:64-140)."""
+    from avocado_spark.operators.hard_filters import rewrite_hets
+
+    c = tables.derived(spark, sf_dir, "calls_rel")
+    out = rewrite_hets(c, max_het_af=0.666)
+    return out.select(
+        "call_id",
+        F.col("gt_state").alias("gt_state_out"),
+        F.col("genotype_quality").alias("gq_out"),
+    )
+
+
+@query(
+    "emit_genotype_filter",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT call_id, gt_state, genotype_quality
+    FROM calls_rel
+    WHERE genotype_quality >= 10 AND gt_state IN (1, 2)
+    """,
+)
+def emit_genotype_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — emission filter (HardFilterGenotypes.scala:349-383)."""
+    from avocado_spark.operators.hard_filters import emit_genotype_filter
+
+    c = tables.derived(spark, sf_dir, "calls_rel")
+    return emit_genotype_filter(c, min_quality=10).select(
+        "call_id", "gt_state", "genotype_quality"
+    )
+
+
+@query(
+    "hard_filter_annotate",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL}),
+    g AS (
+      SELECT *,
+             CASE WHEN call_id % 7 = 0 THEN concat(ref_allele, 'C') ELSE ref_allele END AS refx
+      FROM calls_rel
+    ),
+    checked AS (
+      SELECT call_id,
+             list_filter([
+               CASE WHEN CAST(genotype_quality AS DOUBLE) / read_depth < 2.0 THEN 'QD' END,
+               CASE WHEN (length(refx) = 1 AND length(alt_allele) = 1 AND rms_mapq < 30.0)
+                      OR (NOT (length(refx) = 1 AND length(alt_allele) = 1) AND rms_mapq < 20.0)
+                    THEN 'MQ' END,
+               CASE WHEN read_depth < 10 THEN 'MINDP' END,
+               CASE WHEN read_depth > 200 THEN 'MAXDP' END,
+               CASE WHEN gt_state = 1 AND CAST(alt_read_depth AS DOUBLE) / read_depth < 0.2 THEN 'HETAFLO' END,
+               CASE WHEN gt_state = 1 AND CAST(alt_read_depth AS DOUBLE) / read_depth > 0.8 THEN 'HETAFHI' END
+             ], x -> x IS NOT NULL) AS failed
+      FROM g
+    )
+    SELECT call_id,
+           COALESCE(array_to_string(list_sort(failed), ','), '') AS filters_failed_str,
+           len(failed) = 0 AS filters_passed
+    FROM checked
+    """,
+)
+def hard_filter_annotate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — hard filters annotate, SNP/indel split
+    (HardFilterGenotypes.scala:176-343,571-660). call_id%7 rows get a
+    2-bp ref to exercise the indel branch."""
+    from avocado_spark.operators.hard_filters import hard_filter_annotate
+
+    c = tables.derived(spark, sf_dir, "calls_rel").withColumn(
+        "ref_allele",
+        F.when(F.col("call_id") % 7 == 0, F.concat(F.col("ref_allele"), F.lit("C"))).otherwise(
+            F.col("ref_allele")
+        ),
+    )
+    out = hard_filter_annotate(c)
+    return out.select(
+        "call_id",
+        F.concat_ws(",", F.array_sort("filters_failed")).alias("filters_failed_str"),
+        "filters_passed",
+    )
+
+
+@query(
+    "variant_summary",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT contig, start, ref_allele, alt_allele,
+           CAST(SUM(read_depth) AS BIGINT) AS total_read_depth,
+           CAST(SUM(ref_read_depth) AS BIGINT) AS total_ref_depth,
+           CAST(SUM(alt_read_depth) AS BIGINT) AS total_alt_depth,
+           CAST(SUM(ref_fwd) AS BIGINT) AS ref_fwd,
+           CAST(SUM(ref_rev) AS BIGINT) AS ref_rev,
+           CAST(SUM(alt_fwd) AS BIGINT) AS alt_fwd,
+           CAST(SUM(alt_rev) AS BIGINT) AS alt_rev,
+           COUNT(*) AS n_genotypes
+    FROM calls_rel
+    GROUP BY contig, start, ref_allele, alt_allele
+    """,
+)
+def variant_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-site depth/strand roll-up (VariantSummary.scala:93-117)."""
+    from avocado_spark.operators.joint import variant_summary
+
+    return variant_summary(tables.derived(spark, sf_dir, "calls_rel"))
+
+
+@query(
+    "maf_site_quality",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL})
+    SELECT contig, start, ref_allele, alt_allele,
+           CAST(SUM(CASE WHEN gt_state IN (0,1,2) THEN 2 ELSE 0 END) AS BIGINT) AS called_alleles,
+           CAST(SUM(CASE WHEN gt_state = 1 THEN 1 WHEN gt_state = 2 THEN 2 ELSE 0 END) AS BIGINT) AS alt_alleles,
+           ROUND(CAST(SUM(CASE WHEN gt_state = 1 THEN 1 WHEN gt_state = 2 THEN 2 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN gt_state IN (0,1,2) THEN 2 ELSE 0 END), 8) AS maf,
+           ROUND((-10.0 / LN(10.0)) * SUM(ll0), 5) AS site_quality,
+           COUNT(*) AS n_genotypes
+    FROM calls_rel
+    GROUP BY contig, start, ref_allele, alt_allele
+    """,
+)
+def maf_site_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 — minor-allele frequency + site quality
+    (JointAnnotatorCaller.scala:117-128,270-281)."""
+    from avocado_spark.operators.joint import maf_and_quality
+
+    out = maf_and_quality(tables.derived(spark, sf_dir, "calls_rel"))
+    return out.select(
+        "contig",
+        "start",
+        "ref_allele",
+        "alt_allele",
+        "called_alleles",
+        "alt_alleles",
+        F.round("maf", 8).alias("maf"),
+        F.round("site_quality", 5).alias("site_quality"),
+        "n_genotypes",
+    )
+
+
+@query(
+    "joint_recall",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL}),
+    with_maf AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN gt_state = 1 THEN 1 WHEN gt_state = 2 THEN 2 ELSE 0 END)
+                    OVER (PARTITION BY contig, start, ref_allele, alt_allele) AS DOUBLE)
+             / SUM(CASE WHEN gt_state IN (0,1,2) THEN 2 ELSE 0 END)
+                    OVER (PARTITION BY contig, start, ref_allele, alt_allele) AS maf
+      FROM calls_rel
+    ),
+    clamped AS (
+      SELECT *, LEAST(GREATEST(maf, 0.05), 0.95) AS p
+      FROM with_maf WHERE maf > 0
+    ),
+    posts AS (
+      SELECT call_id,
+             ll0 + 2.0 * LN(1.0 - p) AS post0,
+             ll1 + LN(2.0) + 1.0 * LN(p) + 1.0 * LN(1.0 - p) AS post1,
+             ll2 + 2.0 * LN(p) AS post2
+      FROM clamped
+    )
+    SELECT call_id,
+           ROUND(post0, 6) AS post0, ROUND(post1, 6) AS post1, ROUND(post2, 6) AS post2,
+           CASE WHEN post0 >= post1 AND post0 >= post2 THEN 0
+                WHEN post1 >= post0 AND post1 >= post2 THEN 1
+                ELSE 2 END AS recalled_state
+    FROM posts
+    """,
+)
+def joint_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/X14 — binomial-prior joint recall
+    (JointAnnotatorCaller.scala:74-109,156-262)."""
+    from avocado_spark.operators.joint import joint_recall
+
+    out = joint_recall(tables.derived(spark, sf_dir, "calls_rel"))
+    return out.select(
+        "call_id",
+        F.round("post0", 6).alias("post0"),
+        F.round("post1", 6).alias("post1"),
+        F.round("post2", 6).alias("post2"),
+        "recalled_state",
+    )
+
+
+@query(
+    "trio_mendelian",
+    f"""
+    WITH calls_rel AS ({CALLS_REL_SQL}),
+    pivoted AS (
+      SELECT contig, start, ref_allele, alt_allele,
+             MAX(CASE WHEN sample_id = 's0' THEN gt_state END) AS p1r,
+             MAX(CASE WHEN sample_id = 's1' THEN gt_state END) AS p2r,
+             MAX(CASE WHEN sample_id = 's2' THEN gt_state END) AS chr_
+      FROM calls_rel
+      GROUP BY contig, start, ref_allele, alt_allele
+    ),
+    filled AS (
+      SELECT contig, start, ref_allele, alt_allele,
+             COALESCE(p1r, 3) AS p1, COALESCE(p2r, 3) AS p2, COALESCE(chr_, 3) AS ch
+      FROM pivoted
+    ),
+    judged AS (
+      SELECT *,
+             CASE WHEN p1 = 2 THEN 1 ELSE 0 END AS p1min,
+             CASE WHEN p2 = 2 THEN 1 ELSE 0 END AS p2min,
+             CASE WHEN p1 IN (1,2,3) THEN 1 ELSE 0 END AS p1max,
+             CASE WHEN p2 IN (1,2,3) THEN 1 ELSE 0 END AS p2max
+      FROM filled
+      WHERE p1 IN (1,2) OR p2 IN (1,2) OR ch IN (1,2)
+    )
+    SELECT contig, start, ref_allele, alt_allele,
+           p1 AS p1_state, p2 AS p2_state, ch AS child_state,
+           (ch IN (0,1,2) AND ch >= p1min + p2min AND ch <= p1max + p2max) AS mendelian_consistent,
+           CASE WHEN ch IN (0,1,2) AND ch >= p1min + p2min AND ch <= p1max + p2max
+                THEN ch ELSE 3 END AS called_child_state,
+           CASE WHEN ch = 1 AND ch >= p1min + p2min AND ch <= p1max + p2max
+                     AND p1max = 1 AND p2max = 0 THEN 'ALT|REF'
+                WHEN ch = 1 AND ch >= p1min + p2min AND ch <= p1max + p2max
+                     AND p2max = 1 AND p1max = 0 THEN 'REF|ALT'
+                ELSE NULL END AS child_phase
+    FROM judged
+    """,
+)
+def trio_mendelian_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 — trio pivot + Mendelian consistency + phasing
+    (TrioCaller.scala:103-221)."""
+    from avocado_spark.operators.trio import trio_call
+
+    c = tables.derived(spark, sf_dir, "calls_rel").select(
+        "contig", "start", "ref_allele", "alt_allele", "sample_id", "gt_state"
+    )
+    return trio_call(c, "s0", "s1", "s2")
+
+
+@query(
+    "allele_trim",
+    f"""
+    WITH trim_rel AS ({TRIM_REL_SQL})
+    SELECT call_id,
+           CASE CAST(call_id % 5 AS INT)
+             WHEN 0 THEN 'TA' WHEN 1 THEN 'AA' WHEN 2 THEN 'ACCC'
+             WHEN 3 THEN 'A' ELSE 'G' END AS ref_trim,
+           CASE CAST(call_id % 5 AS INT)
+             WHEN 0 THEN 'T' WHEN 1 THEN 'A' WHEN 2 THEN 'A'
+             WHEN 3 THEN 'C' ELSE 'G' END AS alt_trim,
+           "end" - CASE CAST(call_id % 5 AS INT)
+             WHEN 0 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS end_trim
+    FROM trim_rel
+    """,
+)
+def allele_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — shared-suffix allele canonicalization as a pure HOF
+    expression (SquareOffReferenceModel.scala:106-127); the oracle
+    states the expected trim per pattern class."""
+    from avocado_spark.operators.squareoff import trim_alleles
+
+    t = tables.derived(spark, sf_dir, "trim_rel")
+    out = trim_alleles(t)
+    return out.select(
+        "call_id",
+        F.col("ref_allele").alias("ref_trim"),
+        F.col("alt_allele").alias("alt_trim"),
+        F.col("end").alias("end_trim"),
+    )

@@ -39,17 +39,23 @@ def duck():
 
 
 def _norm(v):
+    """Everything → string so sorted() is total across nulls and mixed
+    int/float dtypes (pandas promotes nullable ints to float64)."""
     import decimal
 
+    if v is None or v is getattr(__import__("pandas"), "NA", None):
+        return "NULL"
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 2.0 (promoted int) == 2
+        return str(round(v, 9))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
 
 
 def assert_df_matches_oracle(spark_df, duck_con, sql: str, check_cols: bool = True):
