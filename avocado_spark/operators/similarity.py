@@ -1,0 +1,94 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two physical strategies behind one logical operator:
+  * ``brute_force_topk`` — exact cosine top-k: a blocked cross join +
+    rank window. Correctness baseline; O(Q·N) — fine when the query
+    set is small or as the final re-rank.
+  * ``srp_lsh_topk`` — the scale path: sign-random-projection (SRP)
+    bucketing. Each vector hashes to an H-bit bucket via fixed integer
+    hyperplanes; candidates come from an equi join on the bucket key
+    (shuffle-hash join, linear in data), then exact cosine re-ranks
+    within the bucket. Recall trades off with H like any IVF/LSH
+    scheme; hyperplanes are deterministic so the DuckDB oracle can
+    replay them.
+
+At 100 TB the bucket join partitions by bucket key and never
+materializes the O(N²) pair space; skewed buckets are split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from avocado_spark.operators.dedup import cosine
+
+N_PLANES = 8
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def srp_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
+    """H-bit sign-random-projection bucket. Hyperplane h has integer
+    components w[h][d] = ((h*131 + d*31) % 7) − 3 — deterministic,
+    replayable in SQL, mean-zero."""
+    def plane_bit(h: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x * (((h * 131 + d * 31) % 7) - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        # 2^h arithmetic: shiftleft needs a literal shift amount
+        return F.when(dot >= 0, F.pow(F.lit(2.0), h.cast("double")).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), plane_bit),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Ranking key is
+    (round(cos, 9) desc, vec_id) so ordering is reproducible across
+    engines to the last ulp."""
+    base = embeddings.select(
+        F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v")
+    )
+    q = queries.select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v"))
+    pairs = q.crossJoin(base).where(F.col("q_id") != F.col("n_id"))
+    scored = pairs.select(
+        "q_id", "n_id", F.round(cosine(F.col("q_v"), F.col("n_v")), 9).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's SRP bucket; exact
+    cosine re-rank inside the bucket."""
+    base = embeddings.select(
+        F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v")
+    ).withColumn("bucket", srp_bucket(F.col("n_v"), n_planes))
+    q = embeddings.join(queries.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v")
+    ).withColumn("bucket", srp_bucket(F.col("q_v"), n_planes))
+    pairs = q.join(base, "bucket").where(F.col("q_id") != F.col("n_id"))
+    scored = pairs.select(
+        "q_id", "n_id", F.round(cosine(F.col("q_v"), F.col("n_v")), 9).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+Everything is built-in column expressions / higher-order functions —
+JVM-side, codegen-friendly, zero Python in the hot path — because at
+100 TB the tokenizer IS the workload.
+
+Shared hash convention (mirrors the DuckDB oracles exactly):
+  token_hash(t)   = fold over chars: acc = (acc*31 + ascii(c)) % P, acc0 = 7
+  doc_fingerprint = fold over token hashes: acc = (acc*131 + h) % P
+with P = 1_000_000_007 (all intermediates < 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+
+# tiny per-language function-word marker sets for the n-gram/stopword
+# language-ID heuristic (deterministic, vocabulary-agnostic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "value", "row"],
+    "es": ["data", "query", "group"],
+    "fr": ["table", "join", "merge"],
+    "de": ["scan", "filter", "sort"],
+    "zh": ["spark", "batch", "stream"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token suppression."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_hash(tok: Column) -> Column:
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % P,
+    )
+
+
+def doc_fingerprint(toks: Column) -> Column:
+    """Rolling polynomial fingerprint over token hashes — an
+    order-sensitive document signature (content-defined dedup key)."""
+    return F.aggregate(
+        F.transform(toks, token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % P,
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token statistics: total, distinct, chars-per-token."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, mean token length, stopword
+    ratio, lexical diversity. The standard pre-training quality gates
+    (length/punct/stopword-ratio family)."""
+    t = tokens(F.col(text_col))
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and")])
+    n = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.length(text_col).cast("double") / n).alias("mean_token_len"),
+        (n_stop.cast("double") / n).alias("stopword_ratio"),
+        (F.size(F.array_distinct(t)).cast("double") / n).alias("lexical_diversity"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-set language ID: score each language by marker hits per
+    token; argmax with deterministic (alphabetical) tie-break."""
+    t = tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+        scores.append((lang, hits))
+    best = scores[0][1]
+    pred = F.lit(scores[0][0])
+    for lang, hits in scores[1:]:
+        pred = F.when(hits > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, hits)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", doc_fingerprint(tokens(F.col(text_col))).alias("fp"))

@@ -1,5 +1,405 @@
-"""Training-data pipeline query registrations (dedup, similarity,
-text analysis) over the documents/embeddings tables. Populated as the
-operator modules land — see queries.py for the registry contract."""
+"""Training-data pipeline queries over documents/embeddings: dedup
+family, ANN, text analysis. Spark side uses the operator modules
+(JVM higher-order functions, no UDFs); DuckDB oracles replay the same
+deterministic hash/cosine arithmetic with list comprehensions.
+
+Near-dup corpora are AUGMENTED deterministically (dropped-last-token
+copies of every 5th doc, perturbed copies of every 4th embedding) so
+the detectors have true positives to find — the raw synthetic tables
+are fully distinct/random.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avocado_spark.operators import dedup as D
+from avocado_spark.operators import similarity as SIM
+from avocado_spark.operators import text as TX
+from avocado_spark.queries import query
+from avocado_spark.session import load_table
+
+# ---- DuckDB oracle snippets ------------------------------------------------
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _th(toks: str) -> str:
+    """token hashes: fold (acc*31 + ascii) % P with init 7."""
+    return (
+        f"list_transform({toks}, t -> list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"[CAST(ascii(substring(t, i, 1)) AS BIGINT) for i in generate_series(1, length(t))]), "
+        f"(a, c) -> (a * 31 + c) % 1000000007))"
+    )
+
+
+def _shingles(th: str, k: int) -> str:
+    if k == 3:
+        expr = f"(({th}[i] * 10007 + {th}[i+1]) * 101 + {th}[i+2]) % 1000000007"
+    elif k == 2:
+        expr = f"(({th}[i] * 10007 + {th}[i+1]) * 101 + 0) % 1000000007"
+    else:
+        raise ValueError(k)
+    return (
+        f"list_distinct([{expr} for i in generate_series(1, len({th}) - {k - 1})])"
+    )
+
+
+_AUG_DOCS = f"""
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice({_TOKS}, 1, len({_TOKS}) - 1), ' ') AS text,
+             lang, source
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[{a}[i] * {b}[i] for i in generate_series(1, len({a}))]), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+# ---- Spark-side augmentation helpers --------------------------------------
+
+
+def _aug_docs(docs: DataFrame) -> DataFrame:
+    toks = TX.tokens(F.col("text"))
+    dropped = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.select("doc_id", "text", "lang", "source").unionByName(dropped)
+
+
+def _aug_embeddings(emb: DataFrame) -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    pert = emb.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda x, i: x + 0.02 * (((F.col("vec_id") + i) % 5) - 2).cast("double"),
+        ).alias("v"),
+        "label",
+    )
+    base = emb.select("vec_id", v.alias("v"), "label")
+    return base.unionByName(pert)
+
+
+_AUG_EMB = """
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             [embedding[i+1] + 0.02 * (((vec_id + i) % 5) - 2)
+              for i in generate_series(0, len(embedding) - 1)] AS v,
+             label
+      FROM embeddings WHERE vec_id % 4 = 0
+"""
+
+
+# ===========================================================================
+
+
+@query(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer), pure HOF expressions."""
+    return TX.token_count(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           ROUND(CAST(length(text) AS DOUBLE) / len({_TOKS}), 8) AS mean_token_len,
+           ROUND(CAST(len(list_filter({_TOKS}, t -> list_contains(['the','a','of','and'], t))) AS DOUBLE)
+                 / len({_TOKS}), 8) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}), 8) AS lexical_diversity
+    FROM documents
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length / stopword ratio / diversity)."""
+    out = TX.quality_score(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 8).alias("mean_token_len"),
+        F.round("stopword_ratio", 8).alias("stopword_ratio"),
+        F.round("lexical_diversity", 8).alias("lexical_diversity"),
+    )
+
+
+_LANGS_SQL = {
+    "de": "['scan','filter','sort']",
+    "en": "['the','a','value','row']",
+    "es": "['data','query','group']",
+    "fr": "['table','join','merge']",
+    "zh": "['spark','batch','stream']",
+}
+
+
+@query(
+    "language_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(f"len(list_filter({_TOKS}, t -> list_contains({m}, t))) AS h_{l}" for l, m in _LANGS_SQL.items())}
+      FROM documents
+    ),
+    folded AS (
+      SELECT doc_id, labeled_lang, h_de, h_en, h_es, h_fr, h_zh,
+             'de' AS p1, h_de AS b1
+      FROM hits
+    ),
+    s2 AS (SELECT *, CASE WHEN h_en > b1 THEN 'en' ELSE p1 END AS p2, GREATEST(b1, h_en) AS b2 FROM folded),
+    s3 AS (SELECT *, CASE WHEN h_es > b2 THEN 'es' ELSE p2 END AS p3, GREATEST(b2, h_es) AS b3 FROM s2),
+    s4 AS (SELECT *, CASE WHEN h_fr > b3 THEN 'fr' ELSE p3 END AS p4, GREATEST(b3, h_fr) AS b4 FROM s3),
+    s5 AS (SELECT *, CASE WHEN h_zh > b4 THEN 'zh' ELSE p4 END AS p5, GREATEST(b4, h_zh) AS b5 FROM s4)
+    SELECT doc_id, labeled_lang, p5 AS predicted_lang, b5 AS marker_hits FROM s5
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-set language ID with deterministic tie-break."""
+    return TX.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    WITH th AS (SELECT doc_id, {_th(_TOKS)} AS h FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), h), (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+    FROM th
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (order-sensitive)."""
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "exact_dedup",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM aug GROUP BY text
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash groupBy on content, keep lowest id. Input has
+    injected exact copies (every 7th doc) so n_copies=2 groups exist."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return D.exact_dedup(aug, ["text"]).select("keep_doc_id", "n_copies")
+
+
+@query(
+    "minhash_dedup_pairs",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sh AS (
+      SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s
+      FROM aug
+    ),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+      SELECT doc_id, s,
+             [list_min(list_transform(s, x -> ((2*(i-1)+3) * x + (5*(i-1)+7)) % 1000000007))
+              for i in generate_series(1, 16)] AS sg
+      FROM shn
+    ),
+    bands AS (
+      SELECT doc_id, s, b.b AS band, list_slice(sg, b.b*4 + 1, b.b*4 + 4) AS key
+      FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+      FROM cand c JOIN shn sa ON sa.doc_id = c.a_id JOIN shn sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verify,
+    over the corpus with dropped-last-token near-copies injected."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "simhash_signatures",
+    f"""
+    WITH th AS (SELECT doc_id, {_th(_TOKS)} AS h FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(h, x -> CASE WHEN (x >> (b-1)) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                     (p, q) -> p + q) >= 0
+                   THEN (CAST(1 AS BIGINT) << (b-1)) ELSE CAST(0 AS BIGINT) END
+              for b in generate_series(1, 32)]),
+             (p, q) -> p + q) AS simhash
+    FROM th
+    """,
+)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures, nested-HOF implementation."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sh AS (
+      SELECT doc_id, lang, source, {_shingles(_th(_TOKS), 2)} AS s
+      FROM aug
+    ),
+    shn AS (SELECT doc_id, lang, source, s FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM shn a JOIN shn b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.6
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked token-bigram Jaccard near-dup pairs."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    out = D.ngram_jaccard_pairs(docs, ["lang", "source"], k=2, threshold=0.6)
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "embedding_dup_pairs",
+    f"""
+    WITH aug AS ({_AUG_EMB}),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_cos("a.v", "b.v")} AS cos
+      FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.95
+    """,
+)
+def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (label-blocked), over the
+    corpus with perturbed duplicate vectors injected."""
+    emb = _aug_embeddings(load_table(spark, sf_dir, "embeddings"))
+    e = emb.withColumnRenamed("v", "embedding")
+    out = D.embedding_dup_pairs(e, threshold=0.95)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
+@query(
+    "ann_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND({_cos("q.v", "e.v")}, 9) AS cos
+      FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exactness baseline for ANN)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_srp_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [v[d] * CAST(((h * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
+                        for d in generate_series(1, len(v))]), (x, y) -> x + y) >= 0
+                     THEN (CAST(1 AS BIGINT) << (h-1)) ELSE CAST(0 AS BIGINT) END
+                for h in generate_series(1, 8)]),
+               (x, y) -> x + y) AS bucket
+      FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_v, bucket FROM bucketed WHERE vec_id < 50),
+    scored AS (
+      SELECT q.q_id, b.vec_id AS n_id, ROUND({_cos("q.q_v", "b.v")}, 9) AS cos
+      FROM q JOIN bucketed b ON q.bucket = b.bucket AND q.q_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_srp_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP/LSH-bucketed ANN — the linear-scale path: equi join on the
+    8-bit hyperplane bucket, exact re-rank within bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
+
+
+@query("multimodal_features")  # no SQL oracle: sha256 feature stand-in
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata +
+    Arrow-batched feature extraction (deterministic SHA-256 stand-in
+    for the absent codecs) + frame-sampling explode; rows-only check."""
+    from avocado_spark.operators.multimodal import attach_media, fake_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs)
+    feats = fake_features(media)
+    return media.join(feats, "media_id").select(
+        "media_id",
+        "kind",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.round(F.element_at("features", 1), 9).alias("f0"),
+        F.round(F.element_at("features", 8), 9).alias("f7"),
+    )
