@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from avocado_spark.operators.text import P, token_hash, tokens
 
@@ -38,31 +39,55 @@ def exact_dedup(docs: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Token k-gram shingles → 64-bit-safe hashes:
-    S = ((h1*10007 + h2)*101 + h3) % P over consecutive token hashes."""
-    th = F.transform(tokens(text), token_hash)
-    n = F.size(th)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    S = ((h1*10007 + h2)*101 + h3) % P over consecutive token hashes.
 
-    def shingle(i: Column) -> Column:
-        # S_3 = ((h1*10007 + h2)*101 + h3) % P; S_2 drops the last term
-        s = F.element_at(th, i + 1) * 10007 + F.element_at(th, i + 2)
-        s = s * 101 + (F.element_at(th, i + 3) if k == 3 else F.lit(0))
-        return s % P
-
+    Single-pass shape: higher-order functions are CodegenFallback
+    (interpreted), and any column referenced per-element re-evaluates
+    its whole subtree per element. ``zip_with`` over shifted slices
+    references the token-hash array O(k) times total instead of
+    O(k · n_shingles) — the difference between O(n) and O(n²) per row.
+    """
     if k not in (2, 3):
         raise ValueError(f"unsupported shingle width {k}")
+    th = F.transform(tokens(text), token_hash)
+    n = F.size(th)
+    m = n - (k - 1)  # number of shingles
+    # s12[i] = th[i]*10007 + th[i+1]
+    s12 = F.zip_with(
+        F.slice(th, 1, F.greatest(m, F.lit(0))),
+        F.slice(th, 2, F.greatest(m, F.lit(0))),
+        lambda a, b: a * 10007 + b,
+    )
+    if k == 3:
+        out = F.zip_with(
+            s12,
+            F.slice(th, 3, F.greatest(m, F.lit(0))),
+            lambda s, c: (s * 101 + c) % P,
+        )
+    else:
+        out = F.transform(s12, lambda s: (s * 101) % P)
     return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
-        F.array_distinct(F.transform(idx, shingle))
+        F.array_distinct(out)
     )
 
 
 def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     """MinHash: sig[i] = min over shingles of (a_i·s + b_i) % P with
-    a_i = 2i+3, b_i = 5i+7."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: ((2 * i + 3) * s + (5 * i + 7)) % P)
+    a_i = 2i+3, b_i = 5i+7.
+
+    Fold shape (one pass over the shingle array): accumulate an
+    n_hashes-wide running-min vector with ``aggregate`` + ``zip_with
+    least`` — the shingle column is referenced exactly once, vs once
+    per hash function in the transform-of-array_min formulation.
+    """
+    init = F.array_repeat(F.lit(P).cast("long"), n_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda m, i: F.least(m, ((2 * i + 3) * s + (5 * i + 7)) % P),
         ),
     )
 
@@ -75,14 +100,24 @@ def minhash_lsh_pairs(
     shingle → signature (per-row, JVM) → explode bands → self-join on
     (band, band signature) → dedup pairs → verify Jaccard on the true
     shingle sets. Only candidate pairs ever materialize.
+
+    Scale notes: the band table carries only (doc_id, band, key) — the
+    shingle sets are re-joined by id for the verify step, so the
+    candidate shuffle is narrow. At 100 TB the sig table would be
+    persisted/bucketed; here the single-pass expression shapes keep a
+    recompute cheap (one token-hash pass per side).
     """
-    sh = docs.select(
-        "doc_id", shingle_hashes(F.col(text_col)).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles")))
+    # the shingle table is read 4× (both self-join sides + both verify
+    # joins); persist so the tokenize/hash pass runs once — at cluster
+    # scale this is the table you'd write out / bucket by doc_id
+    sh = (
+        docs.select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -92,24 +127,24 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"), "band", "key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"), "band", "key"
-    )
     cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
+    ).join(
+        sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id"
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        verified.withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -125,12 +160,15 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         return F.pow(F.lit(2.0), b.cast("double"))
 
     th = F.transform(tokens(F.col(text_col)), token_hash)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
+    # one pass over the token hashes, accumulating all `bits` votes at
+    # once (th referenced a single time — see shingle_hashes note)
+    bit_votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: v
             + F.when((h / pow2(b)).cast("long") % 2 == 1, 1).otherwise(-1),
         ),
     )
@@ -156,9 +194,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Blocked n-gram Jaccard: pairwise only within a blocking key."""
-    sh = docs.select(
-        "doc_id", *block_cols, shingle_hashes(F.col(text_col), k=k).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = (
+        docs.select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=k).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sh.select(
         *block_cols, F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
     )
