@@ -524,3 +524,86 @@ def allele_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alt_allele").alias("alt_trim"),
         F.col("end").alias("end_trim"),
     )
+
+
+# --------------------------------------------------------------------------
+# F7 realigner — the `reassemble` pipeline (SURVEY §3.3)
+# --------------------------------------------------------------------------
+
+# reads with deterministically mis-left-shifted homopolymer indels:
+#   shape 0: deletion placed at the RIGHT edge of a C-run (canonical
+#            alignment left-shifts it),
+#   shape 1: insertion likewise right-shifted,
+#   shape 2: simple SNP (canonical already — not a realign candidate),
+#   shape 3: unmapped (passthrough).
+# PFIX/SFIX contain no 'C', so the run boundary is unambiguous and the
+# realigned CIGAR/MD is a closed-form function of (rs, c).
+READS_REALIGN_SQL = """
+SELECT
+  o_orderkey AS read_id,
+  CAST(o_orderkey % 4 AS INT) AS shape,
+  CAST(8 + o_orderkey % 5 AS INT) AS rs,
+  CAST(2 + o_orderkey % 3 AS INT) AS c,
+  (o_orderkey % 4) <> 3 AS read_mapped,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN concat(substring('ATGATTGAATAG', 1, CAST(8 + o_orderkey % 5 AS INT)),
+                       repeat('C', CAST(2 + o_orderkey % 3 AS INT)),
+                       'TGATTAGGATTGAATTGGTATTGAATTGGA')
+    WHEN 1 THEN concat(substring('ATGATTGAATAG', 1, CAST(8 + o_orderkey % 5 AS INT)),
+                       repeat('C', CAST(3 + o_orderkey % 3 AS INT)),
+                       'TGATTAGGATTGAATTGGTATTGAATTGGA')
+    WHEN 2 THEN concat(substring('ATGATTGAATAG', 1, CAST(8 + o_orderkey % 5 AS INT)),
+                       'C', 'TGATTAGGATTGAATTGGTATTGAATTGGA')
+    ELSE 'TGATTAGGATTGAATTGGTATTGAATTGGA'
+  END AS sequence,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN concat(CAST(10 + o_orderkey % 5 + o_orderkey % 3 AS STRING), 'M1D30M')
+    WHEN 1 THEN concat(CAST(10 + o_orderkey % 5 + o_orderkey % 3 AS STRING), 'M1I30M')
+    WHEN 2 THEN concat(CAST(39 + o_orderkey % 5 AS STRING), 'M')
+    ELSE '*'
+  END AS cigar,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN concat(CAST(10 + o_orderkey % 5 + o_orderkey % 3 AS STRING), '^C30')
+    WHEN 1 THEN CAST(40 + o_orderkey % 5 + o_orderkey % 3 AS STRING)
+    WHEN 2 THEN concat(CAST(8 + o_orderkey % 5 AS STRING), 'A30')
+    ELSE ''
+  END AS md
+FROM orders
+"""
+
+tables.DERIVED_SQL["reads_realign"] = READS_REALIGN_SQL
+
+
+@query(
+    "realign_reads",
+    f"""
+    WITH r AS ({READS_REALIGN_SQL})
+    SELECT read_id,
+      CASE shape
+        WHEN 0 THEN concat(CAST(rs AS STRING), '=1D', CAST(c + 30 AS STRING), '=')
+        WHEN 1 THEN concat(CAST(rs AS STRING), '=1I', CAST(c + 30 AS STRING), '=')
+        ELSE cigar
+      END AS new_cigar,
+      CASE shape
+        WHEN 0 THEN concat(CAST(rs AS STRING), '^C', CAST(c + 30 AS STRING))
+        ELSE md
+      END AS new_md,
+      shape IN (0, 1) AS was_realigned
+    FROM r
+    """,
+)
+def realign_reads_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/X18/X19 — k-mer anchored read realignment over mis-shifted
+    homopolymer indels (Realigner.scala:46-158, Aligner.scala:175-233):
+    a shuffle-free Arrow-batched map; the oracle states the closed-form
+    left-shifted alignment per generation rule."""
+    from avocado_spark.operators.realigner import realign_reads
+
+    r = tables.derived(spark, sf_dir, "reads_realign")
+    out = realign_reads(r, kmer_length=6)
+    return out.select(
+        "read_id",
+        F.col("cigar").alias("new_cigar"),
+        F.col("md").alias("new_md"),
+        "was_realigned",
+    )
