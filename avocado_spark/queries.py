@@ -698,12 +698,12 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for registration side effects
-    from avocado_spark import queries_genomic, queries_pipeline  # noqa: F401
+    from avocado_spark import queries_genomic, queries_pipeline, queries_streaming  # noqa: F401
 
     return dict(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
-    from avocado_spark import queries_genomic, queries_pipeline  # noqa: F401
+    from avocado_spark import queries_genomic, queries_pipeline, queries_streaming  # noqa: F401
 
     return dict(ORACLES)

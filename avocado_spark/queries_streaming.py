@@ -1,0 +1,125 @@
+"""Streaming-surface queries over `events`, checked in BATCH mode.
+
+Structured Streaming's contract is that a streaming query computes the
+same answer as the batch query over the same (complete) input — so the
+DuckDB differential gate runs each operator's batch shadow here, while
+tests/test_streaming.py runs the genuinely-streaming path (file source
+→ watermark → memory sink) and asserts it converges to the batch
+result. Timestamps are surfaced as epoch MICROSECOND bigints (exact in
+both engines); money sums as cent bigints (house convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from avocado_spark.queries import query
+from avocado_spark.session import load_table
+from avocado_spark.streaming import events as EV
+
+_US_HOUR = 3_600_000_000
+_US_30MIN = 1_800_000_000
+
+
+@query(
+    "stream_tumbling_hourly",
+    f"""
+    SELECT (epoch_us(ts) // {_US_HOUR}) * {_US_HOUR} AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window × event_type rollup — the canonical
+    watermarked streaming aggregation, batch shadow."""
+    return EV.tumbling_agg(load_table(spark, sf_dir, "events"), window="1 hour")
+
+
+@query(
+    "stream_sliding_30m",
+    f"""
+    WITH panes AS (
+      SELECT e.*,
+             (epoch_us(ts) // {_US_30MIN}) * {_US_30MIN} - k.k * {_US_30MIN} AS window_start_us
+      FROM events e CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    )
+    SELECT window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM panes
+    GROUP BY 1
+    """,
+)
+def stream_sliding_30m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window rollup: every event lands in 2 panes."""
+    return EV.sliding_agg(
+        load_table(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 300000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-minute-gap session windows (native session_window
+    keyed state); session end = last event + gap."""
+    return EV.session_agg(load_table(spark, sf_dir, "events"), gap="5 minutes")
+
+
+@query(
+    "stream_dedup_first",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts_us FROM ranked WHERE rn = 1
+    """,
+)
+def stream_dedup_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming dedup's deterministic batch shadow: earliest
+    event per (user_id, event_type)."""
+    return EV.first_event_per_key(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_running_total",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total_c
+    FROM events
+    """,
+)
+def stream_running_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shadow of the applyInPandasWithState running-total
+    operator (per-user cumulative cent-sum)."""
+    return EV.running_total_batch(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,250 @@
+"""Structured Streaming surface over the `events` table (SURVEY §2.9:
+the reference is batch-only — this is the north-star extension, stock
+Spark Structured Streaming).
+
+Design: every operator here takes a DataFrame that may be BATCH or
+STREAMING and declares the same logical plan for both — that is the
+core Structured Streaming contract. The batch path is what the DuckDB
+oracle checks (queries_streaming.py); the streaming path is exercised
+end-to-end in tests/test_streaming.py with a file source + memory
+sink. Watermarks are applied only when the input is streaming (they
+are meaningless on batch).
+
+Scale stance (100 TB/day of events):
+  * tumbling/sliding aggs are partial-aggregated map-side before the
+    keyed state shuffle; state size = #open windows × #keys;
+  * watermark bounds state: late rows beyond it are dropped instead of
+    growing state forever;
+  * session windows use Spark's native session_window (merging keyed
+    state), not a custom groupByKey;
+  * dedup keeps only key hashes within the watermark horizon;
+  * output sums are integer cent-sums (exact under any accumulation
+    order — same convention as the batch registry).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet on-disk schema (ts is TIMESTAMP(NANOS) → long nanos
+# under spark.sql.legacy.parquet.nanosAsLong)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """long-nanos ts → proper timestamp (shared by batch + stream)."""
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # integer DIV, not /1000: double division loses ulps at 1e18 ns
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet — the S-table analog
+    of `readStream`; one file = one micro-batch locally, a directory of
+    arriving files in production."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # the file stream source requires a DIRECTORY of arriving
+        # files; stage the single local fixture into a temp dir (in
+        # production this points at the landing directory itself)
+        import shutil
+        import tempfile
+
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(path, os.path.join(staged, "events.parquet"))
+        path = staged
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(path)
+    return normalize_events(raw)
+
+
+def _watermarked(events: DataFrame, watermark: str | None) -> DataFrame:
+    if watermark is not None and events.isStreaming:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+def _cents(col) -> Column:
+    return F.sum(F.round(F.col(col) * 100).cast("bigint")).cast("bigint")
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling-window rollup by event_type: the canonical streaming
+    aggregation (watermark + window + partial-agg shuffle)."""
+    return (
+        _watermarked(events, watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _cents("value").alias("sum_value_c"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding-window rollup: each event lands in window/slide panes."""
+    return (
+        _watermarked(events, watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), _cents("value").alias("sum_value_c"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "5 minutes", watermark: str | None = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (merge events closer than `gap`):
+    native session_window keyed state, the streaming sessionization
+    primitive."""
+    return (
+        _watermarked(events, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), _cents("value").alias("sum_value_c"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: state = key hashes within the watermark
+    horizon (dropDuplicatesWithinWatermark when streaming)."""
+    keys = keys or ["event_id"]
+    ev = _watermarked(events, watermark)
+    if ev.isStreaming and watermark is not None:
+        return ev.dropDuplicatesWithinWatermark(keys)
+    return ev.dropDuplicates(keys)
+
+
+def first_event_per_key(events: DataFrame) -> DataFrame:
+    """Batch shadow of keyed streaming dedup with deterministic winner:
+    earliest (ts, event_id) per (user_id, event_type)."""
+    from pyspark.sql import Window
+
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        )
+        .alias("rn")
+    )
+    return (
+        events.select("user_id", "event_type", "event_id", "ts", w)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-user running total
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTAL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("running_total_c", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("total_c", LongType())])
+
+
+def running_total_stream(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user cumulative cent-sum across micro-batches. State is one
+    long per user — bounded, shuffle-keyed by user_id.
+
+    The reference has no streaming ops (SURVEY §2.9); this is the
+    applyInPandasWithState pattern from the north-star list.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                total += int(round(r["value"] * 100))
+                rows.append(
+                    (int(key[0]), int(r["event_id"]), int(r["ts"].value // 1000), total)
+                )
+        state.update((total,))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_us", "running_total_c"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_total_batch(events: DataFrame) -> DataFrame:
+    """Batch shadow of running_total_stream: cumulative window sum."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("running_total_c"),
+    )
