@@ -45,8 +45,12 @@ def emit_genotype_filter(
     genotypes: DataFrame, min_quality: int = 10, filter_ref_genotypes: bool = True
 ) -> DataFrame:
     """F2 — emission filter (HardFilterGenotypes.scala:349-383): drop
-    hom-ref rows (unless gVCF emission) and low-GQ rows."""
-    cond: Column = F.col("genotype_quality") >= F.lit(min_quality)
+    hom-ref rows (unless gVCF emission) and low-GQ rows; a null quality
+    (e.g. rewrite-hets output) is not evidence of low quality and is
+    kept, matching the reference's Option.fold(true) semantics."""
+    cond: Column = F.col("genotype_quality").isNull() | (
+        F.col("genotype_quality") >= F.lit(min_quality)
+    )
     if filter_ref_genotypes:
         cond = cond & F.col("gt_state").isin(1, 2)
     return genotypes.filter(cond)

@@ -607,3 +607,45 @@ def realign_reads_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("md").alias("new_md"),
         "was_realigned",
     )
+
+
+# --------------------------------------------------------------------------
+# O2 coverage cap — HardLimiter's exact sweep
+# --------------------------------------------------------------------------
+
+# non-overlapping clusters of identical intervals: the exact sweep's
+# admitted set has a closed form (lowest max_cov read_ids per cluster),
+# giving the order-dependent operator a true SQL oracle; general
+# overlap chains are covered by unit tests (tests/test_coverage.py).
+READS_CLUSTERED_SQL = """
+SELECT
+  o_orderkey AS read_id,
+  concat('chr', CAST(o_orderkey % 4 AS STRING)) AS contig,
+  CAST((o_orderkey % 500) * 100 AS BIGINT) AS start,
+  CAST((o_orderkey % 500) * 100 + 80 AS BIGINT) AS end
+FROM orders
+"""
+
+tables.DERIVED_SQL["reads_clustered"] = READS_CLUSTERED_SQL
+
+
+@query(
+    "coverage_cap",
+    f"""
+    WITH r AS ({READS_CLUSTERED_SQL}),
+    ranked AS (
+      SELECT read_id, contig, start, "end",
+             ROW_NUMBER() OVER (PARTITION BY contig, start ORDER BY read_id) AS rn
+      FROM r
+    )
+    SELECT read_id, contig, start, "end" FROM ranked WHERE rn <= 5
+    """,
+)
+def coverage_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — HardLimiter exact per-site coverage cap
+    (avocado-core/.../util/HardLimiter.scala:40-137): sorted sweep with
+    an admitted-interval buffer, run per contig via applyInPandas."""
+    from avocado_spark.operators.coverage import coverage_cap_exact
+
+    r = tables.derived(spark, sf_dir, "reads_clustered")
+    return coverage_cap_exact(r, max_coverage=5)
