@@ -38,8 +38,17 @@ def main() -> None:
         "cnv_point_lookup",
         "fisher_strand_bias",
         "minhash_dedup_pairs",
+        "ngram_jaccard_pairs",
+        "embedding_dup_pairs",
+        "exact_dedup",
         "ann_topk_cosine",
+        "ann_srp_bucketed",
         "biallelic_pipeline",
+        "realign_reads",
+        "coverage_cap",
+        "stream_tumbling_hourly",
+        "stream_session_windows",
+        "stream_running_total",
     ]
     registry = get_queries()
     timings: dict[str, float] = {}
