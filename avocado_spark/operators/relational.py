@@ -97,3 +97,60 @@ def money_sum(col: str | Column) -> Column:
     hashes can never drift on FP accumulation order."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(F.round(c * 100).cast("bigint"))
+
+
+def nullify_mate(
+    reads: DataFrame,
+    contig_pattern: str,
+    mate_contig_col: str = "mate_contig",
+    mate_start_col: str = "mate_start",
+    mate_mapped_col: str = "mate_mapped",
+) -> DataFrame:
+    """F8 — conditional struct-field rewrite
+    (avocado-core/.../util/PrefilterReads.scala:99-116): when a read's
+    mate points at a contig outside the kept catalog, null the mate
+    fields (the mate no longer exists after the contig filter)."""
+    # materialize the decision BEFORE rewriting mate_contig — a later
+    # withColumn referencing the same expression would see the nulled
+    # column (withColumn is lazy substitution, not sequential update)
+    flagged = reads.withColumn(
+        "_mate_drop",
+        F.col(mate_mapped_col) & ~F.col(mate_contig_col).rlike(contig_pattern),
+    )
+    drop = F.col("_mate_drop")
+    return (
+        flagged.withColumn(
+            mate_contig_col,
+            F.when(drop, F.lit(None).cast("string")).otherwise(F.col(mate_contig_col)),
+        )
+        .withColumn(
+            mate_start_col,
+            F.when(drop, F.lit(None).cast("long")).otherwise(F.col(mate_start_col)),
+        )
+        .withColumn(
+            mate_mapped_col,
+            F.when(drop, F.lit(False)).otherwise(F.col(mate_mapped_col)),
+        )
+        .drop("_mate_drop")
+    )
+
+
+def sample_catalog(reads: DataFrame, require_single: bool = False) -> DataFrame:
+    """A8 — sample-ID extraction/validation
+    (avocado-core/.../genotyping/TrioCaller.scala:45-55): distinct
+    samples + read counts; optionally assert exactly one."""
+    out = reads.groupBy("sample_id").agg(F.count("*").alias("n_reads"))
+    if require_single:
+        n = out.count()
+        if n != 1:
+            raise ValueError(f"expected exactly 1 sample, found {n}")
+    return out
+
+
+def ploidy_extremes(cnvs: DataFrame, base_ploidy: int = 2) -> DataFrame:
+    """A9 — min/max copy number across the CNV map, folded with the
+    base ploidy default (avocado-core/.../models/CopyNumberMap.scala:82-95)."""
+    return cnvs.agg(
+        F.least(F.min("copy_number"), F.lit(base_ploidy)).alias("min_ploidy"),
+        F.greatest(F.max("copy_number"), F.lit(base_ploidy)).alias("max_ploidy"),
+    )

@@ -649,3 +649,87 @@ def coverage_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = tables.derived(spark, sf_dir, "reads_clustered")
     return coverage_cap_exact(r, max_coverage=5)
+
+
+# --------------------------------------------------------------------------
+# small catalog operators: F8 mate nullify, A8 sample catalog, A9 ploidy
+# --------------------------------------------------------------------------
+
+READS_MATE_SQL = """
+SELECT
+  o_orderkey AS read_id,
+  concat('chr', CAST(o_orderkey % 4 AS STRING)) AS contig,
+  (o_orderkey * 37) % 100000 AS start,
+  concat('s', CAST(o_orderkey % 3 AS STRING)) AS sample_id,
+  (o_orderkey % 7) <> 0 AS mate_mapped,
+  concat('chr', CAST(o_orderkey % 8 AS STRING)) AS mate_contig,
+  (o_orderkey * 53) % 100000 AS mate_start
+FROM orders
+"""
+
+tables.DERIVED_SQL["reads_mate"] = READS_MATE_SQL
+
+
+@query(
+    "mate_nullify",
+    f"""
+    WITH r AS ({READS_MATE_SQL})
+    SELECT read_id,
+           CASE WHEN mate_mapped AND NOT regexp_matches(mate_contig, '^chr[0-3]$')
+                THEN NULL ELSE mate_contig END AS mate_contig,
+           CASE WHEN mate_mapped AND NOT regexp_matches(mate_contig, '^chr[0-3]$')
+                THEN NULL ELSE mate_start END AS mate_start,
+           CASE WHEN mate_mapped AND NOT regexp_matches(mate_contig, '^chr[0-3]$')
+                THEN FALSE ELSE mate_mapped END AS mate_mapped
+    FROM r
+    """,
+)
+def mate_nullify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — mate-field nullify when the mate's contig was dropped by
+    the catalog filter (PrefilterReads.scala:99-116)."""
+    from avocado_spark.operators.relational import nullify_mate
+
+    r = tables.derived(spark, sf_dir, "reads_mate")
+    return nullify_mate(r, "^chr[0-3]$").select(
+        "read_id", "mate_contig", "mate_start", "mate_mapped"
+    )
+
+
+@query(
+    "sample_catalog",
+    f"""
+    WITH r AS ({READS_MATE_SQL})
+    SELECT sample_id, COUNT(*) AS n_reads FROM r GROUP BY sample_id
+    """,
+)
+def sample_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — distinct sample extraction over the read-group catalog
+    (TrioCaller.scala:45-55)."""
+    from avocado_spark.operators.relational import sample_catalog
+
+    return sample_catalog(tables.derived(spark, sf_dir, "reads_mate"))
+
+
+@query(
+    "ploidy_extremes",
+    """
+    WITH cnv AS (
+      SELECT CAST(CASE WHEN n_nationkey % 2 = 0 THEN 3 ELSE 1 END AS INT) AS copy_number
+      FROM nation
+    )
+    SELECT LEAST(MIN(copy_number), 2) AS min_ploidy,
+           GREATEST(MAX(copy_number), 2) AS max_ploidy
+    FROM cnv
+    """,
+)
+def ploidy_extremes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — CNV-map ploidy extremes with base-ploidy fold
+    (CopyNumberMap.scala:82-95)."""
+    from avocado_spark.operators.relational import ploidy_extremes
+    from avocado_spark.session import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    cnv = n.select(
+        F.when(F.col("n_nationkey") % 2 == 0, 3).otherwise(1).cast("int").alias("copy_number")
+    )
+    return ploidy_extremes(cnv, base_ploidy=2)
