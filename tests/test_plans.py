@@ -1,0 +1,101 @@
+"""Physical-plan quality gates: the properties that decide whether a
+query survives a 100× scale-up — pushdown reaching the scan, broadcast
+(not nested-loop) joins for the interval primitives, partial
+aggregation, codegen in the hot path. A correctness-green query that
+regresses one of these is a perf bug; catch it here."""
+
+from __future__ import annotations
+
+import pytest
+
+from avocado_spark.queries import get_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = get_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    # collect on the df itself (count() plans a different query) so AQE
+    # finalizes and codegen/join choices become visible
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def analyzed_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().toString()
+
+
+def test_scan_pushdown(spark):
+    """S8/P1: the filter and projection must reach the parquet scan."""
+    plan = analyzed_of(spark, "scan_project_filter")
+    assert "PushedFilters: [IsNotNull(" in plan
+    # pruned scan: only the referenced columns appear in the FileScan
+    # output list (plan strings truncate, so parse the bracket list)
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols == {
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_shipdate",
+        "l_discount",
+    }, cols
+
+
+def test_dim_join_broadcasts(spark):
+    """J2/P2: the small dimension side must broadcast — a shuffle of the
+    fact table here is the canonical 100TB failure."""
+    plan = plan_of(spark, "broadcast_equijoin_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["interval_join_broadcast", "interval_join_binned", "interval_join_group_right"],
+)
+def test_interval_joins_avoid_nested_loop(spark, name):
+    """P2: the overlap theta-join must ride the bin equi-keys as a hash
+    join; BroadcastNestedLoopJoin is O(n·m) per partition."""
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_wide_agg_partial_and_codegen(spark):
+    """A3: partial+final hash aggregation with whole-stage codegen."""
+    plan = plan_of(spark, "wide_agg_q1")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # codegen'd operators carry the "*(n)" stage prefix in plan strings
+    assert "*(" in plan, plan
+
+
+def test_cnv_lookup_broadcasts(spark):
+    """J4: the tiny CNV map must be the broadcast side."""
+    plan = plan_of(spark, "cnv_point_lookup")
+    assert "BroadcastExchange" in plan
+
+
+def test_score_join_broadcasts(spark):
+    """P3/J2 in the flagship pipeline: the score dimension table and the
+    discovered-variant side both ride broadcast HASH joins. (The score
+    TABLE GENERATOR uses tiny range cross-products — those nested-loop
+    crosses are over literal ranges, not data, and are fine.)"""
+    plan = plan_of(spark, "biallelic_pipeline")
+    # both the interval join and the score join are broadcast hash joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # no nested-loop/cartesian over anything that scans a table
+    import re
+
+    for m in re.finditer(r"(BroadcastNestedLoopJoin|CartesianProduct)", plan):
+        tail = plan[m.start() : m.start() + 4000]
+        assert "FileScan" not in tail.split("BroadcastHashJoin")[0], (
+            "nested-loop join over scanned data:\n" + tail[:800]
+        )
