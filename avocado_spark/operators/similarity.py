@@ -92,3 +92,62 @@ def srp_lsh_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (the first
+    ``n_centroids`` vectors serve as centroids — replayable in SQL, the
+    moral equivalent of a trained k-means codebook) assigns every
+    vector to its nearest cell; each query probes its ``n_probe``
+    nearest cells and exact-cosine re-ranks only those candidates.
+
+    Scale shape: centroid assignment is a broadcast of n_centroids rows
+    against the full table (linear scan, no shuffle of the big side);
+    the probe join partitions by cell id. Candidate count ~ N·n_probe/
+    n_centroids per query — the inverted-file contract.
+    """
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), _as_double("embedding").alias("c_v")
+    )
+
+    def assign(df: DataFrame, id_out: str, v_out: str, keep: int) -> DataFrame:
+        """rank cells per vector by (cos desc, c_id); keep the top ones."""
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_out),
+            F.col("v").alias(v_out),
+            "c_id",
+            cosine(F.col("v"), F.col("c_v")).alias("c_cos"),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.col("c_cos").desc(), F.col("c_id"))
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .where(F.col("c_rank") <= keep)
+            .select(id_out, v_out, "c_id")
+        )
+
+    base = assign(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")),
+        "n_id",
+        "n_v",
+        keep=1,
+    )
+    q = assign(
+        embeddings.join(queries.select("vec_id"), "vec_id").select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
+        "q_id",
+        "q_v",
+        keep=n_probe,
+    )
+    pairs = q.join(base, "c_id").where(F.col("q_id") != F.col("n_id"))
+    scored = pairs.select(
+        "q_id", "n_id", F.round(cosine(F.col("q_v"), F.col("n_v")), 9).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -403,3 +403,39 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 9).alias("f0"),
         F.round(F.element_at("features", 8), 9).alias("f7"),
     )
+
+
+@query(
+    "ann_ivf_probed",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+    scored_cells AS (
+      SELECT e.vec_id, e.v, c.c_id, {_cos("e.v", "c.c_v")} AS c_cos
+      FROM e CROSS JOIN cents c
+    ),
+    ranked_cells AS (
+      SELECT vec_id, v, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+      FROM scored_cells
+    ),
+    base AS (SELECT vec_id AS n_id, v AS n_v, c_id FROM ranked_cells WHERE c_rank = 1),
+    q AS (SELECT vec_id AS q_id, v AS q_v, c_id FROM ranked_cells
+          WHERE c_rank <= 2 AND vec_id < 30),
+    cand AS (
+      SELECT q.q_id, b.n_id, ROUND({_cos("q.q_v", "b.n_v")}, 9) AS cos
+      FROM q JOIN base b ON q.c_id = b.c_id AND q.q_id <> b.n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM cand
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — deterministic coarse quantizer (first-8 centroids),
+    nearest-cell assignment, 2-cell probe, exact re-rank in-cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 30), k=5)
