@@ -439,3 +439,22 @@ def ann_ivf_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-cell assignment, 2-cell probe, exact re-rank in-cell."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 30), k=5)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           UNNEST(generate_series(0,
+             GREATEST(CAST(FLOOR(n_chars * 10 / 1000) AS INT) - 1, 0))) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling explode: one row per (media_id, frame_ts) —
+    the fan-out that precedes per-frame decode; oracle replays the
+    duration arithmetic."""
+    from avocado_spark.operators.multimodal import attach_media, frame_sample_plan
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_idx")
