@@ -1,0 +1,116 @@
+"""Property-based checks (hypothesis) for the pure kernels — the tier
+the reference lacks (SURVEY §5 'not present'). Round-trips and
+invariants that hold for ALL inputs, not just fixture shapes."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from avocado_spark.functions.realign import (
+    align,
+    collapse,
+    extract_reference,
+    make_cigar_md,
+    ops_from_cigar_md,
+    realign_read,
+)
+from avocado_spark.operators.coverage import sweep_limit
+from avocado_spark.schemas import GENOTYPE_ALLELES
+
+BASES = "ACGT"
+
+
+@st.composite
+def op_lists(draw):
+    """Random well-formed operator lists (start/end anchored in match)."""
+    ops = [("=", draw(st.integers(1, 20)), None)]
+    for _ in range(draw(st.integers(0, 6))):
+        kind = draw(st.sampled_from(["=", "X", "I", "D"]))
+        n = draw(st.integers(1, 8))
+        if kind in ("X", "D"):
+            bases = "".join(draw(st.sampled_from(BASES)) for _ in range(n))
+            ops.append((kind, n, bases))
+        else:
+            ops.append((kind, n, None))
+        ops.append(("=", draw(st.integers(1, 10)), None))
+    return collapse(ops)
+
+
+def read_for(ops, draw_char="A"):
+    n = sum(size for kind, size, _ in ops if kind in ("=", "X", "I", "S"))
+    return draw_char * n
+
+
+@given(op_lists())
+@settings(max_examples=200, deadline=None)
+def test_cigar_md_roundtrip(ops):
+    """ops → (cigar, md) → ops is the identity on collapsed op lists."""
+    read = read_for(ops)
+    cigar, md = make_cigar_md(ops)
+    back = ops_from_cigar_md(cigar, md, read)
+    # X runs' ref bases survive; = runs merge identically
+    assert back == ops, (cigar, md)
+
+
+@given(op_lists())
+@settings(max_examples=200, deadline=None)
+def test_extract_reference_length_invariant(ops):
+    """|ref| = Σ match/mismatch/deletion lengths, regardless of shape."""
+    read = read_for(ops)
+    ref = extract_reference(read, ops)
+    want = sum(size for kind, size, _ in ops if kind in ("=", "X", "D"))
+    assert len(ref) == want
+
+
+@given(
+    st.text(alphabet=BASES, min_size=0, max_size=40),
+    st.text(alphabet=BASES, min_size=0, max_size=40),
+    st.integers(2, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_align_consumes_both_sequences(ref, alt, k):
+    """Whatever path align() takes (anchored, trimmed, degenerate), the
+    emitted operators must consume exactly |alt| read bases and |ref|
+    reference bases."""
+    try:
+        ops = align(ref, alt, k)
+    except ValueError:
+        return  # k-mer repeat / degenerate block: caller falls back
+    read_len = sum(s for kind, s, _ in ops if kind in ("=", "X", "I"))
+    ref_len = sum(s for kind, s, _ in ops if kind in ("=", "X", "D"))
+    assert read_len == len(alt)
+    assert ref_len == len(ref)
+
+
+@given(op_lists(), st.integers(2, 10))
+@settings(max_examples=150, deadline=None)
+def test_realign_read_is_safe_and_conservative(ops, k):
+    """realign_read never throws, never changes read length, and its
+    output parses back to a consistent operator list."""
+    read = read_for(ops)
+    cigar, md = make_cigar_md(ops)
+    new_cigar, new_md, _ = realign_read(read, cigar, md, k)
+    back = ops_from_cigar_md(new_cigar, new_md, read)
+    read_len = sum(s for kind, s, _ in back if kind in ("=", "X", "I", "S"))
+    assert read_len == len(read)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 100), st.integers(1, 30)), max_size=50),
+    st.integers(1, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_sweep_limit_depth_bound(intervals, cap):
+    """After capping, no position is covered by more than `cap` kept
+    intervals — the operator's defining invariant."""
+    rows = sorted((s, s + l) for s, l in intervals)
+    keep = sweep_limit([s for s, _ in rows], [e for _, e in rows], cap)
+    kept = [iv for iv, k in zip(rows, keep) if k]
+    for pos in {s for s, _ in rows}:
+        depth = sum(1 for s, e in kept if s <= pos < e)
+        assert depth <= cap
+
+
+def test_allele_domain():
+    assert set(GENOTYPE_ALLELES) == {"REF", "ALT", "OTHER_ALT", "NO_CALL"}
