@@ -211,3 +211,37 @@ def read_base_at(
         if p.kind == "del" and p.ref_pos <= rel < p.ref_pos + p.length:
             return None
     return None
+
+
+def observe_sites(
+    start: int,
+    sequence: str,
+    qual: str,
+    cigar: str,
+    md: str,
+    stride: int = 1,
+) -> list[tuple[int, str, bool, int]]:
+    """E2 (all-sites form) — walk the alignment once and emit one
+    observation per covered reference site on the ``stride`` lattice:
+    (ref_pos, ref_base, is_ref, phred_qual). Matches observe ref-model
+    semantics (Observer.scala:48-140): match → ref observation,
+    mismatch → non-ref (ref base from MD), deletion spans contribute no
+    base observation. ``stride=1`` is the reference's every-base gVCF
+    scoring; larger strides thin the lattice for testability."""
+    out: list[tuple[int, str, bool, int]] = []
+    for p in walk_alignment(cigar, md, sequence):
+        if p.kind not in ("match", "mismatch"):
+            continue
+        lo = start + p.ref_pos
+        hi = lo + p.length
+        first = ((lo + stride - 1) // stride) * stride
+        for pos in range(first, hi, stride):
+            off = p.read_off + (pos - lo)
+            if p.kind == "match":
+                ref_base = sequence[off].upper()
+                is_ref = True
+            else:
+                ref_base = p.ref_bases[pos - lo].upper()
+                is_ref = False
+            out.append((pos, ref_base, is_ref, ord(qual[off]) - 33))
+    return out

@@ -183,3 +183,74 @@ def biallelic_pipeline(
     variants = discover_variants(reads, phred_threshold, min_observations)
     obs = observe_variants(reads, variants, strategy=strategy)
     return genotype_sites(spark, obs)
+
+
+_ALLSITE_SCHEMA = (
+    "contig string, site_start long, site_end long, ref_allele string, "
+    "alt_allele string, sample_id string, qual int, mapq int, is_alt boolean"
+)
+
+
+def _observe_all_batches(stride: int):
+    from avocado_spark.functions.alignment import observe_sites
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    obs = observe_sites(
+                        int(r.start), r.sequence, r.qual, r.cigar, r.md, stride
+                    )
+                except (ValueError, IndexError):
+                    continue  # row-level fault isolation
+                for pos, ref_base, is_ref, q in obs:
+                    rows.append(
+                        (
+                            r.contig,
+                            pos,
+                            pos + 1,
+                            ref_base,
+                            None,  # symbolic non-ref allele (gVCF)
+                            r.sample_id,
+                            q,
+                            int(r.mapq),
+                            not is_ref,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "contig",
+                    "site_start",
+                    "site_end",
+                    "ref_allele",
+                    "alt_allele",
+                    "sample_id",
+                    "qual",
+                    "mapq",
+                    "is_alt",
+                ],
+            )
+
+    return run
+
+
+def gvcf_score_all_sites(
+    spark: SparkSession, reads: DataFrame, site_stride: int = 1
+) -> DataFrame:
+    """The reference's `-score_all_sites` gVCF mode
+    (avocado-cli/.../BiallelicGenotyper.scala:186-189, classification
+    change avocado-core/.../genotyping/BiallelicGenotyper.scala:223-275):
+    score EVERY covered reference site against the symbolic non-ref
+    model, not just discovered variants — hom-ref blocks included.
+
+    Shape: a per-read explode (no interval join — every site the read
+    covers is a site of interest) → broadcast score join → site roll-up.
+    ``site_stride`` thins the site lattice (1 = true every-base mode);
+    output volume is coverage × covered-positions / stride."""
+    cols = ["contig", "start", "sequence", "qual", "cigar", "md", "mapq", "sample_id"]
+    obs = reads.select(cols).mapInPandas(
+        _observe_all_batches(site_stride), schema=_ALLSITE_SCHEMA
+    )
+    return genotype_sites(spark, obs)

@@ -154,3 +154,35 @@ def ploidy_extremes(cnvs: DataFrame, base_ploidy: int = 2) -> DataFrame:
         F.least(F.min("copy_number"), F.lit(base_ploidy)).alias("min_ploidy"),
         F.greatest(F.max("copy_number"), F.lit(base_ploidy)).alias("max_ploidy"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed keys: the
+    first groupBy includes a random-ish salt so one hot key spreads over
+    ``n_salts`` reducers; the second combines the partials. Correct only
+    for decomposable aggregates (sum/count/min/max) — the caller passes
+    the PARTIAL expressions and this function applies the same names for
+    the combine (sum of partial sums, etc.).
+
+    (AQE skew handling covers joins; skewed groupBy keys still funnel
+    into one partition without salting. The salt is deterministic —
+    a hash of all columns — so results are reproducible.)
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % n_salts).alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    # combine phase: sum/min/max over partials keyed by name convention
+    def combine(name: str) -> Column:
+        if name.startswith("min_"):
+            return F.min(name).alias(name)
+        if name.startswith("max_"):
+            return F.max(name).alias(name)
+        return F.sum(name).cast(dict(partial.dtypes)[name]).alias(name)
+
+    return partial.groupBy(*keys).agg(*[combine(n) for n in aggs])

@@ -733,3 +733,71 @@ def ploidy_extremes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_nationkey") % 2 == 0, 3).otherwise(1).cast("int").alias("copy_number")
     )
     return ploidy_extremes(cnv, base_ploidy=2)
+
+
+_GVCF_ORACLE = f"""
+    WITH reads_hot AS ({READS_HOT_SQL}),
+    obs AS (
+      SELECT contig, hot AS site_start, sample_id, is_carrier, mapq,
+             1.0 - (1.0 - POW(10.0, -phred / 10.0)) * (1.0 - POW(10.0, -mapq / 10.0)) AS e
+      FROM reads_hot WHERE covered
+    ),
+    scored AS (
+      SELECT contig, site_start, sample_id, is_carrier, mapq,
+             CASE WHEN is_carrier THEN LN(2.0 * e) - LN(2.0)
+                  ELSE LN(2.0 * (1.0 - e)) - LN(2.0) END AS ll0,
+             CASE WHEN is_carrier THEN LN(e + (1.0 - e)) - LN(2.0)
+                  ELSE LN((1.0 - e) + e) - LN(2.0) END AS ll1,
+             CASE WHEN is_carrier THEN LN(2.0 * (1.0 - e)) - LN(2.0)
+                  ELSE LN(2.0 * e) - LN(2.0) END AS ll2
+      FROM obs
+    ),
+    rolled AS (
+      SELECT contig, site_start, sample_id,
+             SUM(ll0) AS l0, SUM(ll1) AS l1, SUM(ll2) AS l2,
+             COUNT(*) AS read_depth,
+             CAST(SUM(CASE WHEN is_carrier THEN 1 ELSE 0 END) AS INT) AS alt_read_depth,
+             CAST(SUM(CASE WHEN is_carrier THEN 0 ELSE 1 END) AS INT) AS ref_read_depth,
+             SUM(CAST(mapq AS BIGINT) * mapq) AS sum_mapq_sq
+      FROM scored
+      GROUP BY contig, site_start, sample_id
+    )
+    SELECT contig, site_start, 'A' AS ref_allele, sample_id,
+           CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                ELSE 2 END AS gt_state,
+           ROUND((10.0 / LN(10.0)) *
+                 (GREATEST(l0, l1, l2) -
+                  CASE WHEN l0 >= l1 AND l0 >= l2 THEN GREATEST(l1, l2)
+                       WHEN l1 >= l0 AND l1 >= l2 THEN GREATEST(l0, l2)
+                       ELSE GREATEST(l0, l1) END), 5) AS gq,
+           CAST(read_depth AS INT) AS read_depth,
+           ref_read_depth, alt_read_depth,
+           ROUND(SQRT(CAST(sum_mapq_sq AS DOUBLE) / read_depth), 6) AS rms_mapq
+    FROM rolled
+"""
+
+
+@query("gvcf_all_sites", _GVCF_ORACLE)
+def gvcf_all_sites_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`-score_all_sites` gVCF mode — every covered site on the 97
+    lattice is scored against the symbolic non-ref model, INCLUDING
+    hom-ref reference blocks (no discovery filter): the per-read E2
+    explode feeds the same score join + roll-up as the variant path.
+    Oracle recomputes everything from the generation rule."""
+    from avocado_spark.operators.genotyping import gvcf_score_all_sites
+
+    reads = tables.derived(spark, sf_dir, "reads_hot")
+    out = gvcf_score_all_sites(spark, reads, site_stride=97)
+    return out.select(
+        "contig",
+        "site_start",
+        "ref_allele",
+        "sample_id",
+        "gt_state",
+        F.round("gq", 5).alias("gq"),
+        "read_depth",
+        "ref_read_depth",
+        "alt_read_depth",
+        F.round("rms_mapq", 6).alias("rms_mapq"),
+    )

@@ -123,3 +123,61 @@ def stream_running_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch shadow of the applyInPandasWithState running-total
     operator (per-user cumulative cent-sum)."""
     return EV.running_total_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_props_parse",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata path: parse the JSON props column with
+    a declared schema (from_json stays JVM-side/codegen) and aggregate
+    an extracted field — the everyday training-pipeline shape the
+    reference never needed but the engine inherits from Spark."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "events_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a 5-value key (maximal skew:
+    every key is hot). Result must equal the plain groupBy — the salt
+    is a pure execution-shape change."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.relational import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count("*"),
+            "sum_value_c": F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint"),
+            "min_user": F.min("user_id"),
+            "max_user": F.max("user_id"),
+        },
+    )
