@@ -801,3 +801,87 @@ def gvcf_all_sites_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alt_read_depth",
         F.round("rms_mapq", 6).alias("rms_mapq"),
     )
+
+
+# --------------------------------------------------------------------------
+# J5 gVCF square-off — oracle-level differential
+# --------------------------------------------------------------------------
+
+# genotype cohort with reference-model likelihood columns: nr_ll = the
+# nonReferenceLikelihoods that get EXCISED into genotypeLikelihoods when
+# a sample lacks an exact scored call at the variant
+_NR_CALLS_SQL = """
+  SELECT contig, start, "end", ref_allele, alt_allele, sample_id, gt_state,
+         ll0, ll1, ll2,
+         ll0 - 0.05 AS nr_ll0, ll1 - 0.05 AS nr_ll1, ll2 - 0.05 AS nr_ll2
+  FROM calls_rel
+"""
+
+_SQUARE_OFF_ORACLE = f"""
+    WITH calls_rel AS ({tables.CALLS_REL_SQL}),
+    variants_rel AS ({tables.VARIANTS_REL_SQL}),
+    g AS ({_NR_CALLS_SQL}),
+    pairs AS (
+      SELECT v.contig, v.start, v."end", v.ref_allele, v.alt_allele,
+             g.sample_id,
+             (v.start = g.start AND v.ref_allele = g.ref_allele
+              AND g.alt_allele IS NOT NULL AND v.alt_allele = g.alt_allele) AS exact,
+             g.gt_state, g.ll0, g.ll1, g.ll2, g.nr_ll0, g.nr_ll1, g.nr_ll2
+      FROM variants_rel v JOIN g
+        ON v.contig = g.contig AND v.start < g."end" AND v."end" > g.start
+    ),
+    scored AS (
+      SELECT contig, start, "end", ref_allele, alt_allele, sample_id, exact,
+             CASE WHEN exact THEN gt_state ELSE 0 END AS pick_state,
+             CASE WHEN exact THEN ll0 ELSE nr_ll0 END AS pll0,
+             CASE WHEN exact THEN ll1 ELSE nr_ll1 END AS pll1,
+             CASE WHEN exact THEN ll2 ELSE nr_ll2 END AS pll2
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY contig, start, "end", ref_allele, alt_allele, sample_id
+               ORDER BY exact DESC, pll0 DESC) AS rn,
+             MAX(CASE WHEN exact THEN 1 ELSE 0 END) OVER (
+               PARTITION BY contig, start, "end", ref_allele, alt_allele, sample_id
+             ) AS any_exact
+      FROM scored
+    )
+    SELECT contig, start, "end", ref_allele, alt_allele, sample_id,
+           pick_state AS gt_state,
+           ROUND(pll0, 9) AS ll0, ROUND(pll1, 9) AS ll1, ROUND(pll2, 9) AS ll2,
+           any_exact = 1 AS had_exact
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("gvcf_square_off", _SQUARE_OFF_ORACLE)
+def gvcf_square_off_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — square-off at the operator level: per (variant, sample),
+    the exact-match scored genotype orElse likelihoods excised from the
+    overlapping reference model (SquareOffReferenceModel.scala:182-245).
+    Ties on (exact, ll0) imply identical picks (ll triple is a bijection
+    of gt_state in calls_rel), so the pick is deterministic."""
+    from avocado_spark.operators.squareoff import square_off
+
+    calls = tables.derived(spark, sf_dir, "calls_rel")
+    g = calls.select(
+        "contig", "start", "end", "ref_allele", "alt_allele", "sample_id",
+        "gt_state", "ll0", "ll1", "ll2",
+        (F.col("ll0") - 0.05).alias("nr_ll0"),
+        (F.col("ll1") - 0.05).alias("nr_ll1"),
+        (F.col("ll2") - 0.05).alias("nr_ll2"),
+    )
+    v = tables.derived(spark, sf_dir, "variants_rel").select(
+        "contig", "start", "end", "ref_allele", "alt_allele"
+    )
+    out = square_off(v, g, strategy="binned")
+    return out.select(
+        "contig", "start", "end", "ref_allele", "alt_allele", "sample_id",
+        "gt_state",
+        F.round("ll0", 9).alias("ll0"),
+        F.round("ll1", 9).alias("ll1"),
+        F.round("ll2", 9).alias("ll2"),
+        "had_exact",
+    )
