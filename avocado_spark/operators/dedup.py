@@ -215,27 +215,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (left-to-right, oracle-stable)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(v: Column) -> Column:
+    """Euclidean norm via the same sequential fold as ``dot``."""
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, v_: s + v_))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity over array<double> via zip_with/aggregate —
-    stays in codegen, sequential accumulation (oracle-stable)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    """Cosine similarity over array<double> — JVM higher-order fns,
+    sequential accumulation (oracle-stable). For PAIRWISE workloads
+    prefer hoisting ``norm`` to a per-row column before the join
+    (numerically identical, ~3× less per-pair work — norms are
+    recomputed per pair here)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed norms (per-row columns hoisted above a
+    join) — same value as ``cosine`` to the last ulp."""
+    return dot(a, b) / (na * nb)
 
 
 def embedding_dup_pairs(
     embeddings: DataFrame, block_col: str = "label", threshold: float = 0.9
 ) -> DataFrame:
     """Embedding-cosine near-dup detection, blocked on a coarse key."""
-    e = embeddings.select(
-        "vec_id", block_col, F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # hoist the norm to a per-row column: the O(n²/blocks) pair stage
+    # then pays one dot product per pair instead of three folds
+    e = embeddings.select("vec_id", block_col, v).withColumn("nrm", norm(F.col("v")))
+    a = e.select(
+        F.col(block_col),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
     )
-    a = e.select(F.col(block_col), F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"))
-    b = e.select(F.col(block_col), F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"))
+    b = e.select(
+        F.col(block_col),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
+    )
     pairs = a.join(b, [block_col]).where(F.col("a_id") < F.col("b_id"))
     return (
-        pairs.withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+        pairs.withColumn(
+            "cos",
+            cosine_with_norms(F.col("a_v"), F.col("b_v"), F.col("a_n"), F.col("b_n")),
+        )
         .where(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )

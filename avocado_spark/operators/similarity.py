@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from avocado_spark.operators.dedup import cosine
+from avocado_spark.operators.dedup import cosine_with_norms, norm
 
 N_PLANES = 8
 
@@ -65,11 +65,17 @@ def brute_force_topk(
     engines to the last ulp."""
     base = embeddings.select(
         F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v")
-    )
-    q = queries.select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v"))
+    ).withColumn("n_n", norm(F.col("n_v")))
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v")
+    ).withColumn("q_n", norm(F.col("q_v")))
     pairs = q.crossJoin(base).where(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
-        "q_id", "n_id", F.round(cosine(F.col("q_v"), F.col("n_v")), 9).alias("cos")
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(F.col("q_v"), F.col("n_v"), F.col("q_n"), F.col("n_n")), 9
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -80,15 +86,24 @@ def srp_lsh_topk(
 ) -> DataFrame:
     """Bucketed ANN: candidates share the query's SRP bucket; exact
     cosine re-rank inside the bucket."""
-    base = embeddings.select(
-        F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v")
-    ).withColumn("bucket", srp_bucket(F.col("n_v"), n_planes))
-    q = embeddings.join(queries.select("vec_id"), "vec_id").select(
-        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v")
-    ).withColumn("bucket", srp_bucket(F.col("q_v"), n_planes))
+    base = (
+        embeddings.select(F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v"))
+        .withColumn("bucket", srp_bucket(F.col("n_v"), n_planes))
+        .withColumn("n_n", norm(F.col("n_v")))
+    )
+    q = (
+        embeddings.join(queries.select("vec_id"), "vec_id")
+        .select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v"))
+        .withColumn("bucket", srp_bucket(F.col("q_v"), n_planes))
+        .withColumn("q_n", norm(F.col("q_v")))
+    )
     pairs = q.join(base, "bucket").where(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
-        "q_id", "n_id", F.round(cosine(F.col("q_v"), F.col("n_v")), 9).alias("cos")
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(F.col("q_v"), F.col("n_v"), F.col("q_n"), F.col("n_n")), 9
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -122,7 +137,9 @@ def ivf_topk(
             F.col("vec_id").alias(id_out),
             F.col("v").alias(v_out),
             "c_id",
-            cosine(F.col("v"), F.col("c_v")).alias("c_cos"),
+            cosine_with_norms(
+                F.col("v"), F.col("c_v"), norm(F.col("v")), norm(F.col("c_v"))
+            ).alias("c_cos"),
         )
         w = Window.partitionBy(id_out).orderBy(F.col("c_cos").desc(), F.col("c_id"))
         return (
@@ -147,7 +164,14 @@ def ivf_topk(
     )
     pairs = q.join(base, "c_id").where(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
-        "q_id", "n_id", F.round(cosine(F.col("q_v"), F.col("n_v")), 9).alias("cos")
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(
+                F.col("q_v"), F.col("n_v"), norm(F.col("q_v")), norm(F.col("n_v"))
+            ),
+            9,
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
