@@ -141,10 +141,17 @@ def minhash_lsh_pairs(
     ).join(
         sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id"
     )
+    # size-ratio prefilter (see ngram_jaccard_pairs): identical results,
+    # skips the array_intersect for most false-positive candidates
+    ratio_ok = (
+        F.least(F.size("a_sh"), F.size("b_sh")).cast("double")
+        >= jaccard_threshold * F.greatest(F.size("a_sh"), F.size("b_sh"))
+    )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
     return (
-        verified.withColumn("jaccard", inter.cast("double") / union)
+        verified.where(ratio_ok)
+        .withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -205,7 +212,14 @@ def ngram_jaccard_pairs(
     b = sh.select(
         *block_cols, F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
     )
-    pairs = a.join(b, block_cols).where(F.col("a_id") < F.col("b_id"))
+    # size-ratio prefilter: J(a,b) >= t implies min|.| >= t * max|.|,
+    # a cheap scalar conjunct that prunes most pairs before the O(n)
+    # array_intersect — results provably identical
+    ratio_ok = (
+        F.least(F.size("a_sh"), F.size("b_sh")).cast("double")
+        >= threshold * F.greatest(F.size("a_sh"), F.size("b_sh"))
+    )
+    pairs = a.join(b, block_cols).where((F.col("a_id") < F.col("b_id")) & ratio_ok)
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
     return (

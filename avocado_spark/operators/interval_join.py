@@ -154,12 +154,11 @@ def interval_join_group_right(
     j = interval_join(left, right, strategy=strategy, bin_width=bin_width)
     lcols = [c for c in j.columns if c.startswith("l_")]
     rcols = [c for c in j.columns if c.startswith("r_")]
-    return (
-        j.groupBy(f"r_{right_key}")
-        .agg(
-            *[F.first(c).alias(c) for c in rcols if c != f"r_{right_key}"],
-            F.collect_list(F.struct(*lcols)).alias("matches"),
-        )
+    # group on ALL right columns (functionally dependent on the key):
+    # one collect_list instead of a first() buffer per carried column —
+    # halves the ObjectHashAggregate state
+    return j.groupBy(*rcols).agg(
+        F.collect_list(F.struct(*lcols)).alias("matches")
     )
 
 

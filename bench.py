@@ -51,6 +51,17 @@ def main() -> None:
         "stream_running_total",
     ]
     registry = get_queries()
+    # warm the JVM / codegen / parquet-footer caches so the first timed
+    # query doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "part"):
+        try:
+            from avocado_spark.session import load_table
+
+            load_table(spark, sf_dir, t).limit(1).collect()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:
