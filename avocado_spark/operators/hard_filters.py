@@ -58,41 +58,88 @@ def emit_genotype_filter(
 
 @dataclass(frozen=True)
 class HardFilterRules:
-    """Defaults mirror the reference CLI defaults
-    (avocado-cli/.../BiallelicGenotyper.scala hard-filter args;
-    HardFilterGenotypes.scala:259-343)."""
+    """The reference's full configurable rule set with its CLI defaults
+    (avocado-cli/.../BiallelicGenotyper.scala:117-201; builders
+    HardFilterGenotypes.scala:259-343). A value <= 0 disables the rule,
+    exactly as Option(arg).filter(_ > 0) does in the reference."""
 
-    min_quality_by_depth: float = 2.0
-    min_rms_mapq_snp: float = 30.0
-    min_rms_mapq_indel: float = 20.0
-    min_depth: int = 10
-    max_depth: int = 200
-    min_het_af: float = 0.2
-    max_het_af: float = 0.8
+    min_het_snp_qd: float = 2.0
+    min_hom_snp_qd: float = 1.0
+    min_het_indel_qd: float = 2.0
+    min_hom_indel_qd: float = 1.0
+    min_snp_mq: float = 30.0
+    min_indel_mq: float = -1.0
+    max_snp_fs: float = -1.0
+    max_indel_fs: float = -1.0
+    min_snp_depth: int = 10
+    max_snp_depth: int = 200
+    min_indel_depth: int = 10
+    max_indel_depth: int = 200
+    min_het_snp_af: float = 0.333
+    max_het_snp_af: float = 0.666
+    min_hom_snp_af: float = 0.666
+    min_het_indel_af: float = 0.333
+    max_het_indel_af: float = 0.666
+    min_hom_indel_af: float = 0.666
 
 
-def hard_filter_annotate(genotypes: DataFrame, rules: HardFilterRules = HardFilterRules()) -> DataFrame:
+def hard_filter_annotate(
+    genotypes: DataFrame,
+    rules: HardFilterRules = HardFilterRules(),
+    fs_col: str | None = None,
+) -> DataFrame:
     """F3 — hard filters ANNOTATE (filters_failed list), never drop
     (HardFilterGenotypes.scala:176-343,571-660). SNP vs indel split by
-    allele lengths (:616-619). Failure messages are stable codes so the
-    output is deterministic and VCF-headerable."""
+    allele lengths (:616-619); per class the reference's nine
+    predicates with its message codes. Semantics ported exactly:
+
+      * "hom" = all alleles ALT (gt_state 2); every het-branch rule
+        applies to NON-hom calls (hom-ref/het/no-call), :393-412;
+      * min-AF fails on af <= threshold (:517-534), max-AF on
+        af > threshold and only for non-hom (:543-563);
+      * QD = genotype_quality / read_depth, het/hom split (:393-412);
+      * null inputs never fail a rule (Option.flatMap skip).
+
+    ``fs_col`` names the Phred strand-bias column for the FS rules
+    (disabled by default, as in the reference CLI)."""
     is_snp = (F.length("ref_allele") == 1) & (F.length("alt_allele") == 1)
     qd = F.col("genotype_quality") / F.col("read_depth")
     af = F.col("alt_read_depth") / F.col("read_depth")
-    het = F.col("gt_state") == 1
+    dp = F.col("read_depth")
+    hom = F.col("gt_state") == 2
 
-    checks = [
-        F.when(qd < rules.min_quality_by_depth, F.lit("QD")),
-        F.when(
-            is_snp & (F.col("rms_mapq") < rules.min_rms_mapq_snp)
-            | (~is_snp & (F.col("rms_mapq") < rules.min_rms_mapq_indel)),
-            F.lit("MQ"),
-        ),
-        F.when(F.col("read_depth") < rules.min_depth, F.lit("MINDP")),
-        F.when(F.col("read_depth") > rules.max_depth, F.lit("MAXDP")),
-        F.when(het & (af < rules.min_het_af), F.lit("HETAFLO")),
-        F.when(het & (af > rules.max_het_af), F.lit("HETAFHI")),
-    ]
+    def rule(enabled: float, cond, msg: str):
+        if enabled is None or enabled <= 0:
+            return None
+        return F.when(cond, F.lit(msg))
+
+    def klass(snp: bool):
+        r = rules
+        side = is_snp if snp else ~is_snp
+        tag = "SNP" if snp else "INDEL"
+        qd_het = r.min_het_snp_qd if snp else r.min_het_indel_qd
+        qd_hom = r.min_hom_snp_qd if snp else r.min_hom_indel_qd
+        mq = r.min_snp_mq if snp else r.min_indel_mq
+        fs = r.max_snp_fs if snp else r.max_indel_fs
+        min_dp = r.min_snp_depth if snp else r.min_indel_depth
+        max_dp = r.max_snp_depth if snp else r.max_indel_depth
+        af_het_min = r.min_het_snp_af if snp else r.min_het_indel_af
+        af_het_max = r.max_het_snp_af if snp else r.max_het_indel_af
+        af_hom_min = r.min_hom_snp_af if snp else r.min_hom_indel_af
+        out = [
+            rule(qd_het, side & ~hom & (qd < qd_het), f"HET{tag}QD"),
+            rule(qd_hom, side & hom & (qd < qd_hom), f"HOM{tag}QD"),
+            rule(mq, side & (F.col("rms_mapq") < mq), f"{tag}MQ"),
+            rule(fs, side & (F.col(fs_col) > fs), f"{tag}FS") if fs_col else None,
+            rule(float(min_dp), side & (dp < min_dp), f"{tag}MINDP"),
+            rule(float(max_dp), side & (dp > max_dp), f"{tag}MAXDP"),
+            rule(af_het_min, side & ~hom & (af <= af_het_min), f"HET{tag}MINAF"),
+            rule(af_het_max, side & ~hom & (af > af_het_max), f"HET{tag}MAXAF"),
+            rule(af_hom_min, side & hom & (af <= af_hom_min), f"HOM{tag}MINAF"),
+        ]
+        return [c for c in out if c is not None]
+
+    checks = klass(True) + klass(False)
     failed = F.array_compact(F.array(*checks))
     return genotypes.withColumn("filters_failed", failed).withColumn(
         "filters_passed", F.size("filters_failed") == 0

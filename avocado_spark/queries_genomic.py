@@ -300,19 +300,34 @@ def emit_genotype_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN call_id % 7 = 0 THEN concat(ref_allele, 'C') ELSE ref_allele END AS refx
       FROM calls_rel
     ),
+    flagged AS (
+      SELECT *,
+             length(refx) = 1 AND length(alt_allele) = 1 AS is_snp,
+             gt_state = 2 AS hom,
+             CAST(genotype_quality AS DOUBLE) / read_depth AS qd,
+             CAST(alt_read_depth AS DOUBLE) / read_depth AS af
+      FROM g
+    ),
     checked AS (
       SELECT call_id,
              list_filter([
-               CASE WHEN CAST(genotype_quality AS DOUBLE) / read_depth < 2.0 THEN 'QD' END,
-               CASE WHEN (length(refx) = 1 AND length(alt_allele) = 1 AND rms_mapq < 30.0)
-                      OR (NOT (length(refx) = 1 AND length(alt_allele) = 1) AND rms_mapq < 20.0)
-                    THEN 'MQ' END,
-               CASE WHEN read_depth < 10 THEN 'MINDP' END,
-               CASE WHEN read_depth > 200 THEN 'MAXDP' END,
-               CASE WHEN gt_state = 1 AND CAST(alt_read_depth AS DOUBLE) / read_depth < 0.2 THEN 'HETAFLO' END,
-               CASE WHEN gt_state = 1 AND CAST(alt_read_depth AS DOUBLE) / read_depth > 0.8 THEN 'HETAFHI' END
+               CASE WHEN is_snp AND NOT hom AND qd < 2.0 THEN 'HETSNPQD' END,
+               CASE WHEN is_snp AND hom AND qd < 1.0 THEN 'HOMSNPQD' END,
+               CASE WHEN is_snp AND rms_mapq < 30.0 THEN 'SNPMQ' END,
+               CASE WHEN is_snp AND read_depth < 10 THEN 'SNPMINDP' END,
+               CASE WHEN is_snp AND read_depth > 200 THEN 'SNPMAXDP' END,
+               CASE WHEN is_snp AND NOT hom AND af <= 0.333 THEN 'HETSNPMINAF' END,
+               CASE WHEN is_snp AND NOT hom AND af > 0.666 THEN 'HETSNPMAXAF' END,
+               CASE WHEN is_snp AND hom AND af <= 0.666 THEN 'HOMSNPMINAF' END,
+               CASE WHEN NOT is_snp AND NOT hom AND qd < 2.0 THEN 'HETINDELQD' END,
+               CASE WHEN NOT is_snp AND hom AND qd < 1.0 THEN 'HOMINDELQD' END,
+               CASE WHEN NOT is_snp AND read_depth < 10 THEN 'INDELMINDP' END,
+               CASE WHEN NOT is_snp AND read_depth > 200 THEN 'INDELMAXDP' END,
+               CASE WHEN NOT is_snp AND NOT hom AND af <= 0.333 THEN 'HETINDELMINAF' END,
+               CASE WHEN NOT is_snp AND NOT hom AND af > 0.666 THEN 'HETINDELMAXAF' END,
+               CASE WHEN NOT is_snp AND hom AND af <= 0.666 THEN 'HOMINDELMINAF' END
              ], x -> x IS NOT NULL) AS failed
-      FROM g
+      FROM flagged
     )
     SELECT call_id,
            COALESCE(array_to_string(list_sort(failed), ','), '') AS filters_failed_str,
