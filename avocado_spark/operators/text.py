@@ -104,3 +104,28 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", doc_fingerprint(tokens(F.col(text_col))).alias("fp"))
+
+
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: alphanumeric runs and single
+    punctuation marks as separate tokens (the GPT-2-style pre-token
+    split, minus byte fallback) — `regexp_extract_all` stays JVM-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting under the BPE-ish regex + punctuation ratio (the
+    length/punct quality-gate signals)."""
+    t = bpe_ish_tokens(F.col(text_col))
+    is_punct = lambda x: ~x.rlike("^[A-Za-z0-9]")  # noqa: E731
+    n = F.size(t)
+    n_punct = F.size(F.filter(t, is_punct))
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        n_punct.alias("n_punct_tokens"),
+        F.round(n_punct.cast("double") / n, 8).alias("punct_ratio"),
+    )

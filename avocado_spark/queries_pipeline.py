@@ -458,3 +458,23 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media(load_table(spark, sf_dir, "documents"))
     return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_idx")
+
+
+@query(
+    "token_count_bpe",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))) AS n_punct_tokens,
+           ROUND(CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))) AS DOUBLE)
+                 / len(toks), 8) AS punct_ratio
+    FROM t
+    """,
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization + punctuation-ratio quality signal."""
+    return TX.token_count_bpe(load_table(spark, sf_dir, "documents"))
