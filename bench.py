@@ -68,11 +68,13 @@ def main() -> None:
         fn = registry.get(name)
         if fn is None:
             continue
-        # warm the parquet footers/JVM once per query set; time the action
+        # time the full build+action; isolate per-query cache state so
+        # one query's persisted intermediates don't skew the next
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
