@@ -75,3 +75,9 @@ def test_streaming_dedup_and_running_total(spark, events_stream):
         for r in EV.running_total_batch(load_table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark, events_stream):
+    batch = EV.sliding_agg(load_table(spark, SF_SMOKE, "events"))
+    out = _run_stream(spark, EV.sliding_agg(events_stream), "t_sliding", "complete")
+    assert _rows(out) == _rows(batch)
