@@ -144,3 +144,34 @@ def hard_filter_annotate(
     return genotypes.withColumn("filters_failed", failed).withColumn(
         "filters_passed", F.size("filters_failed") == 0
     ).withColumn("filters_applied", F.lit(True))
+
+
+def filter_header_lines(rules: HardFilterRules = HardFilterRules()) -> list[str]:
+    """The VCF ##FILTER header lines for every ENABLED hard-filter rule
+    (HardFilterGenotypes.scala:186-253) — one line per message code the
+    annotate step can emit, so a VCF writer downstream can declare them."""
+    def line(code: str, desc: str) -> str:
+        return f'##FILTER=<ID={code},Description="{desc}">'
+
+    r = rules
+    specs = [
+        (r.min_het_snp_qd, "HETSNPQD", f"Quality by depth was below {r.min_het_snp_qd} for a heterozygous SNP."),
+        (r.min_hom_snp_qd, "HOMSNPQD", f"Quality by depth was below {r.min_hom_snp_qd} for a homozygous SNP."),
+        (r.min_het_indel_qd, "HETINDELQD", f"Quality by depth was below {r.min_het_indel_qd} for a heterozygous INDEL."),
+        (r.min_hom_indel_qd, "HOMINDELQD", f"Quality by depth was below {r.min_hom_indel_qd} for a homozygous INDEL."),
+        (r.max_snp_fs, "SNPFS", f"Phred Fisher scored strand bias was above {r.max_snp_fs} for a SNP."),
+        (r.max_indel_fs, "INDELFS", f"Phred Fisher scored strand bias was above {r.max_indel_fs} for a INDEL."),
+        (r.min_snp_mq, "SNPMQ", f"RMS mapping quality was below {r.min_snp_mq} for a SNP."),
+        (r.min_indel_mq, "INDELMQ", f"RMS mapping quality was below {r.min_indel_mq} for a INDEL."),
+        (float(r.min_snp_depth), "SNPMINDP", f"Read depth was below {r.min_snp_depth} for a SNP."),
+        (float(r.max_snp_depth), "SNPMAXDP", f"Read depth was above {r.max_snp_depth} for a SNP."),
+        (float(r.min_indel_depth), "INDELMINDP", f"Read depth was below {r.min_indel_depth} for a INDEL."),
+        (float(r.max_indel_depth), "INDELMAXDP", f"Read depth was above {r.max_indel_depth} for a INDEL."),
+        (r.min_het_snp_af, "HETSNPMINAF", f"Allelic fraction was below {r.min_het_snp_af} for a het SNP."),
+        (r.max_het_snp_af, "HETSNPMAXAF", f"Allelic fraction was above {r.max_het_snp_af} for a het SNP."),
+        (r.min_hom_snp_af, "HOMSNPMINAF", f"Allelic fraction was below {r.min_hom_snp_af} for a hom SNP."),
+        (r.min_het_indel_af, "HETINDELMINAF", f"Allelic fraction was below {r.min_het_indel_af} for a het INDEL."),
+        (r.max_het_indel_af, "HETINDELMAXAF", f"Allelic fraction was above {r.max_het_indel_af} for a het INDEL."),
+        (r.min_hom_indel_af, "HOMINDELMINAF", f"Allelic fraction was below {r.min_hom_indel_af} for a hom INDEL."),
+    ]
+    return [line(code, desc) for v, code, desc in specs if v is not None and v > 0]

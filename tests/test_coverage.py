@@ -36,3 +36,24 @@ def test_sweep_dropped_reads_free_no_capacity():
     # the dropped read at 10 must NOT occupy capacity later
     keep = sweep_limit([0, 0, 10, 12], [30, 30, 40, 14], 2)
     assert keep == [True, True, False, False]
+
+
+def test_filter_header_lines_match_enabled_rules():
+    from avocado_spark.operators.hard_filters import (
+        HardFilterRules,
+        filter_header_lines,
+    )
+
+    lines = filter_header_lines()
+    codes = {ln.split("ID=")[1].split(",")[0] for ln in lines}
+    # defaults: FS and indel-MQ rules disabled, all others on
+    assert "SNPFS" not in codes and "INDELMQ" not in codes
+    assert {"HETSNPQD", "HOMSNPQD", "SNPMQ", "SNPMINDP", "SNPMAXDP",
+            "HETSNPMINAF", "HETSNPMAXAF", "HOMSNPMINAF",
+            "HETINDELQD", "HOMINDELQD", "INDELMINDP", "INDELMAXDP",
+            "HETINDELMINAF", "HETINDELMAXAF", "HOMINDELMINAF"} <= codes
+    assert all(ln.startswith("##FILTER=<ID=") for ln in lines)
+
+    # disabling a rule removes its header line
+    few = filter_header_lines(HardFilterRules(min_snp_mq=-1.0))
+    assert "SNPMQ" not in {ln.split("ID=")[1].split(",")[0] for ln in few}
