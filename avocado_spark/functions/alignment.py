@@ -213,6 +213,93 @@ def read_base_at(
     return None
 
 
+def site_events(
+    start: int,
+    sequence: str,
+    qual: str,
+    cigar: str,
+    md: str,
+) -> tuple[list[list], int]:
+    """E2/E3 — ONE walk_alignment pass per read, emitting every site
+    the read attests (BiallelicGenotyper.scala:227-336, Observer.scala:83-135):
+
+      [pos, base, ref_base, matched, qual, ins_bases, ins_qual, del_len]
+
+    * one row per aligned base (match/mismatch), with the read base,
+      the reference base (from MD on mismatch) and the phred qual;
+    * an insertion is attached to its left-anchor row (``ins_bases`` =
+      inserted read bases, ``ins_qual`` = floor-mean of their quals) —
+      the reference keys insertions to the anchor with an
+      empty→bases allele (Observer.scala:96-110);
+    * a deletion is attached to its left-anchor row (``del_len``) AND
+      emits one row per deleted reference position (base=None,
+      ref_base from MD, qual = anchor qual) so gVCF mode scores the
+      spanned sites as non-reference (Observer.scala:111-135).
+
+    Returns (rows, aligned_end). Downstream classification against
+    variant alleles is pure relational work (an equi-join on pos) —
+    the read's CIGAR is parsed exactly once no matter how many
+    variants it covers.
+    """
+    pieces = walk_alignment(cigar, md, sequence)
+    rows: list[list] = []
+    index: dict[int, int] = {}  # ref pos -> row index (aligned bases only)
+    ref_span = 0
+    for p in pieces:
+        if p.kind in ("match", "mismatch"):
+            ref_span = max(ref_span, p.ref_pos + p.length)
+            for i in range(p.length):
+                pos = start + p.ref_pos + i
+                off = p.read_off + i
+                b = sequence[off].upper()
+                index[pos] = len(rows)
+                rows.append(
+                    [
+                        pos,
+                        b,
+                        b if p.kind == "match" else p.ref_bases.upper(),
+                        p.kind == "match",
+                        ord(qual[off]) - 33,
+                        None,
+                        None,
+                        None,
+                    ]
+                )
+        elif p.kind == "ins":
+            if p.read_off == 0:
+                continue  # no anchor base before the insertion
+            anchor = start + p.ref_pos - 1
+            i = index.get(anchor)
+            if i is not None:
+                qs = [ord(c) - 33 for c in qual[p.read_off : p.read_off + p.length]]
+                rows[i][5] = p.read_bases.upper()
+                rows[i][6] = sum(qs) // len(qs)
+        elif p.kind == "del":
+            ref_span = max(ref_span, p.ref_pos + p.length)
+            if p.read_off == 0:
+                continue
+            anchor = start + p.ref_pos - 1
+            i = index.get(anchor)
+            if i is None:
+                continue
+            rows[i][7] = p.length
+            anchor_q = rows[i][4]
+            for d in range(p.length):
+                rows.append(
+                    [
+                        start + p.ref_pos + d,
+                        None,
+                        p.ref_bases[d].upper(),
+                        False,
+                        anchor_q,
+                        None,
+                        None,
+                        None,
+                    ]
+                )
+    return rows, start + ref_span
+
+
 def observe_sites(
     start: int,
     sequence: str,

@@ -118,13 +118,27 @@ DERIVED_SQL = {
 }
 
 
-def register_raw_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver parquet tables as temp views (S1-S4)."""
+# applicationId → sf_dir currently backing the temp views. Registration
+# re-reads 10 parquet footers; doing it once per (session, sf_dir
+# switch) — not once per query — keeps driver-gate and bench timings
+# honest (the r01 bench charged ~7s of view re-registration overhead
+# across queries). Views are session-global, so a *different* sf_dir
+# always re-registers.
+_REGISTERED: dict[str, str] = {}
+
+
+def register_raw_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register the driver parquet tables as temp views (S1-S4), once
+    per (session, sf_dir)."""
+    app = spark.sparkContext.applicationId
+    if _REGISTERED.get(app) == sf_dir and not force:
+        return
     for name in RAW_TABLES:
         try:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         except Exception:
             pass  # some sf dirs may lack optional tables
+    _REGISTERED[app] = sf_dir
 
 
 def derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -108,7 +108,7 @@ def test_genotype_likelihood_analytic(spark):
     expected = [
         6 * (math.log((2 - k) * eps + k * (1 - eps)) - math.log(2)) for k in range(3)
     ]
-    got = [g["sum_ll_g0"], g["sum_ll_g1"], g["sum_ll_g2"]]
+    got = [g["ll0"], g["ll1"], g["ll2"]]
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, expected))
     assert g["gt_state"] == 2  # hom alt
     assert g["alt_read_depth"] == 6 and g["ref_read_depth"] == 0
