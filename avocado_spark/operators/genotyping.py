@@ -341,19 +341,19 @@ def genotype_sites(
     is_alt, is_other = F.col("is_alt"), F.col("is_other")
     is_ref = ~is_alt & ~is_other
     # flat per-state contribution columns (null beyond this row's ploidy
-    # — element_at past the array end is null, and sum() skips nulls;
+    # — try_element_at past the array end is null (ANSI-safe), sum() skips nulls;
     # ploidy is constant within a site so the null pattern is uniform)
     ll_c = [
         F.when(is_other, F.lit(None).cast("double")).otherwise(
-            F.when(is_alt, F.element_at("ll_alt", g + 1)).otherwise(
-                F.element_at("ll_ref", g + 1)
+            F.when(is_alt, F.try_element_at("ll_alt", F.lit(g + 1))).otherwise(
+                F.try_element_at("ll_ref", F.lit(g + 1))
             )
         )
         for g in range(hi + 1)
     ]
     nr_c = [
-        F.when(is_alt | is_other, F.element_at("ll_alt", g + 1)).otherwise(
-            F.element_at("ll_ref", g + 1)
+        F.when(is_alt | is_other, F.try_element_at("ll_alt", F.lit(g + 1))).otherwise(
+            F.try_element_at("ll_ref", F.lit(g + 1))
         )
         for g in range(hi + 1)
     ]

@@ -900,3 +900,299 @@ def gvcf_square_off_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ll2", 9).alias("ll2"),
         "had_exact",
     )
+
+
+# ==========================================================================
+# Round 2: indel genotyping + CNV-aware ploidy differentials
+# ==========================================================================
+
+# Indel hotspot reads: an all-'A' genome with INDEL hotspots at every
+# multiple of 97 (reads ≤49 bp cover at most one). Even-k hotspots are
+# INSERTION sites (carriers insert 'GG' anchored at h), odd-k hotspots
+# are DELETION sites (carriers delete 'AAA' spanning [h, h+3), anchored
+# at h−1 — the span covers the 97-lattice so gVCF mode sees it).
+# Carrier shapes need the anchor in-read and room for the event, so
+# carrier ⇔ read covers h with offset 1 ≤ hoff ≤ len−4 and id%3 ≠ 0.
+READS_HOT_INDEL_SQL = """
+SELECT
+  oid AS read_id,
+  contig,
+  start,
+  CASE WHEN carrier AND k_even THEN start + read_len - 2
+       WHEN carrier THEN start + read_len + 3
+       ELSE start + read_len END AS end,
+  read_len, phred, mapq, sample_id, hot, hoff, k_even, covered, carrier,
+  CASE WHEN carrier AND k_even
+         THEN concat(CAST(hoff + 1 AS STRING), 'M2I', CAST(read_len - hoff - 3 AS STRING), 'M')
+       WHEN carrier
+         THEN concat(CAST(hoff AS STRING), 'M3D', CAST(read_len - hoff AS STRING), 'M')
+       ELSE concat(CAST(read_len AS STRING), 'M') END AS cigar,
+  CASE WHEN carrier AND k_even THEN CAST(read_len - 2 AS STRING)
+       WHEN carrier THEN concat(CAST(hoff AS STRING), '^AAA', CAST(read_len - hoff AS STRING))
+       ELSE CAST(read_len AS STRING) END AS md,
+  CASE WHEN carrier AND k_even
+         THEN concat(repeat('A', CAST(hoff + 1 AS INT)), 'GG',
+                     repeat('A', CAST(read_len - hoff - 3 AS INT)))
+       ELSE repeat('A', CAST(read_len AS INT)) END AS sequence,
+  repeat(chr(33 + CAST(phred AS INT)), CAST(read_len AS INT)) AS qual,
+  (oid % 7) % 2 = 0 AS forward_strand
+FROM (
+  SELECT *,
+         (hoff <= read_len - 1) AS covered,
+         ((oid % 3) <> 0 AND hoff >= 1 AND hoff <= read_len - 4) AS carrier
+  FROM (
+    SELECT o_orderkey AS oid,
+           concat('chr', CAST(o_orderkey % 4 AS STRING)) AS contig,
+           (o_orderkey * 37) % 3000 AS start,
+           CAST(20 + o_orderkey % 30 AS INT) AS read_len,
+           CAST(25 + o_orderkey % 10 AS INT) AS phred,
+           CAST(20 + o_orderkey % 40 AS INT) AS mapq,
+           concat('s', CAST(o_orderkey % 2 AS STRING)) AS sample_id,
+           CAST(FLOOR((((o_orderkey * 37) % 3000) + 96) / 97) AS BIGINT) * 97 AS hot,
+           CAST(FLOOR((((o_orderkey * 37) % 3000) + 96) / 97) AS BIGINT) * 97
+             - (o_orderkey * 37) % 3000 AS hoff,
+           CAST(FLOOR((((o_orderkey * 37) % 3000) + 96) / 97) AS BIGINT) % 2 = 0 AS k_even
+    FROM orders
+  ) base
+) flags
+"""
+
+tables.DERIVED_SQL["reads_hot_indel"] = READS_HOT_INDEL_SQL
+
+_PIPELINE_INDEL_ORACLE = f"""
+    WITH r AS ({READS_HOT_INDEL_SQL}),
+    sites AS (
+      SELECT contig, hot, k_even
+      FROM r WHERE carrier
+      GROUP BY contig, hot, k_even HAVING COUNT(*) > 2
+    ),
+    obs AS (
+      -- ALT obs: carriers. REF obs: ins site = any covering read;
+      -- del site = reads covering the anchor (h-1) AND the span (h+3)
+      SELECT r.contig, s.k_even,
+             CASE WHEN s.k_even THEN s.hot ELSE s.hot - 1 END AS site_start,
+             r.sample_id, r.carrier AS is_alt, r.mapq, r.phred,
+             1.0 - (1.0 - POW(10.0, -r.phred / 10.0)) * (1.0 - POW(10.0, -r.mapq / 10.0)) AS e
+      FROM r JOIN sites s ON r.contig = s.contig AND r.hot = s.hot
+      WHERE r.carrier
+         OR (s.k_even AND r.hoff <= r.read_len - 1)
+         OR ((NOT s.k_even) AND r.hoff >= 1 AND r.hoff <= r.read_len - 3)
+    ),
+    scored AS (
+      SELECT contig, k_even, site_start, sample_id, is_alt, mapq,
+             CASE WHEN is_alt THEN LN(2.0 * e) - LN(2.0)
+                  ELSE LN(2.0 * (1.0 - e)) - LN(2.0) END AS ll0,
+             LN(1.0) - LN(2.0) AS ll1,
+             CASE WHEN is_alt THEN LN(2.0 * (1.0 - e)) - LN(2.0)
+                  ELSE LN(2.0 * e) - LN(2.0) END AS ll2
+      FROM obs
+    ),
+    rolled AS (
+      SELECT contig, k_even, site_start, sample_id,
+             SUM(ll0) AS l0, SUM(ll1) AS l1, SUM(ll2) AS l2,
+             COUNT(*) AS read_depth,
+             CAST(SUM(CASE WHEN is_alt THEN 1 ELSE 0 END) AS INT) AS alt_read_depth,
+             CAST(SUM(CASE WHEN is_alt THEN 0 ELSE 1 END) AS INT) AS ref_read_depth,
+             SUM(CAST(mapq AS BIGINT) * mapq) AS sum_mapq_sq
+      FROM scored
+      GROUP BY contig, k_even, site_start, sample_id
+    )
+    SELECT contig, site_start,
+           CASE WHEN k_even THEN 'A' ELSE 'AAAA' END AS ref_allele,
+           CASE WHEN k_even THEN 'AGG' ELSE 'A' END AS alt_allele,
+           sample_id,
+           CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                ELSE 2 END AS gt_state,
+           ROUND((10.0 / LN(10.0)) *
+                 (GREATEST(l0, l1, l2) -
+                  CASE WHEN l0 >= l1 AND l0 >= l2 THEN GREATEST(l1, l2)
+                       WHEN l1 >= l0 AND l1 >= l2 THEN GREATEST(l0, l2)
+                       ELSE GREATEST(l0, l1) END), 5) AS gq,
+           CAST(read_depth AS INT) AS read_depth,
+           ref_read_depth, alt_read_depth,
+           ROUND(SQRT(CAST(sum_mapq_sq AS DOUBLE) / read_depth), 6) AS rms_mapq
+    FROM rolled
+"""
+
+
+@query("biallelic_pipeline_indel", _PIPELINE_INDEL_ORACLE)
+def biallelic_pipeline_indel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 round 2 — the full pipeline over INSERTION and DELETION
+    hotspot carriers: discovery finds the indel alleles, the parse-once
+    event pass + JVM classify matches insertion bases / deletion widths
+    (incl. the deletion REF span check), and the score roll-up genotypes
+    them (BiallelicGenotyper.scala:227-336). The oracle recomputes
+    every genotype arithmetically from the generation rule — this is
+    the differential the r01 SNP-only oracle could not see."""
+    from avocado_spark.operators.genotyping import biallelic_pipeline
+
+    reads = tables.derived(spark, sf_dir, "reads_hot_indel")
+    g = biallelic_pipeline(spark, reads, phred_threshold=18, min_observations=2)
+    return g.select(
+        "contig",
+        "site_start",
+        "ref_allele",
+        "alt_allele",
+        "sample_id",
+        "gt_state",
+        F.round("gq", 5).alias("gq"),
+        "read_depth",
+        "ref_read_depth",
+        "alt_read_depth",
+        F.round("rms_mapq", 6).alias("rms_mapq"),
+    )
+
+
+_GVCF_INDEL_ORACLE = f"""
+    WITH r AS ({READS_HOT_INDEL_SQL}),
+    obs AS (
+      -- on the 97-lattice every covering read attests site h exactly
+      -- once: ins carriers via the flipped anchor, del carriers via the
+      -- spanned deleted base, everyone else via the aligned match
+      SELECT contig, hot AS site_start, sample_id, carrier AS nonref, mapq, phred,
+             1.0 - (1.0 - POW(10.0, -phred / 10.0)) * (1.0 - POW(10.0, -mapq / 10.0)) AS e
+      FROM r WHERE covered
+    ),
+    scored AS (
+      SELECT contig, site_start, sample_id, nonref, mapq,
+             CASE WHEN nonref THEN LN(2.0 * e) - LN(2.0)
+                  ELSE LN(2.0 * (1.0 - e)) - LN(2.0) END AS ll0,
+             LN(1.0) - LN(2.0) AS ll1,
+             CASE WHEN nonref THEN LN(2.0 * (1.0 - e)) - LN(2.0)
+                  ELSE LN(2.0 * e) - LN(2.0) END AS ll2
+      FROM obs
+    ),
+    rolled AS (
+      SELECT contig, site_start, sample_id,
+             SUM(ll0) AS l0, SUM(ll1) AS l1, SUM(ll2) AS l2,
+             COUNT(*) AS read_depth,
+             CAST(SUM(CASE WHEN nonref THEN 1 ELSE 0 END) AS INT) AS alt_read_depth,
+             CAST(SUM(CASE WHEN nonref THEN 0 ELSE 1 END) AS INT) AS ref_read_depth,
+             SUM(CAST(mapq AS BIGINT) * mapq) AS sum_mapq_sq
+      FROM scored
+      GROUP BY contig, site_start, sample_id
+    )
+    SELECT contig, site_start, 'A' AS ref_allele, sample_id,
+           CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                ELSE 2 END AS gt_state,
+           ROUND((10.0 / LN(10.0)) *
+                 (GREATEST(l0, l1, l2) -
+                  CASE WHEN l0 >= l1 AND l0 >= l2 THEN GREATEST(l1, l2)
+                       WHEN l1 >= l0 AND l1 >= l2 THEN GREATEST(l0, l2)
+                       ELSE GREATEST(l0, l1) END), 5) AS gq,
+           CAST(read_depth AS INT) AS read_depth,
+           ref_read_depth, alt_read_depth,
+           ROUND(SQRT(CAST(sum_mapq_sq AS DOUBLE) / read_depth), 6) AS rms_mapq
+    FROM rolled
+"""
+
+
+@query("gvcf_all_sites_indel", _GVCF_INDEL_ORACLE)
+def gvcf_all_sites_indel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 round 2 — gVCF all-sites mode over indel carriers: an
+    insertion anchored at a lattice site and a deletion SPANNING one
+    both score as non-reference evidence (Observer.scala:83-135),
+    which the r01 match/mismatch-only observer could not express."""
+    from avocado_spark.operators.genotyping import gvcf_score_all_sites
+
+    reads = tables.derived(spark, sf_dir, "reads_hot_indel")
+    out = gvcf_score_all_sites(spark, reads, site_stride=97)
+    return out.select(
+        "contig",
+        "site_start",
+        "ref_allele",
+        "sample_id",
+        "gt_state",
+        F.round("gq", 5).alias("gq"),
+        "read_depth",
+        "ref_read_depth",
+        "alt_read_depth",
+        F.round("rms_mapq", 6).alias("rms_mapq"),
+    )
+
+
+_CNV_PLOIDY_ORACLE = f"""
+    WITH reads_hot AS ({READS_HOT_SQL}),
+    sites AS (
+      SELECT contig, hot AS site_start
+      FROM reads_hot WHERE is_carrier
+      GROUP BY contig, hot HAVING COUNT(*) > 2
+    ),
+    obs AS (
+      SELECT r.contig, s.site_start, r.sample_id, r.is_carrier,
+             CAST(CASE WHEN r.contig = 'chr0' AND s.site_start < 1500 THEN 3
+                       WHEN r.contig = 'chr1' AND s.site_start < 1500 THEN 1
+                       ELSE 2 END AS DOUBLE) AS m,
+             1.0 - (1.0 - POW(10.0, -r.phred / 10.0)) * (1.0 - POW(10.0, -r.mapq / 10.0)) AS e
+      FROM reads_hot r
+      JOIN sites s ON r.contig = s.contig AND r.hot = s.site_start AND r.covered
+    ),
+    scored AS (
+      SELECT contig, site_start, sample_id, m,
+             CASE WHEN is_carrier THEN LN(m * e) - LN(m)
+                  ELSE LN(m * (1.0 - e)) - LN(m) END AS s0,
+             CASE WHEN is_carrier THEN LN((m - 1) * e + (1.0 - e)) - LN(m)
+                  ELSE LN((m - 1) * (1.0 - e) + e) - LN(m) END AS s1,
+             CASE WHEN m >= 2 THEN
+               CASE WHEN is_carrier THEN LN((m - 2) * e + 2 * (1.0 - e)) - LN(m)
+                    ELSE LN((m - 2) * (1.0 - e) + 2 * e) - LN(m) END END AS s2,
+             CASE WHEN m >= 3 THEN
+               CASE WHEN is_carrier THEN LN((m - 3) * e + 3 * (1.0 - e)) - LN(m)
+                    ELSE LN((m - 3) * (1.0 - e) + 3 * e) - LN(m) END END AS s3
+      FROM obs
+    ),
+    rolled AS (
+      SELECT contig, site_start, sample_id,
+             CAST(MAX(m) AS INT) AS ploidy,
+             SUM(s0) AS l0, SUM(s1) AS l1, SUM(s2) AS l2, SUM(s3) AS l3,
+             CAST(COUNT(*) AS INT) AS read_depth
+      FROM scored
+      GROUP BY contig, site_start, sample_id
+    )
+    SELECT contig, site_start, sample_id, ploidy, read_depth,
+           CASE WHEN ploidy = 1 THEN CASE WHEN l0 >= l1 THEN 0 ELSE 1 END
+                WHEN ploidy = 2 THEN
+                  CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                       WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                       ELSE 2 END
+                ELSE
+                  CASE WHEN l0 >= l1 AND l0 >= l2 AND l0 >= l3 THEN 0
+                       WHEN l1 >= l0 AND l1 >= l2 AND l1 >= l3 THEN 1
+                       WHEN l2 >= l0 AND l2 >= l1 AND l2 >= l3 THEN 2
+                       ELSE 3 END END AS gt_state,
+           ROUND(l0, 5) AS ll0, ROUND(l1, 5) AS ll1,
+           ROUND(l2, 5) AS ll2, ROUND(l3, 5) AS ll3
+    FROM rolled
+"""
+
+
+@query("biallelic_cnv_ploidy", _CNV_PLOIDY_ORACLE)
+def biallelic_cnv_ploidy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12/J4 round 2 — copy-number-aware genotyping: sites inside the
+    chr0 DUP interval genotype against ploidy 3 (states 0..3), sites in
+    the chr1 LOSS interval against ploidy 1, everything else diploid —
+    the reference's CNV dimension (ScoredObservation.scala:101-165,
+    BiallelicGenotyper.scala:376-383, CopyNumberMap.scala:45-111). The
+    oracle recomputes the per-ploidy likelihood grids arithmetically."""
+    from avocado_spark.operators.genotyping import biallelic_pipeline
+
+    reads = tables.derived(spark, sf_dir, "reads_hot")
+    cnv = spark.createDataFrame(
+        [("chr0", 0, 1500, 3), ("chr1", 0, 1500, 1)],
+        "contig string, start long, end long, copy_number int",
+    )
+    g = biallelic_pipeline(spark, reads, phred_threshold=18, min_observations=2, cnv=cnv)
+    return g.select(
+        "contig",
+        "site_start",
+        "sample_id",
+        "ploidy",
+        "read_depth",
+        "gt_state",
+        F.round("ll0", 5).alias("ll0"),
+        F.round("ll1", 5).alias("ll1"),
+        F.round("ll2", 5).alias("ll2"),
+        F.round("ll3", 5).alias("ll3"),
+    )
