@@ -1196,3 +1196,275 @@ def biallelic_cnv_ploidy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ll2", 5).alias("ll2"),
         F.round("ll3", 5).alias("ll3"),
     )
+
+
+# ==========================================================================
+# Round 2: gVCF jointer end-to-end — genotyper output feeds the cohort layer
+# ==========================================================================
+
+_JOINTER_E2E_ORACLE = f"""
+    WITH r AS ({READS_HOT_SQL}),
+    cov AS (SELECT * FROM r WHERE covered),
+    -- per-SAMPLE discovery (each sample's own gVCF run): carrier
+    -- support strictly greater than min_observations=2
+    vsites AS (
+      SELECT contig, hot, sample_id
+      FROM cov WHERE is_carrier
+      GROUP BY contig, hot, sample_id HAVING COUNT(*) > 2
+    ),
+    -- per-(site, sample) likelihood sums over that sample's covering
+    -- reads; identical arithmetic serves the exact-call rows AND the
+    -- gVCF reference-model rows (symbolic non-ref, no OTHER evidence)
+    ll AS (
+      SELECT contig, hot, sample_id,
+             SUM(CASE WHEN is_carrier THEN LN(2.0 * e) - LN(2.0)
+                      ELSE LN(2.0 * (1.0 - e)) - LN(2.0) END) AS l0,
+             SUM(LN(1.0) - LN(2.0)) AS l1,
+             SUM(CASE WHEN is_carrier THEN LN(2.0 * (1.0 - e)) - LN(2.0)
+                      ELSE LN(2.0 * e) - LN(2.0) END) AS l2
+      FROM (
+        SELECT contig, hot, sample_id, is_carrier,
+               1.0 - (1.0 - POW(10.0, -phred / 10.0)) * (1.0 - POW(10.0, -mapq / 10.0)) AS e
+        FROM cov
+      ) GROUP BY contig, hot, sample_id
+    ),
+    states AS (
+      SELECT contig, hot, sample_id, l0, l1, l2,
+             CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                  WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                  ELSE 2 END AS st
+      FROM ll
+    ),
+    -- cohort variant list: a site enters iff some sample's OWN gVCF
+    -- call there is ALT-carrying (extract_variants semantics)
+    varset AS (
+      SELECT DISTINCT s.contig, s.hot
+      FROM states s
+      JOIN vsites v ON s.contig = v.contig AND s.hot = v.hot
+                   AND s.sample_id = v.sample_id
+      WHERE s.st IN (1, 2)
+    ),
+    squared AS (
+      SELECT vs.contig, vs.hot AS start, s.sample_id,
+             CASE WHEN v.sample_id IS NOT NULL THEN s.st ELSE 0 END AS gt_state,
+             v.sample_id IS NOT NULL AS had_exact,
+             s.l0, s.l1, s.l2
+      FROM varset vs
+      JOIN states s ON s.contig = vs.contig AND s.hot = vs.hot
+      LEFT JOIN vsites v ON v.contig = vs.contig AND v.hot = vs.hot
+                        AND v.sample_id = s.sample_id
+    ),
+    with_maf AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN gt_state = 1 THEN 1
+                           WHEN gt_state = 2 THEN 2 ELSE 0 END)
+                  OVER (PARTITION BY contig, start) AS DOUBLE)
+             / SUM(2) OVER (PARTITION BY contig, start) AS maf
+      FROM squared
+    ),
+    recalled AS (
+      SELECT *,
+             l0 + 2.0 * LN(1.0 - p) AS post0,
+             l1 + LN(2.0) + LN(p) + LN(1.0 - p) AS post1,
+             l2 + 2.0 * LN(p) AS post2
+      FROM (SELECT *, LEAST(GREATEST(maf, 0.05), 0.95) AS p
+            FROM with_maf WHERE maf > 0)
+    )
+    SELECT contig, start, 'A' AS ref_allele, 'G' AS alt_allele, sample_id,
+           gt_state, had_exact, ROUND(maf, 9) AS maf,
+           ROUND(post0, 5) AS post0, ROUND(post1, 5) AS post1,
+           ROUND(post2, 5) AS post2,
+           CASE WHEN post0 >= post1 AND post0 >= post2 THEN 0
+                WHEN post1 >= post0 AND post1 >= post2 THEN 1
+                ELSE 2 END AS recalled_state
+    FROM recalled
+"""
+
+
+@query("gvcf_jointer_e2e", _JOINTER_E2E_ORACLE)
+def gvcf_jointer_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9→J5→E4 round 2 — the full cohort chain ON ENGINE OUTPUT: two
+    per-sample gVCF genotyper runs + the all-sites reference model,
+    unioned, then jointer() = extract_variants → square_off (exact pick
+    or nr_ll excision) → joint_recall (MAF prior re-call). Round 1's
+    chain only worked on fixture tables (the genotyper emitted neither
+    ll* nor nr_ll* names); this entry proves the payload contract
+    end-to-end (BiallelicGenotyper.scala:579-748, Jointer.scala:97-148,
+    SquareOffReferenceModel.scala:87-245)."""
+    from avocado_spark.operators.genotyping import (
+        biallelic_pipeline,
+        gvcf_score_all_sites,
+    )
+    from avocado_spark.plans.pipelines import jointer
+
+    reads = tables.derived(spark, sf_dir, "reads_hot")
+    keep = [
+        "contig",
+        F.col("site_start").alias("start"),
+        F.col("site_end").alias("end"),
+        "ref_allele",
+        "alt_allele",
+        "sample_id",
+        "gt_state",
+        "ll0",
+        "ll1",
+        "ll2",
+        "nr_ll0",
+        "nr_ll1",
+        "nr_ll2",
+    ]
+    per_sample = [
+        biallelic_pipeline(
+            spark,
+            reads.where(F.col("sample_id") == s),
+            phred_threshold=18,
+            min_observations=2,
+        ).select(*keep)
+        for s in ("s0", "s1")
+    ]
+    gvcf = gvcf_score_all_sites(spark, reads, site_stride=97).select(*keep)
+    genotypes = per_sample[0].unionByName(per_sample[1]).unionByName(gvcf)
+    out = jointer(genotypes, from_gvcf=True, join_strategy="binned", maf_floor=0.05)
+    return out.select(
+        "contig",
+        "start",
+        "ref_allele",
+        "alt_allele",
+        "sample_id",
+        "gt_state",
+        "had_exact",
+        F.round("maf", 9).alias("maf"),
+        F.round("post0", 5).alias("post0"),
+        F.round("post1", 5).alias("post1"),
+        F.round("post2", 5).alias("post2"),
+        "recalled_state",
+    )
+
+
+# ==========================================================================
+# Round 2: trio genotyper from READS end-to-end
+# ==========================================================================
+
+# reads_hot re-sampled into three pedigree roles; (read_id % 7) % 3 is
+# coprime-ish with the carrier lattice (read_id % 3) so every role has
+# carrier and non-carrier reads at every hotspot
+READS_HOT_TRIO_SQL = f"""
+SELECT read_id, contig, start, read_len, hot, covered, is_carrier,
+       cigar, md, sequence, qual, phred, mapq,
+       concat('s', CAST((read_id % 7) % 3 AS STRING)) AS sample_id,
+       TRUE AS read_mapped, TRUE AS primary_alignment,
+       FALSE AS duplicate_read
+FROM ({READS_HOT_SQL}) base_reads
+"""
+
+tables.DERIVED_SQL["reads_hot_trio"] = READS_HOT_TRIO_SQL
+
+_TRIO_FROM_READS_ORACLE = f"""
+    WITH r AS ({READS_HOT_TRIO_SQL}),
+    sites AS (  -- cohort-wide discovery over the 3-way union
+      SELECT contig, hot FROM r WHERE is_carrier
+      GROUP BY contig, hot HAVING COUNT(*) > 2
+    ),
+    obs AS (
+      SELECT r.contig, s.hot, r.sample_id, r.is_carrier,
+             1.0 - (1.0 - POW(10.0, -r.phred / 10.0)) * (1.0 - POW(10.0, -r.mapq / 10.0)) AS e
+      FROM r JOIN sites s ON r.contig = s.contig AND r.hot = s.hot AND r.covered
+    ),
+    rolled AS (
+      SELECT contig, hot, sample_id,
+             SUM(CASE WHEN is_carrier THEN LN(2.0 * e) - LN(2.0)
+                      ELSE LN(2.0 * (1.0 - e)) - LN(2.0) END) AS l0,
+             SUM(LN(1.0) - LN(2.0)) AS l1,
+             SUM(CASE WHEN is_carrier THEN LN(2.0 * (1.0 - e)) - LN(2.0)
+                      ELSE LN(2.0 * e) - LN(2.0) END) AS l2,
+             COUNT(*) AS dp,
+             SUM(CASE WHEN is_carrier THEN 1 ELSE 0 END) AS alt_dp
+      FROM obs GROUP BY contig, hot, sample_id
+    ),
+    called AS (
+      SELECT contig, hot, sample_id,
+             CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                  WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                  ELSE 2 END AS st0,
+             (10.0 / LN(10.0)) *
+               (GREATEST(l0, l1, l2) -
+                CASE WHEN l0 >= l1 AND l0 >= l2 THEN GREATEST(l1, l2)
+                     WHEN l1 >= l0 AND l1 >= l2 THEN GREATEST(l0, l2)
+                     ELSE GREATEST(l0, l1) END) AS gq,
+             CAST(alt_dp AS DOUBLE) / dp AS af
+      FROM rolled
+    ),
+    rewritten AS (  -- F4 then F2 with the CLI defaults
+      SELECT contig, hot, sample_id,
+             CASE WHEN st0 = 1 AND af >= 0.666 THEN 2 ELSE st0 END AS st,
+             CASE WHEN st0 = 1 AND af >= 0.666 THEN NULL ELSE gq END AS gq2
+      FROM called
+    ),
+    emitted AS (
+      SELECT * FROM rewritten
+      WHERE (gq2 IS NULL OR gq2 >= 10) AND st IN (1, 2)
+    ),
+    pivoted AS (
+      SELECT contig, hot AS start,
+             MAX(CASE WHEN sample_id = 's0' THEN st END) AS p1r,
+             MAX(CASE WHEN sample_id = 's1' THEN st END) AS p2r,
+             MAX(CASE WHEN sample_id = 's2' THEN st END) AS chr_
+      FROM emitted GROUP BY contig, hot
+    ),
+    judged AS (
+      SELECT contig, start,
+             COALESCE(p1r, 3) AS p1, COALESCE(p2r, 3) AS p2, COALESCE(chr_, 3) AS ch,
+             CASE WHEN COALESCE(p1r, 3) = 2 THEN 1 ELSE 0 END AS p1min,
+             CASE WHEN COALESCE(p2r, 3) = 2 THEN 1 ELSE 0 END AS p2min,
+             CASE WHEN COALESCE(p1r, 3) IN (1,2,3) THEN 1 ELSE 0 END AS p1max,
+             CASE WHEN COALESCE(p2r, 3) IN (1,2,3) THEN 1 ELSE 0 END AS p2max
+      FROM pivoted
+      WHERE COALESCE(p1r, 3) IN (1,2) OR COALESCE(p2r, 3) IN (1,2)
+         OR COALESCE(chr_, 3) IN (1,2)
+    )
+    SELECT contig, start, 'A' AS ref_allele, 'G' AS alt_allele,
+           p1 AS p1_state, p2 AS p2_state, ch AS child_state,
+           (ch IN (0,1,2) AND ch >= p1min + p2min AND ch <= p1max + p2max)
+             AS mendelian_consistent,
+           CASE WHEN ch IN (0,1,2) AND ch >= p1min + p2min AND ch <= p1max + p2max
+                THEN ch ELSE 3 END AS called_child_state,
+           CASE WHEN ch = 1 AND ch >= p1min + p2min AND ch <= p1max + p2max
+                     AND p1max = 1 AND p2max = 0 THEN 'ALT|REF'
+                WHEN ch = 1 AND ch >= p1min + p2min AND ch <= p1max + p2max
+                     AND p2max = 1 AND p1max = 0 THEN 'REF|ALT'
+                ELSE NULL END AS child_phase
+    FROM judged
+"""
+
+
+@query("trio_from_reads", _TRIO_FROM_READS_ORACLE)
+def trio_from_reads_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 round 2 — `trioGenotyper` end to end FROM READS
+    (TrioGenotyper.scala:192-275): 3-way union feeds one cohort
+    discovery, each member genotypes against the shared site set
+    through the full biallelic stack (prefilter → discover → genotype
+    → rewrite-hets → emission filter), then Mendelian check + phasing.
+    Round 1 only gated the trio state table on fixtures; the oracle
+    here recomputes every member's calls from the generation rule."""
+    from avocado_spark.plans.pipelines import trio_genotyper
+
+    r = tables.derived(spark, sf_dir, "reads_hot_trio")
+    out = trio_genotyper(
+        spark,
+        r.where(F.col("sample_id") == "s0"),
+        r.where(F.col("sample_id") == "s1"),
+        r.where(F.col("sample_id") == "s2"),
+        ("s0", "s1", "s2"),
+    )
+    return out.select(
+        "contig",
+        "start",
+        "ref_allele",
+        "alt_allele",
+        "p1_state",
+        "p2_state",
+        "child_state",
+        "mendelian_consistent",
+        "called_child_state",
+        "child_phase",
+    )
