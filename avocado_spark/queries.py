@@ -696,14 +696,59 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gate-priority order: the driver's correctness run processes the
+# registry in insertion order and may cap the query count per round, so
+# queries whose coverage is newest/most at risk come FIRST — (1) entries
+# with no CORRECTNESS row yet, (2) this round's new differentials,
+# (3) everything downstream of the reworked genotyping core, (4) the
+# LLM-pipeline family, (5) kernels/relational ops unchanged and green
+# since round 1 (safe to drop under a cap).
+_GATE_PRIORITY = [
+    # (1) never-covered by a driver round yet
+    "ann_ivf_probed", "token_count_bpe", "multimodal_frame_sample",
+    "multimodal_features", "stream_tumbling_hourly", "stream_sliding_30m",
+    "stream_session_windows", "stream_dedup_first", "stream_running_total",
+    "events_props_parse", "events_salted_agg",
+    # (2) round-2 differentials
+    "biallelic_pipeline_indel", "gvcf_all_sites_indel", "biallelic_cnv_ploidy",
+    "gvcf_jointer_e2e", "trio_from_reads",
+    # (3) genotyping core + cohort chain (core reworked in round 2)
+    "biallelic_pipeline", "gvcf_all_sites", "gvcf_square_off", "joint_recall",
+    "trio_mendelian", "discover_variants", "score_table_gen",
+    "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
+    "hard_filter_annotate", "variant_summary", "maf_site_quality",
+    "wide_agg_q1", "realign_reads", "coverage_cap", "prefilter_reads",
+    "count_filter_discovery", "merge_discovered_dedup",
+    "interval_join_broadcast", "interval_join_binned",
+    "interval_join_group_right", "cnv_point_lookup",
+    # (4) LLM data-pipeline family
+    "exact_dedup", "minhash_dedup_pairs", "simhash_signatures",
+    "ngram_jaccard_pairs", "embedding_dup_pairs", "ann_topk_cosine",
+    "ann_srp_bucketed", "token_count", "quality_score", "language_id",
+    "doc_fingerprint",
+    # (5) stable since round 1 (r01 rows all green, code untouched)
+    "scan_project_filter", "broadcast_equijoin_dim", "multiway_union",
+    "semi_join_cohort", "anti_join_novel", "genome_sort_rank",
+    "topk_per_group", "phred_kernels", "log_space_kernels",
+    "genotype_state_quality", "reversed_array_add", "rms_mapq_rollup",
+    "allele_trim", "mate_nullify", "sample_catalog", "ploidy_extremes",
+]
+
+
+def _gate_ordered(d: dict) -> dict:
+    out = {n: d[n] for n in _GATE_PRIORITY if n in d}
+    out.update({n: v for n, v in d.items() if n not in out})
+    return out
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for registration side effects
     from avocado_spark import queries_genomic, queries_pipeline, queries_streaming  # noqa: F401
 
-    return dict(QUERIES)
+    return _gate_ordered(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
     from avocado_spark import queries_genomic, queries_pipeline, queries_streaming  # noqa: F401
 
-    return dict(ORACLES)
+    return _gate_ordered(ORACLES)
