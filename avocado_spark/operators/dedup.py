@@ -18,7 +18,7 @@ Hash arithmetic matches the DuckDB oracles bit-for-bit (see text.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -27,6 +27,19 @@ from avocado_spark.operators.text import P, token_hash, tokens
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# LSH band buckets above this size are dropped from candidate
+# generation (standard LSH hot-bucket handling): a bucket of n docs
+# contributes O(n²) candidate pairs, and a boilerplate-heavy corpus
+# concentrates millions of docs on one band key. Members of a dropped
+# bucket remain discoverable through their OTHER bands; run exact_dedup
+# first so identical content never rides on LSH at all.
+MAX_BAND_BUCKET = 200
+
+# Blocked O(n²/block) pairwise operators route blocks above this many
+# rows through a bucketed approximate path instead — a coarse blocking
+# key (e.g. lang='en') is a skew bomb at corpus scale otherwise.
+MAX_BLOCK_ROWS = 10_000
 
 
 def exact_dedup(docs: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -92,14 +105,92 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
+def _lsh_candidates(
+    sh: DataFrame,
+    shingle_col: str = "shingles",
+    extra_keys: tuple[str, ...] = (),
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, shingles[, keys...])
+    table: signature → explode bands → drop hot buckets → equi
+    self-join on (keys..., band, band signature) → distinct pairs.
+
+    The hot-bucket cap bounds the candidate count: a (band, key) bucket
+    of size n yields n(n−1)/2 pairs, so without the cap one degenerate
+    key turns the join quadratic — AQE splits partitions, not the pair
+    count. With it, every bucket contributes ≤ cap²/2 pairs."""
+    sig = sh.select(
+        *extra_keys, "doc_id", minhash_signature(F.col(shingle_col)).alias("sig")
+    )
+    bands = sig.select(
+        *extra_keys,
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(*extra_keys, "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_bucket is not None:
+        # one window count on the same (band, key) partitioning the
+        # self-join shuffles on anyway — no extra shuffle stage
+        w = Window.partitionBy(*extra_keys, "band", "key")
+        bands = (
+            bands.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_band_bucket)
+            .drop("_bsz")
+        )
+    join_keys = [*extra_keys, "band", "key"]
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), join_keys)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float, shingle_col: str = "shingles"
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the true
+    shingle sets; size-ratio prefilter prunes most false positives
+    before the O(n) array_intersect (provably identical results)."""
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("a_id"), F.col(shingle_col).alias("a_sh")), "a_id"
+    ).join(
+        sh.select(F.col("doc_id").alias("b_id"), F.col(shingle_col).alias("b_sh")), "b_id"
+    )
+    ratio_ok = (
+        F.least(F.size("a_sh"), F.size("b_sh")).cast("double")
+        >= threshold * F.greatest(F.size("a_sh"), F.size("b_sh"))
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        verified.where(ratio_ok)
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", jaccard_threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
 
-    shingle → signature (per-row, JVM) → explode bands → self-join on
-    (band, band signature) → dedup pairs → verify Jaccard on the true
-    shingle sets. Only candidate pairs ever materialize.
+    shingle → signature (per-row, JVM) → explode bands → drop hot
+    buckets (> ``max_band_bucket``) → self-join on (band, band
+    signature) → dedup pairs → verify Jaccard on the true shingle
+    sets. Only candidate pairs ever materialize.
 
     Scale notes: the band table carries only (doc_id, band, key) — the
     shingle sets are re-joined by id for the verify step, so the
@@ -115,46 +206,8 @@ def minhash_lsh_pairs(
         .where(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    verified = cand.join(
-        sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
-    ).join(
-        sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id"
-    )
-    # size-ratio prefilter (see ngram_jaccard_pairs): identical results,
-    # skips the array_intersect for most false-positive candidates
-    ratio_ok = (
-        F.least(F.size("a_sh"), F.size("b_sh")).cast("double")
-        >= jaccard_threshold * F.greatest(F.size("a_sh"), F.size("b_sh"))
-    )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
-    return (
-        verified.where(ratio_ok)
-        .withColumn("jaccard", inter.cast("double") / union)
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    cand = _lsh_candidates(sh, max_band_bucket=max_band_bucket)
+    return _verify_jaccard(cand, sh, jaccard_threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
@@ -199,17 +252,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 2,
     threshold: float = 0.6,
+    max_block_rows: int | None = MAX_BLOCK_ROWS,
 ) -> DataFrame:
-    """Blocked n-gram Jaccard: pairwise only within a blocking key."""
+    """Blocked n-gram Jaccard: exact pairwise within a blocking key.
+
+    Block-cardinality contract: the exact path is O(n²) within a block.
+    Blocks larger than ``max_block_rows`` are auto-routed through the
+    banded-LSH candidate path (same exact-Jaccard verify, so precision
+    is identical; recall becomes the LSH band recall) — a coarse key
+    like lang='en' would otherwise make one block most of the corpus.
+    ``max_block_rows=None`` restores unconditional exact semantics."""
     sh = (
         docs.select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=k).alias("sh"))
         .where(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = sh.select(
+    if max_block_rows is not None:
+        w = Window.partitionBy(*block_cols)
+        sized = sh.withColumn("_blk", F.count("*").over(w))
+        small = sized.where(F.col("_blk") <= max_block_rows).drop("_blk")
+        big = sized.where(F.col("_blk") > max_block_rows).drop("_blk")
+    else:
+        small, big = sh, None
+
+    a = small.select(
         *block_cols, F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
     )
-    b = sh.select(
+    b = small.select(
         *block_cols, F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
     )
     # size-ratio prefilter: J(a,b) >= t implies min|.| >= t * max|.|,
@@ -222,11 +291,16 @@ def ngram_jaccard_pairs(
     pairs = a.join(b, block_cols).where((F.col("a_id") < F.col("b_id")) & ratio_ok)
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
-    return (
+    exact = (
         pairs.withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+    if big is None:
+        return exact
+    cand = _lsh_candidates(big, shingle_col="sh", extra_keys=tuple(block_cols))
+    routed = _verify_jaccard(cand, big, threshold, shingle_col="sh")
+    return exact.unionByName(routed)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -255,31 +329,59 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
 
 
 def embedding_dup_pairs(
-    embeddings: DataFrame, block_col: str = "label", threshold: float = 0.9
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.9,
+    max_block_rows: int | None = MAX_BLOCK_ROWS,
 ) -> DataFrame:
-    """Embedding-cosine near-dup detection, blocked on a coarse key."""
+    """Embedding-cosine near-dup detection, blocked on a coarse key.
+
+    Same block-cardinality contract as ``ngram_jaccard_pairs``: blocks
+    above ``max_block_rows`` skip the O(n²) pairwise join and go
+    through SRP sign-buckets (similarity.srp_bucket) — candidates are
+    bucket-equal pairs, verified with the exact cosine, so precision
+    stays exact and recall becomes the SRP collision rate."""
+    from avocado_spark.operators.similarity import srp_bucket
+
     v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
     # hoist the norm to a per-row column: the O(n²/blocks) pair stage
     # then pays one dot product per pair instead of three folds
     e = embeddings.select("vec_id", block_col, v).withColumn("nrm", norm(F.col("v")))
-    a = e.select(
-        F.col(block_col),
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("a_v"),
-        F.col("nrm").alias("a_n"),
-    )
-    b = e.select(
-        F.col(block_col),
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("b_v"),
-        F.col("nrm").alias("b_n"),
-    )
-    pairs = a.join(b, [block_col]).where(F.col("a_id") < F.col("b_id"))
-    return (
-        pairs.withColumn(
-            "cos",
-            cosine_with_norms(F.col("a_v"), F.col("b_v"), F.col("a_n"), F.col("b_n")),
+    if max_block_rows is not None:
+        w = Window.partitionBy(block_col)
+        sized = e.withColumn("_blk", F.count("*").over(w))
+        small = sized.where(F.col("_blk") <= max_block_rows).drop("_blk")
+        big = sized.where(F.col("_blk") > max_block_rows).drop("_blk")
+    else:
+        small, big = e, None
+
+    def pairwise(side: DataFrame, extra: list[str]) -> DataFrame:
+        a = side.select(
+            block_col,
+            *extra,
+            F.col("vec_id").alias("a_id"),
+            F.col("v").alias("a_v"),
+            F.col("nrm").alias("a_n"),
         )
-        .where(F.col("cos") >= threshold)
-        .select("a_id", "b_id", "cos")
-    )
+        b = side.select(
+            block_col,
+            *extra,
+            F.col("vec_id").alias("b_id"),
+            F.col("v").alias("b_v"),
+            F.col("nrm").alias("b_n"),
+        )
+        pairs = a.join(b, [block_col, *extra]).where(F.col("a_id") < F.col("b_id"))
+        return (
+            pairs.withColumn(
+                "cos",
+                cosine_with_norms(F.col("a_v"), F.col("b_v"), F.col("a_n"), F.col("b_n")),
+            )
+            .where(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "cos")
+        )
+
+    exact = pairwise(small, [])
+    if big is None:
+        return exact
+    routed = pairwise(big.withColumn("_bucket", srp_bucket(F.col("v"))), ["_bucket"])
+    return exact.unionByName(routed)

@@ -241,9 +241,14 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, s, b.b AS band, list_slice(sg, b.b*4 + 1, b.b*4 + 4) AS key
       FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
     ),
+    capped AS (  -- hot-bucket cap mirrors dedup.MAX_BAND_BUCKET
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM bands
+      ) WHERE bsz <= 200
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ),
     verified AS (
       SELECT c.a_id, c.b_id,

@@ -1,0 +1,91 @@
+"""Hot-bucket / hot-block bounds for the pairwise dedup operators.
+
+The scale contract under test: a degenerate corpus (every doc landing
+on the same LSH band key, or one blocking key holding the whole
+corpus) must NOT go quadratic — candidates stay bounded by the cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avocado_spark.operators import dedup as D
+
+
+def _boilerplate_docs(spark, n=300):
+    # identical text => identical shingles => every band bucket has n docs
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate header text repeated everywhere verbatim").alias(
+            "text"
+        ),
+    )
+
+
+def test_minhash_hot_bucket_dropped(spark):
+    docs = _boilerplate_docs(spark, 300)
+    out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_band_bucket=50)
+    # every band bucket holds all 300 docs > cap 50 => no candidates at all
+    assert out.count() == 0
+
+
+def test_minhash_cap_keeps_small_buckets(spark):
+    # distinct docs + one truly-near-dup pair; buckets are tiny, the cap
+    # must not disturb real matches
+    base = [
+        (i, f"unique document number {i} with its own words alpha beta gamma delta run {i*7}")
+        for i in range(20)
+    ]
+    base.append((100, "unique document number 5 with its own words alpha beta gamma delta run 35 x"))
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_band_bucket=50)
+    pairs = {(r.a_id, r.b_id) for r in out.collect()}
+    assert (5, 100) in pairs
+
+
+def test_minhash_uncapped_is_quadratic_in_bucket(spark):
+    # with the cap disabled the same corpus yields n(n-1)/2 candidates —
+    # documents identical, so all pairs verify at jaccard 1.0
+    docs = _boilerplate_docs(spark, 40)
+    out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_band_bucket=None)
+    assert out.count() == 40 * 39 // 2
+
+
+def test_ngram_big_block_routes_to_lsh(spark):
+    # one block of 60 rows with cap 10: exact path must not run the
+    # O(n^2) join on it; LSH routing still surfaces identical docs
+    texts = [
+        "alpha bravo charlie delta echo alpha bravo charlie",
+        "foxtrot golf hotel india juliet foxtrot golf hotel",
+        "kilo lima mike november oscar kilo lima mike",
+    ]
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in texts]), (F.col("id") % 3).cast("int") + 1
+        ).alias("text"),
+    )
+    out = D.ngram_jaccard_pairs(
+        docs, ["lang"], k=2, threshold=0.6, max_block_rows=10
+    )
+    rows = out.collect()
+    # identical-text pairs (same id%3 class) survive the verify at 1.0;
+    # cross-class shingle sets are disjoint so nothing else appears
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in rows)
+    assert len(rows) == 3 * 20 * 19 // 2
+    assert all((r.a_id - r.b_id) % 3 == 0 for r in rows)
+
+
+def test_embedding_big_block_routes_to_srp(spark):
+    # 50 vectors in one block with cap 10: routed through SRP buckets;
+    # identical vectors share a bucket, so exact dups are still found
+    rows = [(i, "L", [1.0, 2.0, 3.0, 4.0]) for i in range(25)]
+    rows += [(100 + i, "L", [-4.0, 3.0, -2.0, 1.0]) for i in range(25)]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = D.embedding_dup_pairs(emb, block_col="label", threshold=0.9, max_block_rows=10)
+    got = {(r.a_id, r.b_id) for r in out.collect()}
+    # every within-group pair is cosine 1.0 and bucket-identical
+    assert len(got) == 2 * (25 * 24 // 2)
+    # no cross-group pair (cosine 0) leaks through
+    assert all((a < 100) == (b < 100) for a, b in got)
