@@ -26,7 +26,11 @@ def prefilter_reads(
     (primary OR keep) AND mapq > min AND NOT duplicate AND contig
     whitelist. One declarative predicate stack; Catalyst pushes the
     conjuncts into the parquet scan."""
-    cond = F.col("read_mapped") & (F.col("mapq") > F.lit(min_mapq))
+    # null mapq is "unknown", not "low" — the reference keeps it
+    # (PrefilterReads.scala:193-199 Option semantics)
+    cond = F.col("read_mapped") & (
+        F.col("mapq").isNull() | (F.col("mapq") > F.lit(min_mapq))
+    )
     if not keep_non_primary:
         cond = cond & F.col("primary_alignment")
     if not keep_duplicates:
@@ -34,6 +38,70 @@ def prefilter_reads(
     if contig_pattern is not None:
         cond = cond & F.col("contig").rlike(contig_pattern)
     return reads.filter(cond)
+
+
+# The reference's six contig-naming predicates
+# (PrefilterReads.scala:206-264), as anchored regexes:
+#   GRC:      chr1..chr22...  chrX/chrY/chrZ/chrW   chrM
+#   non-GRC:  1..22...        X/Y/Z/W               MT
+_GRC_AUTOSOME = "chr[0-9]+"
+_GRC_SEX = "chr[XYZW]"
+_GRC_MT = "chrM"
+_NONGRC_AUTOSOME = "[0-9]+"
+_NONGRC_SEX = "[XYZW]"
+_NONGRC_MT = "MT"
+
+
+def contig_whitelist_pattern(
+    autosomal_only: bool = False, keep_mitochondrial: bool = False
+) -> str:
+    """F1 presets — the contig whitelist the reference assembles from
+    its CLI flags (PrefilterReads.scala:124-143): autosomes from BOTH
+    naming schemes always pass; sex chromosomes unless
+    ``autosomal_only``; mitochondrial only if ``keep_mitochondrial``.
+    Returns one anchored alternation usable as ``contig_pattern``."""
+    pats = [_GRC_AUTOSOME, _NONGRC_AUTOSOME]
+    if not autosomal_only:
+        pats += [_GRC_SEX, _NONGRC_SEX]
+    if keep_mitochondrial:
+        pats += [_GRC_MT, _NONGRC_MT]
+    return "^(" + "|".join(pats) + ")$"
+
+
+def filter_contig_catalog(
+    catalog: DataFrame, pattern: str, name_col: str = "contig"
+) -> DataFrame:
+    """F1 — rebuild the contig catalog (the reference's sequence
+    dictionary, PrefilterReads.scala:75-78) to only the whitelisted
+    contigs, so downstream sinks declare exactly the contigs that
+    survive the read filter."""
+    return catalog.filter(F.col(name_col).rlike(pattern))
+
+
+def prefilter_reads_preset(
+    reads: DataFrame,
+    min_mapq: int = 10,
+    keep_duplicates: bool = False,
+    keep_non_primary: bool = False,
+    autosomal_only: bool = False,
+    keep_mitochondrial: bool = False,
+    nullify_filtered_mates: bool = False,
+) -> DataFrame:
+    """F1 — ``PrefilterReads.apply`` with the preset contig whitelist
+    (PrefilterReads.scala:52-85): predicate stack + naming-scheme
+    whitelist, optionally nullifying mate pointers into filtered
+    contigs (F8) exactly like the reference's maybeNullifyMate."""
+    pattern = contig_whitelist_pattern(autosomal_only, keep_mitochondrial)
+    out = prefilter_reads(
+        reads,
+        min_mapq=min_mapq,
+        keep_duplicates=keep_duplicates,
+        keep_non_primary=keep_non_primary,
+        contig_pattern=pattern,
+    )
+    if nullify_filtered_mates:
+        out = nullify_mate(out, pattern)
+    return out
 
 
 def count_filter(

@@ -1468,3 +1468,84 @@ def trio_from_reads_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "called_child_state",
         "child_phase",
     )
+
+
+# ==========================================================================
+# Round 2: F1 contig-preset whitelist + catalog filter + mate nullify
+# ==========================================================================
+
+# reads spread over every contig-naming class the reference's preset
+# filters distinguish (PrefilterReads.scala:206-264): GRC / non-GRC
+# autosome, sex, mitochondrial, plus decoy/unplaced junk; mate pointers
+# land on the NEXT class so mate-nullification is exercised too
+READS_CONTIGS_SQL = """
+SELECT
+  o_orderkey AS read_id,
+  CASE CAST(o_orderkey % 10 AS INT)
+    WHEN 0 THEN 'chr1'  WHEN 1 THEN '12'   WHEN 2 THEN 'chrX'
+    WHEN 3 THEN 'Y'     WHEN 4 THEN 'chrM' WHEN 5 THEN 'MT'
+    WHEN 6 THEN 'chrUn_gl000220' WHEN 7 THEN 'GL000192.1'
+    WHEN 8 THEN 'chr2_gl000191_random' ELSE 'HLA-A'
+  END AS contig,
+  (o_orderkey * 37) % 100000 AS start,
+  CAST(o_orderkey % 94 AS INT) AS mapq,
+  (o_orderkey % 19) <> 0 AS read_mapped,
+  (o_orderkey % 17) <> 0 AS primary_alignment,
+  (o_orderkey % 23) = 0 AS duplicate_read,
+  (o_orderkey % 5) <> 0 AS mate_mapped,
+  CASE CAST((o_orderkey + 1) % 10 AS INT)
+    WHEN 0 THEN 'chr1'  WHEN 1 THEN '12'   WHEN 2 THEN 'chrX'
+    WHEN 3 THEN 'Y'     WHEN 4 THEN 'chrM' WHEN 5 THEN 'MT'
+    WHEN 6 THEN 'chrUn_gl000220' WHEN 7 THEN 'GL000192.1'
+    WHEN 8 THEN 'chr2_gl000191_random' ELSE 'HLA-A'
+  END AS mate_contig,
+  (o_orderkey * 53) % 100000 AS mate_start,
+  concat('s', CAST(o_orderkey % 3 AS STRING)) AS sample_id
+FROM orders
+"""
+
+tables.DERIVED_SQL["reads_contigs"] = READS_CONTIGS_SQL
+
+# default preset: autosomes (both schemes) + sex, no MT —
+# ^(chr[0-9]+|[0-9]+|chr[XYZW]|[XYZW])$
+_PRESET_RE = "^(chr[0-9]+|[0-9]+|chr[XYZW]|[XYZW])$"
+
+_PREFILTER_PRESET_ORACLE = f"""
+    WITH r AS ({READS_CONTIGS_SQL}),
+    kept AS (
+      SELECT * FROM r
+      WHERE read_mapped AND primary_alignment AND NOT duplicate_read
+        AND (mapq IS NULL OR mapq > 10)
+        AND regexp_matches(contig, '{_PRESET_RE}')
+    )
+    SELECT read_id, contig, start, mapq, sample_id,
+           CASE WHEN mate_mapped AND NOT regexp_matches(mate_contig, '{_PRESET_RE}')
+                THEN NULL ELSE mate_contig END AS mate_contig,
+           CASE WHEN mate_mapped AND NOT regexp_matches(mate_contig, '{_PRESET_RE}')
+                THEN NULL ELSE mate_start END AS mate_start,
+           CASE WHEN mate_mapped AND NOT regexp_matches(mate_contig, '{_PRESET_RE}')
+                THEN FALSE ELSE mate_mapped END AS mate_mapped
+    FROM kept
+"""
+
+
+@query("prefilter_reads_preset", _PREFILTER_PRESET_ORACLE)
+def prefilter_reads_preset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 round 2 — the preset contig whitelist (GRC + non-GRC
+    autosome/sex naming schemes, MT excluded by default) with
+    filtered-mate nullification, the reference's PrefilterReads.apply
+    shape end to end (PrefilterReads.scala:52-85,206-264)."""
+    from avocado_spark.operators.relational import prefilter_reads_preset
+
+    r = tables.derived(spark, sf_dir, "reads_contigs")
+    out = prefilter_reads_preset(
+        r,
+        min_mapq=10,
+        autosomal_only=False,
+        keep_mitochondrial=False,
+        nullify_filtered_mates=True,
+    )
+    return out.select(
+        "read_id", "contig", "start", "mapq", "sample_id",
+        "mate_contig", "mate_start", "mate_mapped",
+    )
