@@ -88,7 +88,15 @@ def interval_join(
     strategy: 'broadcast' (small left dim), 'binned' (both sides big),
     or 'auto' (count-based heuristic mirroring the reference's implicit
     contract that the variant set fits in driver memory).
+
+    how: 'inner', or 'left' — left rows with no overlap appear once
+    with null right columns. The left-outer backfill anti-joins on ALL
+    left columns, so it requires the left side to be row-distinct
+    (true for the variant/feature dims this operator serves); any other
+    value raises rather than silently degrading to inner.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how!r} (use 'inner' or 'left')")
     lp, rp = _prefixed(left, lprefix), _prefixed(right, rprefix)
 
     if strategy == "auto":
@@ -134,10 +142,25 @@ def interval_join(
         ),
         how="inner",
     )
-    return joined.select(
+    inner = joined.select(
         *[F.col(f"{lprefix}{c}") for c in left.columns],
         *[F.col(f"{rprefix}{c}") for c in right.columns],
     )
+    if how == "inner":
+        return inner
+    # left-outer backfill: one anti-join on the (distinct) left rows
+    # that matched, then a null-extended union — no second interval join
+    lcols = [f"{lprefix}{c}" for c in left.columns]
+    matched = inner.select(*lcols).dropDuplicates()
+    unmatched = lp.join(matched, on=lcols, how="left_anti")
+    nulls = unmatched.select(
+        *lcols,
+        *[
+            F.lit(None).cast(rp.schema[f"{rprefix}{c}"].dataType).alias(f"{rprefix}{c}")
+            for c in right.columns
+        ],
+    )
+    return inner.unionByName(nulls)
 
 
 def interval_join_group_right(

@@ -38,3 +38,40 @@ def test_auto_falls_back_binned(spark, monkeypatch):
     a = sorted(map(tuple, IJ.interval_join(left, right, strategy="broadcast").collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b
+
+
+def test_interval_join_rejects_unsupported_how(spark):
+    left = spark.createDataFrame(
+        [("chr1", 10, 20)], "contig string, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [("chr1", 15, 25, "x")], "contig string, start long, end long, tag string"
+    )
+    import pytest as _pytest
+    from avocado_spark.operators.interval_join import interval_join
+
+    for how in ("right", "outer", "full", "left_semi"):
+        with _pytest.raises(ValueError, match="unsupported how"):
+            interval_join(left, right, strategy="binned", how=how)
+
+
+def test_interval_join_left_outer_backfill(spark):
+    from avocado_spark.operators.interval_join import interval_join
+
+    left = spark.createDataFrame(
+        [("chr1", 10, 20), ("chr1", 1000, 1010), ("chr2", 5, 9)],
+        "contig string, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [("chr1", 15, 25, "a"), ("chr2", 0, 7, "b")],
+        "contig string, start long, end long, tag string",
+    )
+    for strategy in ("broadcast", "binned"):
+        out = interval_join(left, right, strategy=strategy, how="left")
+        rows = {(r.l_contig, r.l_start, r.r_tag) for r in out.collect()}
+        assert rows == {
+            ("chr1", 10, "a"),
+            ("chr1", 1000, None),  # no overlap -> null right side
+            ("chr2", 5, "b"),
+        }
+        assert out.count() == 3

@@ -99,3 +99,49 @@ def test_score_join_broadcasts(spark):
         assert "FileScan" not in tail.split("BroadcastHashJoin")[0], (
             "nested-loop join over scanned data:\n" + tail[:800]
         )
+
+
+def test_square_off_binned_no_nested_loop(spark):
+    """J5 (SquareOffReferenceModel.scala:87): the one two-big-sides
+    interval join in the engine — must ride the binned equi-keys as a
+    hash/sort-merge join, never a nested loop or cartesian."""
+    plan = plan_of(spark, "gvcf_square_off")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_jointer_e2e_no_nested_loop(spark):
+    """The full genotyper→square-off→recall chain keeps every
+    DATA-carrying join on equi keys end to end. (The score-table
+    generator's Range×Range cross-products are literal grids — the
+    same carve-out as test_score_join_broadcasts.)"""
+    plan = plan_of(spark, "gvcf_jointer_e2e")
+    assert "CartesianProduct" not in plan, plan
+    for sub in _nlj_subtrees(plan):
+        assert "FileScan" not in sub, "nested-loop join over scanned data:\n" + sub[:1200]
+
+
+def _nlj_subtrees(plan: str):
+    """Yield the tree-drawn subtree of each BroadcastNestedLoopJoin node:
+    subsequent lines whose branch marker is indented deeper than the
+    node's own marker (Spark's plan trees indent children by marker
+    column)."""
+    import re
+
+    def marker_col(line: str):
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else None
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        col = marker_col(ln)
+        sub = [ln]
+        for nxt in lines[i + 1 :]:
+            c = marker_col(nxt)
+            if col is not None and c is not None and c <= col:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
