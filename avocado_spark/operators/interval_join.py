@@ -38,6 +38,34 @@ DEFAULT_BIN_WIDTH = 10_000
 # conservative driver-memory contract for the broadcast path (SURVEY §7
 # "hard parts"): fall back to the binned shuffle join above this.
 BROADCAST_MAX_ROWS = 3_000_000
+# 'auto' first consults Catalyst's plan-time size estimate (free — no
+# Spark job); only the gray zone between these bounds pays the bounded
+# count probe. sizeInBytes over-estimates (column-product worst case),
+# so the broadcast bound is generous and the binned bound conservative.
+AUTO_BROADCAST_MAX_BYTES = 128 << 20
+AUTO_BINNED_MIN_BYTES = 4 << 30
+
+
+def _auto_strategy(left: DataFrame) -> str:
+    """Pick broadcast vs binned for the left side: plan-time statistics
+    when decisive, a single bounded count job only in the gray zone
+    (the reference hard-codes the choice per pipeline; callers at scale
+    should too and skip this entirely)."""
+    try:
+        stats_bytes = int(
+            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        stats_bytes = None
+    if stats_bytes is not None and stats_bytes <= AUTO_BROADCAST_MAX_BYTES:
+        return "broadcast"
+    if stats_bytes is not None and stats_bytes >= AUTO_BINNED_MIN_BYTES:
+        return "binned"
+    return (
+        "broadcast"
+        if left.limit(BROADCAST_MAX_ROWS + 1).count() <= BROADCAST_MAX_ROWS
+        else "binned"
+    )
 
 
 def _overlap_cond(left: DataFrame, right: DataFrame, lpre: str, rpre: str) -> Column:
@@ -100,13 +128,7 @@ def interval_join(
     lp, rp = _prefixed(left, lprefix), _prefixed(right, rprefix)
 
     if strategy == "auto":
-        # cheap upper-bound probe; at scale callers should pass an
-        # explicit strategy and skip the count.
-        strategy = (
-            "broadcast"
-            if left.limit(BROADCAST_MAX_ROWS + 1).count() <= BROADCAST_MAX_ROWS
-            else "binned"
-        )
+        strategy = _auto_strategy(left)
 
     if strategy not in ("broadcast", "binned", "nlj"):
         raise ValueError(f"unknown strategy: {strategy}")
@@ -152,7 +174,14 @@ def interval_join(
     # that matched, then a null-extended union — no second interval join
     lcols = [f"{lprefix}{c}" for c in left.columns]
     matched = inner.select(*lcols).dropDuplicates()
-    unmatched = lp.join(matched, on=lcols, how="left_anti")
+    m = _prefixed(matched, "_m")
+    # null-safe equality: a left row with a null non-key column must
+    # still count as matched (plain = would resurrect it in the backfill)
+    anti_cond = None
+    for c in lcols:
+        eq = lp[c].eqNullSafe(m[f"_m{c}"])
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = lp.join(m, on=anti_cond, how="left_anti")
     nulls = unmatched.select(
         *lcols,
         *[

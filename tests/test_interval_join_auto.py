@@ -17,6 +17,7 @@ def _toy(spark, n):
 
 
 def test_auto_picks_broadcast_small(spark, monkeypatch):
+    # small left: plan-time stats alone decide — no count job needed
     left, right = _toy(spark, 50), _toy(spark, 200)
     out = IJ.interval_join(left, right, strategy="auto")
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -24,6 +25,10 @@ def test_auto_picks_broadcast_small(spark, monkeypatch):
 
 
 def test_auto_falls_back_binned(spark, monkeypatch):
+    # force the gray zone (stats bounds collapsed) so the bounded count
+    # probe runs, then make it reject broadcast
+    monkeypatch.setattr(IJ, "AUTO_BROADCAST_MAX_BYTES", -1)
+    monkeypatch.setattr(IJ, "AUTO_BINNED_MIN_BYTES", 1 << 60)
     monkeypatch.setattr(IJ, "BROADCAST_MAX_ROWS", 10)
     left, right = _toy(spark, 50), _toy(spark, 200)
     out = IJ.interval_join(left, right, strategy="auto")
@@ -75,3 +80,21 @@ def test_interval_join_left_outer_backfill(spark):
             ("chr2", 5, "b"),
         }
         assert out.count() == 3
+
+
+def test_interval_join_left_outer_null_payload_no_duplicate(spark):
+    # a matched left row carrying a NULL payload column must not
+    # reappear in the null backfill (null-safe anti-join)
+    from avocado_spark.operators.interval_join import interval_join
+
+    left = spark.createDataFrame(
+        [("chr1", 10, 20, None), ("chr1", 1000, 1010, "k")],
+        "contig string, start long, end long, note string",
+    )
+    right = spark.createDataFrame(
+        [("chr1", 15, 25, "a")],
+        "contig string, start long, end long, tag string",
+    )
+    out = interval_join(left, right, strategy="binned", how="left")
+    rows = [(r.l_start, r.l_note, r.r_tag) for r in out.collect()]
+    assert sorted(rows, key=str) == [(10, None, "a"), (1000, "k", None)]
