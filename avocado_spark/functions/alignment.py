@@ -219,6 +219,7 @@ def site_events(
     qual: str,
     cigar: str,
     md: str,
+    keep: frozenset[int] | None = None,
 ) -> tuple[list[list], int]:
     """E2/E3 — ONE walk_alignment pass per read, emitting every site
     the read attests (BiallelicGenotyper.scala:227-336, Observer.scala:83-135):
@@ -240,6 +241,14 @@ def site_events(
     variant alleles is pure relational work (an equi-join on pos) —
     the read's CIGAR is parsed exactly once no matter how many
     variants it covers.
+
+    ``keep`` restricts emission to the given reference positions (the
+    variant-site pushdown for the discovery→classify path): only rows
+    anchored at a kept position are materialized, so event volume is
+    O(read ∩ variant sites) instead of O(aligned bases). An ins/del
+    whose anchor is not kept is rightly dropped — no variant is keyed
+    there — and deletion-span rows (gVCF evidence only) are skipped
+    entirely under ``keep``.
     """
     pieces = walk_alignment(cigar, md, sequence)
     rows: list[list] = []
@@ -250,6 +259,8 @@ def site_events(
             ref_span = max(ref_span, p.ref_pos + p.length)
             for i in range(p.length):
                 pos = start + p.ref_pos + i
+                if keep is not None and pos not in keep:
+                    continue
                 off = p.read_off + i
                 b = sequence[off].upper()
                 index[pos] = len(rows)
@@ -283,6 +294,8 @@ def site_events(
             if i is None:
                 continue
             rows[i][7] = p.length
+            if keep is not None:
+                continue  # span rows are gVCF-only evidence
             anchor_q = rows[i][4]
             for d in range(p.length):
                 rows.append(

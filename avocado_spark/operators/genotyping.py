@@ -86,7 +86,9 @@ _EVENT_SCHEMA = (
 )
 
 
-def _emit_event_batches(has_fwd: bool):
+def _emit_event_batches(has_fwd: bool, keep: dict[str, frozenset[int]] | None = None):
+    _empty: frozenset[int] = frozenset()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "contig", "pos", "base", "ref_base", "matched", "qual",
@@ -96,9 +98,12 @@ def _emit_event_batches(has_fwd: bool):
         for pdf in batches:
             data = {c: [] for c in cols}
             for r in pdf.itertuples(index=False):
+                ks = None if keep is None else keep.get(r.contig, _empty)
+                if ks is not None and not ks:
+                    continue
                 try:
                     rows, aligned_end = site_events(
-                        int(r.start), r.sequence, r.qual, r.cigar, r.md
+                        int(r.start), r.sequence, r.qual, r.cigar, r.md, keep=ks
                     )
                 except (ValueError, IndexError):
                     continue  # row-level fault isolation (Realigner.scala:97-105)
@@ -123,18 +128,26 @@ def _emit_event_batches(has_fwd: bool):
     return run
 
 
-def read_site_events(reads: DataFrame) -> DataFrame:
+def read_site_events(
+    reads: DataFrame, keep: dict[str, frozenset[int]] | None = None
+) -> DataFrame:
     """E2 — per-read site-event extraction: the ONLY Python stage in the
     genotyping path, one Arrow-batched ``walk_alignment`` pass per read
     (Observer.scala:48-140). Emission is map-side and pipelines straight
     into the broadcast classify join — the exploded rows never shuffle
-    before the per-site aggregation."""
+    before the per-site aggregation.
+
+    ``keep`` (contig → reference positions) pushes the variant-site
+    filter into the emitter: the classify path only needs events at
+    variant anchors, so emission is O(pairs) instead of O(aligned
+    bases) — the same volume the reference's per-pair observer
+    materializes (BiallelicGenotyper.scala:438-466)."""
     has_fwd = "forward_strand" in reads.columns
     cols = ["contig", "start", "sequence", "qual", "cigar", "md", "mapq", "sample_id"]
     if has_fwd:
         cols.append("forward_strand")
     return reads.select(cols).mapInPandas(
-        _emit_event_batches(has_fwd), schema=_EVENT_SCHEMA
+        _emit_event_batches(has_fwd, keep), schema=_EVENT_SCHEMA
     )
 
 
@@ -239,15 +252,38 @@ def classify_observations(
     )
 
 
+# observe_variants collects the variant dim to push its site set into
+# the event emitter; above this row count it stops (same driver-memory
+# contract as the broadcast join it feeds).
+SITE_PUSHDOWN_MAX_VARIANTS = 3_000_000
+
+
 def observe_variants(
     reads: DataFrame, variants: DataFrame, strategy: str = "broadcast"
 ) -> DataFrame:
     """E2+E3 — per-(read, variant) observations: one Arrow event pass
     per read, then the JVM classify join. ``strategy='broadcast'``
     broadcasts the variant dim (discovery's count-prefilter P5 keeps it
-    small); 'binned' falls back to a shuffle equi-join on (contig, pos)
-    for variant sets beyond broadcast reach."""
-    return classify_observations(read_site_events(reads), variants, strategy=strategy)
+    small) AND pushes its (contig, pos) set into the event emitter so
+    only events at variant anchors ever materialize; 'binned' falls
+    back to full emission + shuffle equi-join on (contig, pos) for
+    variant sets beyond broadcast reach."""
+    keep = None
+    if strategy == "broadcast":
+        cols = ["contig", "start", "end", "ref_allele", "alt_allele"]
+        rows = variants.select(cols).limit(SITE_PUSHDOWN_MAX_VARIANTS + 1).collect()
+        if len(rows) <= SITE_PUSHDOWN_MAX_VARIANTS:
+            # rebuild the dim from the collected rows so discovery runs
+            # once (the collect already paid for it), and classify joins
+            # against a local relation Spark auto-broadcasts
+            sites: dict[str, set[int]] = {}
+            for r in rows:
+                sites.setdefault(r["contig"], set()).add(int(r["start"]))
+            keep = {c: frozenset(s) for c, s in sites.items()}
+            variants = reads.sparkSession.createDataFrame(rows, schema=f"""
+                contig string, start long, end long,
+                ref_allele string, alt_allele string""")
+    return classify_observations(read_site_events(reads, keep), variants, strategy=strategy)
 
 
 def attach_ploidy(

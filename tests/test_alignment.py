@@ -129,3 +129,26 @@ def test_het_site(spark):
     g = genotype_sites(spark, obs).collect()[0]
     assert g["gt_state"] == 1
     assert g["read_depth"] == 8
+
+
+def test_site_events_keep_pushdown():
+    from avocado_spark.functions.alignment import site_events
+
+    # 10M2I3M1D5M starting at 100: ins anchored at 109, del anchored at
+    # 112 spanning 113
+    seq = "AAAAAAAAAAGGTTTCCCCC"
+    qual = Q30 * len(seq)
+    cigar, md = "10M2I3M1D5M", "13^A5"
+    full, end_full = site_events(100, seq, qual, cigar, md)
+    for keep in [frozenset({105, 109, 112}), frozenset(), frozenset({999})]:
+        kept, end = site_events(100, seq, qual, cigar, md, keep=keep)
+        assert end == end_full
+        # kept rows identical to the full emission at those positions,
+        # minus deletion-span rows (gVCF-only evidence)
+        expect = [r for r in full if r[0] in keep and r[1] is not None]
+        assert kept == expect
+    # ins/del anchor info survives when the anchor is kept
+    anch = {r[0]: r for r in site_events(100, seq, qual, cigar, md,
+                                         keep=frozenset({109, 112}))[0]}
+    assert anch[109][5] == "GG" and anch[109][6] == 30
+    assert anch[112][7] == 1
