@@ -64,20 +64,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in headline:
         fn = registry.get(name)
         if fn is None:
             continue
         # time the full build+action; isolate per-query cache state so
-        # one query's persisted intermediates don't skew the next
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # one query's persisted intermediates don't skew the next.
+        # best-of-N (default 2) damps GC/codegen jitter — round 1 saw
+        # ±2× single-run variance on the skew-partition pair queries,
+        # which made round-over-round comparison meaningless.
+        best, n = float("inf"), 0
+        for _ in range(max(runs, 1)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            best = min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -87,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": max(runs, 1),
             }
         )
     )
