@@ -1,0 +1,128 @@
+"""Connected components over a pair table — the clustering step a
+dedup pipeline needs AFTER near-dup pair generation (exact/MinHash/
+cosine pairs → duplicate clusters → one canonical doc per cluster).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges
+in O(log² n) rounds on any graph shape, unlike min-label propagation
+whose round count is the graph diameter (a chain of near-dups
+A~B~C~… is exactly the adversarial case a boilerplate corpus
+produces).
+
+Scale stance (100 TB): every round is groupBy-min + equi-join +
+distinct — no collect_list, so a hub node (one doc near-duplicate to
+millions) never materializes its neighborhood as an array; the
+per-round state is an edge set, linear in the input pairs. Lineage is
+truncated per round with ``localCheckpoint`` (on a real cluster with a
+checkpoint dir, reliable ``checkpoint`` — same call shape).
+Convergence is detected with one tiny aggregate action per round
+(count + order-free hash signature of the edge set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) edges → for every node u, attach its strictly-larger
+    neighbors to m(u) = min(Γ(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Keyed by the larger endpoint: attach all smaller neighbors (and
+    the node itself) to the minimum of the neighborhood."""
+    hi_lo = e.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    ).where(F.col("hi") != F.col("lo"))
+    m = hi_lo.groupBy("hi").agg(F.min("lo").alias("m"))
+    attach_lo = hi_lo.join(m, "hi").select(F.col("lo").alias("u"), F.col("m").alias("v"))
+    attach_hi = m.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+    return (
+        attach_lo.unionByName(attach_hi).where(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    """Order-free fingerprint of an edge set: (count, sum of row
+    hashes) in ONE action."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by a pair
+    table → one row per node that appears in any pair:
+
+        (node, component)   with component = min node id reachable
+
+    Raises if the star rounds have not converged after ``max_iter``
+    (2·max_iter ≈ log²-of-astronomical — hitting it means bad input,
+    e.g. non-numeric ids hashing oddly, not a bigger graph)."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # converged edge set is a star forest: (member → root). Roots have
+    # no outgoing edge — they are their own component.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(members, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return members.unionByName(roots)
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "a_id", dst: str = "b_id"
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair table: every document in
+    any pair gets (doc_id, cluster_id = min doc id of its cluster,
+    cluster_size, is_canonical). Keep ``is_canonical`` rows to
+    deduplicate the corpus; at 100 TB this is the broadcast-able
+    kill-list the scan-side anti-join consumes."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("int"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

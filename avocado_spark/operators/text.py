@@ -129,3 +129,64 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_punct.alias("n_punct_tokens"),
         F.round(n_punct.cast("double") / n, 8).alias("punct_ratio"),
     )
+
+
+# Gopher document-quality gate thresholds (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A — the de-facto public baseline rule set for pre-training
+# corpus filtering).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """Gopher-rule quality gate: the composite pre-training corpus
+    filter (word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, minimum stopword hits), emitted as
+    per-rule signals + one ``passes`` verdict.
+
+    One projection, pure JVM expressions — at 100 TB this runs inside
+    the parquet scan's whole-stage-codegen pipeline with zero shuffle,
+    which is the only acceptable cost for a gate every document passes
+    through."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    nd = F.when(n > 0, n.cast("double"))  # null-safe denominator
+    mean_wl = F.aggregate(
+        t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ).cast("double") / nd
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nd
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha.cast("double") / nd
+    stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio > GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_wl, 8).alias("mean_word_len"),
+        F.round(symbol_ratio, 8).alias("symbol_ratio"),
+        F.round(alpha_ratio, 8).alias("alpha_word_ratio"),
+        n_stop.alias("stopword_hits"),
+        F.coalesce(passes, F.lit(False)).alias("passes"),
+    )

@@ -222,10 +222,9 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(aug, ["text"]).select("keep_doc_id", "n_copies")
 
 
-@query(
-    "minhash_dedup_pairs",
-    f"""
-    WITH aug AS ({_AUG_DOCS}),
+# shared minhash-LSH pair CTE chain — `verified` holds the raw pairs;
+# reused by the dedup_clusters oracle's recursive closure below
+_MINHASH_CHAIN = f"""aug AS ({_AUG_DOCS}),
     sh AS (
       SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s
       FROM aug
@@ -255,7 +254,13 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
       FROM cand c JOIN shn sa ON sa.doc_id = c.a_id JOIN shn sb ON sb.doc_id = c.b_id
-    )
+    )"""
+
+
+@query(
+    "minhash_dedup_pairs",
+    f"""
+    WITH {_MINHASH_CHAIN}
     SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0.5
     """,
 )
@@ -265,6 +270,37 @@ def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
     out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM cc
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → alternating large/small-
+    star connected components → (doc, cluster, size, canonical flag).
+    The oracle recomputes the same components with a recursive
+    transitive closure (viable at sf0.01; the star algorithm is the
+    scale path)."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return dedup_clusters(pairs)
 
 
 @query(
@@ -483,3 +519,47 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization + punctuation-ratio quality signal."""
     return TX.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "gopher_quality_gate",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(words, x -> CAST(length(x) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE)
+               / CASE WHEN len(words) > 0 THEN len(words) END AS mean_word_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+               / CASE WHEN len(words) > 0 THEN len(words) END AS symbol_ratio,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / CASE WHEN len(words) > 0 THEN len(words) END AS alpha_word_ratio,
+             len(list_filter(words, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'], x))) AS stopword_hits
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_word_len, 8) AS mean_word_len,
+           ROUND(symbol_ratio, 8) AS symbol_ratio,
+           ROUND(alpha_word_ratio, 8) AS alpha_word_ratio,
+           stopword_hits,
+           COALESCE(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND alpha_word_ratio > 0.8
+                    AND stopword_hits >= 2, false) AS passes
+    FROM sig
+    """,
+)
+def gopher_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule composite quality gate (word-count bounds, mean
+    word length band, symbol ratio, alphabetic fraction, stopword
+    hits) — per-rule signals + pass verdict, all JVM-side."""
+    return TX.gopher_quality(load_table(spark, sf_dir, "documents"))

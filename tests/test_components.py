@@ -1,0 +1,83 @@
+"""Connected-components unit tests: chains (the adversarial diameter
+case for label propagation), hubs, singleton roots, and a randomized
+comparison against a driver-side union-find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from avocado_spark.operators.components import connected_components, dedup_clusters
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # root every node at its component min
+    out: dict[int, int] = {}
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in parent:
+        out[n] = comp_min[find(n)]
+    return out
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    return dict(got) if len(got) == len({n for n, _ in got}) else got
+
+
+def test_chain_converges_fast(spark):
+    # a 40-node chain: label propagation would need 40 rounds;
+    # large/small star must finish well inside the iteration budget
+    edges = [(i, i + 1) for i in range(40)]
+    got = _run(spark, edges)
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_two_components_and_hub(spark):
+    edges = [(10, 11), (11, 12), (20, 21), (10, 13), (10, 14), (10, 15)]
+    got = _run(spark, edges)
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10, 20: 20, 21: 20}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(rng.randrange(30, 80)))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randrange(20, 120))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _run(spark, edges)
+        assert got == _uf_components(edges), f"trial {trial}"
+
+
+def test_dedup_clusters_payload(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a_id long, b_id long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[3]["cluster_id"] == 1
+    assert rows[1]["cluster_size"] == 3 and rows[7]["cluster_size"] == 2
+    assert rows[1]["is_canonical"] and not rows[9]["is_canonical"]
