@@ -181,3 +181,28 @@ def events_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_user": F.max("user_id"),
         },
     )
+
+
+@query(
+    "stream_attribution_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           epoch_us(l.ts) AS l_ts_us,
+           epoch_us(r.ts) AS r_ts_us,
+           CAST(ROUND(r.value * 100) AS BIGINT) AS r_value_c
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+)
+def stream_attribution_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (view → purchase by the same
+    user within 30 min), batch shadow. The streaming path (two
+    watermarked file streams, bounded join state) is exercised in
+    tests/test_streaming.py."""
+    return EV.attribution_join(load_table(spark, sf_dir, "events"))

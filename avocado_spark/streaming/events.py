@@ -248,3 +248,51 @@ def running_total_batch(events: DataFrame) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("running_total_c"),
     )
+
+
+def attribution_join(
+    events: DataFrame,
+    trigger_events: DataFrame | None = None,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition — the
+    attribution primitive (view → purchase by the same user within
+    ``within``). The one streaming join shape whose state Spark can
+    bound: both sides watermarked + an event-time range predicate lets
+    the engine evict matched/expired rows instead of buffering both
+    streams forever (state ≈ rows inside the watermark horizon).
+
+    Works identically on batch inputs (the oracle path): the same plan
+    is a pure interval equi-join on user_id with a range conjunct."""
+    src = trigger_events if trigger_events is not None else events
+    left = events.where(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    right = src.where(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    if left.isStreaming:
+        left = left.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        right = right.withWatermark("r_ts", watermark)
+    cond = (
+        (left["user_id"] == right["r_user_id"])
+        & (right["r_ts"] >= left["l_ts"])
+        & (right["r_ts"] <= left["l_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner").select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+        F.round(F.col("r_value") * 100).cast("bigint").alias("r_value_c"),
+    )

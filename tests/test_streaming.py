@@ -81,3 +81,13 @@ def test_streaming_sliding_matches_batch(spark, events_stream):
     batch = EV.sliding_agg(load_table(spark, SF_SMOKE, "events"))
     out = _run_stream(spark, EV.sliding_agg(events_stream), "t_sliding", "complete")
     assert _rows(out) == _rows(batch)
+
+
+def test_streaming_attribution_join_matches_batch(spark, events_stream):
+    # stream-stream inner join with time-range condition: both sides
+    # watermarked, so join state is bounded by the horizon
+    stream = EV.attribution_join(events_stream, trigger_events=events_stream)
+    assert stream.isStreaming
+    out = _run_stream(spark, stream, "t_attrib", "append")
+    batch = EV.attribution_join(load_table(spark, SF_SMOKE, "events"))
+    assert _rows(out) == _rows(batch)
