@@ -144,6 +144,11 @@ def _lsh_candidates(
             .where(F.col("_bsz") <= max_band_bucket)
             .drop("_bsz")
         )
+    # the self-join reads this twice and Spark does not reuse the
+    # window exchange across sides — persist so the signature fold +
+    # band explode + bucket count run ONCE (at cluster scale: write
+    # out / bucket the band table instead)
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     join_keys = [*extra_keys, "band", "key"]
     return (
         bands.alias("a")
@@ -269,7 +274,12 @@ def ngram_jaccard_pairs(
     )
     if max_block_rows is not None:
         w = Window.partitionBy(*block_cols)
-        sized = sh.withColumn("_blk", F.count("*").over(w))
+        # persist the sized table: the pairwise join reads `small`
+        # twice and the LSH route reads `big` up to three times — the
+        # block-size window should run once
+        sized = sh.withColumn("_blk", F.count("*").over(w)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         small = sized.where(F.col("_blk") <= max_block_rows).drop("_blk")
         big = sized.where(F.col("_blk") > max_block_rows).drop("_blk")
     else:
@@ -349,7 +359,10 @@ def embedding_dup_pairs(
     e = embeddings.select("vec_id", block_col, v).withColumn("nrm", norm(F.col("v")))
     if max_block_rows is not None:
         w = Window.partitionBy(block_col)
-        sized = e.withColumn("_blk", F.count("*").over(w))
+        # persist: both pairwise sides re-read the normed+sized table
+        sized = e.withColumn("_blk", F.count("*").over(w)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         small = sized.where(F.col("_blk") <= max_block_rows).drop("_blk")
         big = sized.where(F.col("_blk") > max_block_rows).drop("_blk")
     else:

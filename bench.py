@@ -38,9 +38,12 @@ def main() -> None:
         "cnv_point_lookup",
         "fisher_strand_bias",
         "minhash_dedup_pairs",
+        "dedup_clusters",
         "ngram_jaccard_pairs",
         "embedding_dup_pairs",
         "exact_dedup",
+        "gopher_quality_gate",
+        "stream_attribution_join",
         "ann_topk_cosine",
         "ann_srp_bucketed",
         "biallelic_pipeline",
