@@ -175,3 +175,47 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    method: str = "srp",
+    **method_kwargs,
+) -> DataFrame:
+    """Recall@k of an ANN method against the exact brute-force top-k —
+    the quality gauge every approximate index needs before it replaces
+    the exact scan in a retrieval pipeline:
+
+        (q_id, n_exact, n_hits, recall)
+
+    Scale shape: the exact arm stays a deliberately small QUERY SAMPLE
+    (recall is a statistical estimate — you never brute-force the full
+    corpus), the ANN arm is the production plan being judged; both
+    fan in through one (q_id, n_id) equi-join + per-query count."""
+    if method == "srp":
+        ann = srp_lsh_topk(embeddings, queries, k=k, **method_kwargs)
+    elif method == "ivf":
+        ann = ivf_topk(embeddings, queries, k=k, **method_kwargs)
+    else:
+        raise ValueError(f"unknown ANN method: {method}")
+    exact = brute_force_topk(embeddings, queries, k=k)
+    ex = exact.select("q_id", "n_id")
+    hits = (
+        ex.join(ann.select("q_id", "n_id"), ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+    per_q = ex.groupBy("q_id").agg(F.count("*").cast("int").alias("n_exact"))
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -711,6 +711,7 @@ _GATE_PRIORITY = [
     "events_props_parse", "events_salted_agg",
     # (2) round-2 differentials
     "dedup_clusters", "gopher_quality_gate", "stream_attribution_join",
+    "ann_recall_eval",
     "biallelic_pipeline_indel", "gvcf_all_sites_indel", "biallelic_cnv_ploidy",
     "gvcf_jointer_e2e", "trio_from_reads", "prefilter_reads_preset",
     # (3) genotyping core + cohort chain (core reworked in round 2)

@@ -427,6 +427,55 @@ def ann_srp_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
 
 
+@query(
+    "ann_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 25),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e.v")}, 9) DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+      ) WHERE rank <= 5
+    ),
+    bucketed AS (
+      SELECT vec_id, v,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [v[d] * CAST(((h * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
+                        for d in generate_series(1, len(v))]), (x, y) -> x + y) >= 0
+                     THEN (CAST(1 AS BIGINT) << (h-1)) ELSE CAST(0 AS BIGINT) END
+                for h in generate_series(1, 8)]),
+               (x, y) -> x + y) AS bucket
+      FROM e
+    ),
+    ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "b.v")}, 9) DESC, b.vec_id) AS rank
+        FROM bucketed q JOIN bucketed b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+        WHERE q.vec_id < 25
+      ) WHERE rank <= 5
+    )
+    SELECT x.q_id,
+           CAST(COUNT(*) AS INTEGER) AS n_exact,
+           CAST(COUNT(a.n_id) AS INTEGER) AS n_hits,
+           ROUND(CAST(COUNT(a.n_id) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact x LEFT JOIN ann a ON x.q_id = a.q_id AND x.n_id = a.n_id
+    GROUP BY x.q_id
+    """,
+)
+def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of SRP-bucketed ANN vs the exact brute-force top-5
+    over a 25-query sample — the quality gauge for the approximate
+    index family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25), k=5, method="srp")
+
+
 @query("multimodal_features")  # no SQL oracle: sha256 feature stand-in
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata +
