@@ -145,3 +145,39 @@ def _nlj_subtrees(plan: str):
                 break
             sub.append(nxt)
         yield "\n".join(sub)
+
+
+def test_attribution_join_is_equi_not_nlj(spark):
+    """Stream-stream attribution join's batch shadow: the user_id
+    equality must drive a hash/merge join — a nested-loop over two
+    event streams is the scale failure."""
+    plan = plan_of(spark, "stream_attribution_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_gopher_gate_no_shuffle(spark):
+    """The quality gate every document passes through must run inside
+    the scan pipeline: no Exchange in the plan at all."""
+    plan = plan_of(spark, "gopher_quality_gate")
+    assert "Exchange" not in plan
+    # HOF lambdas are CodegenFallback, so no codegen span to assert;
+    # shape is one Project pipelined on one scan
+    assert plan.count("FileScan") == 1
+
+
+def test_components_round_no_cartesian(spark):
+    """One large-star/small-star round must stay equi-join + partial
+    agg — no cartesian, no nested loop."""
+    from avocado_spark.operators.components import _large_star, _small_star
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    out = _small_star(_large_star(e))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
