@@ -86,10 +86,16 @@ _EVENT_SCHEMA = (
 )
 
 
-def _emit_event_batches(has_fwd: bool, keep: dict[str, frozenset[int]] | None = None):
+def _emit_event_batches(has_fwd: bool, keep_bc=None):
+    """``keep_bc`` is a ``pyspark.Broadcast`` of the contig→site-set
+    pushdown map (or None). Shipping it as a broadcast variable means
+    each executor fetches the (potentially multi-hundred-MB at the 3M
+    cap) map ONCE via the torrent protocol instead of re-pickling it
+    into every task closure."""
     _empty: frozenset[int] = frozenset()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keep = None if keep_bc is None else keep_bc.value
         cols = [
             "contig", "pos", "base", "ref_base", "matched", "qual",
             "ins_bases", "ins_qual", "del_len", "read_end", "mapq",
@@ -146,8 +152,11 @@ def read_site_events(
     cols = ["contig", "start", "sequence", "qual", "cigar", "md", "mapq", "sample_id"]
     if has_fwd:
         cols.append("forward_strand")
+    keep_bc = None
+    if keep is not None:
+        keep_bc = reads.sparkSession.sparkContext.broadcast(keep)
     return reads.select(cols).mapInPandas(
-        _emit_event_batches(has_fwd, keep), schema=_EVENT_SCHEMA
+        _emit_event_batches(has_fwd, keep_bc), schema=_EVENT_SCHEMA
     )
 
 
@@ -267,7 +276,15 @@ def observe_variants(
     small) AND pushes its (contig, pos) set into the event emitter so
     only events at variant anchors ever materialize; 'binned' falls
     back to full emission + shuffle equi-join on (contig, pos) for
-    variant sets beyond broadcast reach."""
+    variant sets beyond broadcast reach.
+
+    If the variant set exceeds ``SITE_PUSHDOWN_MAX_VARIANTS`` the
+    broadcast strategy AUTO-DEMOTES to 'binned': the driver-memory
+    contract that bounds the collect also bounds the broadcast, so
+    forcing ``F.broadcast`` past it would recreate exactly the OOM the
+    cap exists to prevent (the reference enforces the same bound by
+    construction in its driver-side TreeRegionJoin collect,
+    TreeRegionJoin.scala:43-50)."""
     keep = None
     if strategy == "broadcast":
         cols = ["contig", "start", "end", "ref_allele", "alt_allele"]
@@ -280,10 +297,53 @@ def observe_variants(
             for r in rows:
                 sites.setdefault(r["contig"], set()).add(int(r["start"]))
             keep = {c: frozenset(s) for c, s in sites.items()}
-            variants = reads.sparkSession.createDataFrame(rows, schema=f"""
+            variants = reads.sparkSession.createDataFrame(rows, schema="""
                 contig string, start long, end long,
                 ref_allele string, alt_allele string""")
+        else:
+            strategy = "binned"  # over the driver cap: shuffle, don't broadcast
     return classify_observations(read_site_events(reads, keep), variants, strategy=strategy)
+
+
+def _disjoint_cnv_segments(cnv: DataFrame) -> DataFrame:
+    """Boundary-sweep the (small) CNV interval dim into disjoint
+    segments: every start/end becomes a breakpoint, each inter-breakpoint
+    segment takes the MIN copy number of the intervals covering it
+    (conservative overlap resolution; the reference's CopyNumberMap
+    assumes non-overlap by construction, CopyNumberMap.scala:45-111).
+    Output columns: cnv_contig, cnv_start, cnv_end, cnv_cn."""
+    from pyspark.sql.window import Window
+
+    pts = (
+        cnv.select("contig", F.explode(F.array("start", "end")).alias("pt"))
+        .distinct()
+    )
+    w = Window.partitionBy("contig").orderBy("pt")
+    segs = pts.select(
+        "contig",
+        F.col("pt").alias("seg_start"),
+        F.lead("pt").over(w).alias("seg_end"),
+    ).where(F.col("seg_end").isNotNull())
+    covered = segs.join(
+        cnv.select(
+            F.col("contig").alias("c2"),
+            F.col("start").alias("iv_start"),
+            F.col("end").alias("iv_end"),
+            "copy_number",
+        ),
+        (F.col("contig") == F.col("c2"))
+        & (F.col("seg_start") >= F.col("iv_start"))
+        & (F.col("seg_end") <= F.col("iv_end")),
+        "inner",
+    )
+    return covered.groupBy("contig", "seg_start", "seg_end").agg(
+        F.min("copy_number").alias("cnv_cn")
+    ).select(
+        F.col("contig").alias("cnv_contig"),
+        F.col("seg_start").alias("cnv_start"),
+        F.col("seg_end").alias("cnv_end"),
+        "cnv_cn",
+    )
 
 
 def attach_ploidy(
@@ -307,13 +367,15 @@ def attach_ploidy(
         F.least(F.min("copy_number"), F.lit(base_ploidy)).alias("lo"),
         F.greatest(F.max("copy_number"), F.lit(base_ploidy)).alias("hi"),
     ).first()
-    lo, hi = max(int(ext["lo"]), 1), int(ext["hi"])
-    iv = cnv.select(
-        F.col("contig").alias("cnv_contig"),
-        F.col("start").alias("cnv_start"),
-        F.col("end").alias("cnv_end"),
-        F.col("copy_number").alias("cnv_cn"),
-    )
+    lo = max(int(ext["lo"]) if ext["lo"] is not None else base_ploidy, 1)
+    hi = int(ext["hi"]) if ext["hi"] is not None else base_ploidy
+    # Flatten the CNV dim into DISJOINT segments first (boundary sweep +
+    # min-copy-number resolution for overlaps) so the broadcast left
+    # join matches each observation AT MOST once — overlapping input
+    # intervals would otherwise duplicate every observation they cover,
+    # inflating depth/likelihood sums. All window work happens on the
+    # tiny dim, never on observations.
+    iv = _disjoint_cnv_segments(cnv)
     o = observations
     joined = o.join(
         F.broadcast(iv),
@@ -364,7 +426,9 @@ def genotype_sites(
         obs, lo, hi = attach_ploidy(obs, cnv, base_ploidy)
     else:
         ext = obs.agg(F.min("ploidy").alias("lo"), F.max("ploidy").alias("hi")).first()
-        lo, hi = int(ext["lo"]), int(ext["hi"])
+        # empty observation frame → null extremes; fall back to base
+        lo = int(ext["lo"]) if ext["lo"] is not None else base_ploidy
+        hi = int(ext["hi"]) if ext["hi"] is not None else base_ploidy
 
     scores = score_table(spark, min_ploidy=lo, max_ploidy=hi)
     obs = obs.withColumn(

@@ -135,6 +135,13 @@ def interval_join(
 
     if strategy == "nlj":
         # plain theta join — kept for plan comparison/debugging only
+        if how == "left":
+            # left-preserving: lp must be the streamed/preserved side
+            # (rp.join(lp, ..., 'left') would preserve RIGHT rows — the
+            # inverse of the documented contract)
+            return lp.join(rp, _overlap_cond(lp, rp, lprefix, rprefix), "left").select(
+                *[lp[c] for c in lp.columns], *[rp[c] for c in rp.columns]
+            )
         return rp.join(F.broadcast(lp), _overlap_cond(lp, rp, lprefix, rprefix), how).select(
             *[lp[c] for c in lp.columns], *[rp[c] for c in rp.columns]
         )

@@ -118,27 +118,33 @@ DERIVED_SQL = {
 }
 
 
-# applicationId → sf_dir currently backing the temp views. Registration
+# session → sf_dir currently backing the temp views. Registration
 # re-reads 10 parquet footers; doing it once per (session, sf_dir
 # switch) — not once per query — keeps driver-gate and bench timings
 # honest (the r01 bench charged ~7s of view re-registration overhead
-# across queries). Views are session-global, so a *different* sf_dir
-# always re-registers.
-_REGISTERED: dict[str, str] = {}
+# across queries). Keyed by id(session), NOT applicationId: temp views
+# are SparkSession-scoped, and a spark.newSession() sibling shares the
+# applicationId but not the views. A tableExists probe also re-registers
+# if an external dropTempView cleared them under the cache.
+_REGISTERED: dict[int, str] = {}
 
 
 def register_raw_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register the driver parquet tables as temp views (S1-S4), once
     per (session, sf_dir)."""
-    app = spark.sparkContext.applicationId
-    if _REGISTERED.get(app) == sf_dir and not force:
+    key = id(spark)
+    if (
+        _REGISTERED.get(key) == sf_dir
+        and not force
+        and spark.catalog.tableExists(RAW_TABLES[0])
+    ):
         return
     for name in RAW_TABLES:
         try:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         except Exception:
             pass  # some sf dirs may lack optional tables
-    _REGISTERED[app] = sf_dir
+    _REGISTERED[key] = sf_dir
 
 
 def derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

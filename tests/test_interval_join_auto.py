@@ -71,7 +71,7 @@ def test_interval_join_left_outer_backfill(spark):
         [("chr1", 15, 25, "a"), ("chr2", 0, 7, "b")],
         "contig string, start long, end long, tag string",
     )
-    for strategy in ("broadcast", "binned"):
+    for strategy in ("broadcast", "binned", "nlj"):
         out = interval_join(left, right, strategy=strategy, how="left")
         rows = {(r.l_contig, r.l_start, r.r_tag) for r in out.collect()}
         assert rows == {
