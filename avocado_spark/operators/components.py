@@ -63,6 +63,28 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """Structural convergence proof: the star rounds' fixed points are
+    exactly the min-rooted star forests, i.e. (1) every member u points
+    to a single root and (2) no root v is itself a member. Because the
+    rounds only contract connectivity (never split it), a star-forest
+    edge set IS the component map — so this check makes termination
+    proof-positive where the hash signature alone is probabilistic
+    (a ~2^-64 collision could otherwise freeze a wrong labeling)."""
+    multi_root = (
+        e.groupBy("u").agg(F.count("*").alias("n")).where(F.col("n") > 1).limit(1).count()
+    )
+    if multi_root:
+        return False
+    root_is_member = (
+        e.select("v")
+        .join(e.select(F.col("u").alias("v")), "v", "left_semi")
+        .limit(1)
+        .count()
+    )
+    return root_is_member == 0
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "a_id",
@@ -91,7 +113,9 @@ def connected_components(
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _signature(e)
-        if new_sig == sig:
+        # cheap signature equality gates the (slightly dearer) structural
+        # proof; only a star-forest-confirmed state terminates the loop
+        if new_sig == sig and _is_star_forest(e):
             break
         sig = new_sig
     else:

@@ -704,14 +704,18 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline family, (5) kernels/relational ops unchanged and green
 # since round 1 (safe to drop under a cap).
 _GATE_PRIORITY = [
-    # (1) never-covered by a driver round yet
-    "ann_ivf_probed", "token_count_bpe", "multimodal_frame_sample",
-    "multimodal_features", "stream_tumbling_hourly", "stream_sliding_30m",
+    # (0) round-3 differentials: sink read-backs (last §2 evidence gap),
+    # multi-allelic fidelity, multimodal oracle upgrade, new telemetry
+    "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
+    "biallelic_multiallelic", "multimodal_features", "dedup_cap_stats",
+    "ann_recall_eval", "ann_ivf_probed",
+    # (1) never covered / reworked lately
+    "token_count_bpe", "multimodal_frame_sample",
+    "stream_tumbling_hourly", "stream_sliding_30m",
     "stream_session_windows", "stream_dedup_first", "stream_running_total",
     "events_props_parse", "events_salted_agg",
     # (2) round-2 differentials
     "dedup_clusters", "gopher_quality_gate", "stream_attribution_join",
-    "ann_recall_eval",
     "biallelic_pipeline_indel", "gvcf_all_sites_indel", "biallelic_cnv_ploidy",
     "gvcf_jointer_e2e", "trio_from_reads", "prefilter_reads_preset",
     # (3) genotyping core + cohort chain (core reworked in round 2)
@@ -745,12 +749,22 @@ def _gate_ordered(d: dict) -> dict:
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for registration side effects
-    from avocado_spark import queries_genomic, queries_pipeline, queries_streaming  # noqa: F401
+    from avocado_spark import (  # noqa: F401
+        queries_genomic,
+        queries_pipeline,
+        queries_sinks,
+        queries_streaming,
+    )
 
     return _gate_ordered(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
-    from avocado_spark import queries_genomic, queries_pipeline, queries_streaming  # noqa: F401
+    from avocado_spark import (  # noqa: F401
+        queries_genomic,
+        queries_pipeline,
+        queries_sinks,
+        queries_streaming,
+    )
 
     return _gate_ordered(ORACLES)

@@ -1,0 +1,115 @@
+"""Sink read-back differentials (SURVEY §2.1 S4-S7, §2.6 O3/O4).
+
+The reference exercises its sinks inside every CLI command
+(avocado-cli/.../Jointer.scala:137-145, Reassemble.scala:86); these
+queries do the Spark-native equivalent: WRITE parquet through
+``sources/io.py`` inside the query, READ it back, and hand the driver a
+result whose hash can only match the oracle if the sink round-tripped
+values, partitioning metadata, and (for the sorted sink) physical row
+order faithfully.
+
+Each query writes to a fresh ``tempfile.mkdtemp`` dir; the returned
+DataFrame stays lazy over those files, which persist for the session.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avocado_spark import tables
+from avocado_spark.queries import query
+from avocado_spark.sources import io as IO
+
+_READS = tables.oracle_cte("reads_rel")
+
+
+@query(
+    "sink_roundtrip_partitioned",
+    f"""
+    WITH reads_rel AS ({_READS})
+    SELECT read_id, contig, start, mapq
+    FROM reads_rel
+    WHERE start < 50000
+    """,
+)
+def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S7 + O3 + S8 — hive-partitioned parquet sink with an explicit
+    output-partition-count hint, then a pushdown read-back: the
+    partition column (``contig``) leaves the data files entirely and
+    must be reconstructed from directory keys on scan; projection +
+    predicate reach the read-back scan (write path
+    avocado-cli/.../BiallelicGenotyper.scala:285, partition hint
+    BiallelicGenotyper.scala:90-97)."""
+    df = tables.derived(spark, sf_dir, "reads_rel")
+    root = os.path.join(tempfile.mkdtemp(prefix="avocado_sink_"), "reads")
+    IO.write_parquet(df, root, partition_by=["contig"], num_partitions=4)
+    return IO.scan_parquet(
+        spark,
+        root,
+        columns=["read_id", "contig", "start", "mapq"],
+        predicate=F.col("start") < 50000,
+    )
+
+
+@query(
+    "sink_glob_union",
+    f"""
+    WITH reads_rel AS ({_READS})
+    SELECT sample_id, COUNT(*) AS n_reads,
+           CAST(SUM(start) AS BIGINT) AS sum_start,
+           CAST(SUM(mapq) AS BIGINT) AS sum_mapq
+    FROM reads_rel
+    WHERE sample_id IN ('s0', 's1')
+    GROUP BY sample_id
+    """,
+)
+def sink_glob_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + O3 — two independently-written parquet datasets (the
+    reference's per-sample gVCF outputs, Jointer.scala:107-111) scanned
+    back as ONE logical relation via the glob union scan, then rolled
+    up per sample: the counts/sums only match if the union saw every
+    row of both sinks exactly once."""
+    df = tables.derived(spark, sf_dir, "reads_rel")
+    base = tempfile.mkdtemp(prefix="avocado_glob_")
+    p0, p1 = os.path.join(base, "s0"), os.path.join(base, "s1")
+    IO.write_parquet(df.where(F.col("sample_id") == "s0"), p0, num_partitions=2)
+    IO.write_parquet(df.where(F.col("sample_id") == "s1"), p1, num_partitions=2)
+    back = IO.scan_parquet_glob(spark, [p0, p1])
+    return back.groupBy("sample_id").agg(
+        F.count("*").alias("n_reads"),
+        F.sum("start").cast("bigint").alias("sum_start"),
+        F.sum("mapq").cast("bigint").alias("sum_mapq"),
+    )
+
+
+@query(
+    "sink_sorted_single_file",
+    f"""
+    WITH reads_rel AS ({_READS})
+    SELECT read_id, contig, start,
+           ROW_NUMBER() OVER (ORDER BY contig, start, read_id) - 1 AS file_order
+    FROM reads_rel
+    WHERE mapq >= 80
+    """,
+)
+def sink_sorted_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + O4 — the saveAsVcf `-single` sorted sink
+    (Jointer.scala:73-86,137-145): range-partitioned total sort,
+    coalesced to ONE parquet file. The read-back tags each row with its
+    physical file position; the hash only matches the oracle's
+    ROW_NUMBER if (a) exactly one file was written and (b) its rows are
+    in total (contig, start, read_id) order — physical sortedness is
+    part of the differential, not just the values."""
+    df = tables.derived(spark, sf_dir, "reads_rel").where(F.col("mapq") >= 80)
+    out = os.path.join(tempfile.mkdtemp(prefix="avocado_sorted_"), "sorted")
+    IO.write_sorted(df, out, order_by=["contig", "start", "read_id"], single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1, f"single-file sink wrote {len(files)} files"
+    back = spark.read.parquet(out).coalesce(1)
+    return back.select(
+        "read_id", "contig", "start", F.monotonically_increasing_id().alias("file_order")
+    )

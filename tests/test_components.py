@@ -73,6 +73,33 @@ def test_random_graphs_match_union_find(spark):
         assert got == _uf_components(edges), f"trial {trial}"
 
 
+def test_star_forest_check(spark):
+    from avocado_spark.operators.components import _is_star_forest
+
+    # min-rooted star forest: accepted
+    star = spark.createDataFrame([(2, 1), (3, 1), (9, 7)], "u long, v long")
+    assert _is_star_forest(star)
+    # chain: root 2 is itself a member → rejected
+    chain = spark.createDataFrame([(3, 2), (2, 1)], "u long, v long")
+    assert not _is_star_forest(chain)
+    # member with two roots → rejected
+    multi = spark.createDataFrame([(3, 1), (3, 2)], "u long, v long")
+    assert not _is_star_forest(multi)
+
+
+def test_adversarial_long_chain_shuffled_ids(spark):
+    # 120-node chain with ids permuted so min-rooting can't ride the
+    # edge order; termination must come from the structural proof, not
+    # a lucky signature
+    rng = random.Random(13)
+    ids = list(range(1000, 1120))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    got = _run(spark, edges)
+    lo = min(ids)
+    assert got == {n: lo for n in ids}
+
+
 def test_dedup_clusters_payload(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9)], "a_id long, b_id long"
