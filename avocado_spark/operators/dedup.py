@@ -105,6 +105,29 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
+def _band_table(
+    sh: DataFrame, shingle_col: str = "shingles", extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """(keys..., doc_id, band, key): MinHash signature → banded keys —
+    the shared pre-cap stage of candidate generation and cap telemetry."""
+    sig = sh.select(
+        *extra_keys, "doc_id", minhash_signature(F.col(shingle_col)).alias("sig")
+    )
+    return sig.select(
+        *extra_keys,
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(*extra_keys, "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def _lsh_candidates(
     sh: DataFrame,
     shingle_col: str = "shingles",
@@ -119,22 +142,7 @@ def _lsh_candidates(
     of size n yields n(n−1)/2 pairs, so without the cap one degenerate
     key turns the join quadratic — AQE splits partitions, not the pair
     count. With it, every bucket contributes ≤ cap²/2 pairs."""
-    sig = sh.select(
-        *extra_keys, "doc_id", minhash_signature(F.col(shingle_col)).alias("sig")
-    )
-    bands = sig.select(
-        *extra_keys,
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(*extra_keys, "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _band_table(sh, shingle_col=shingle_col, extra_keys=extra_keys)
     if max_band_bucket is not None:
         # one window count on the same (band, key) partitioning the
         # self-join shuffles on anyway — no extra shuffle stage
@@ -398,3 +406,50 @@ def embedding_dup_pairs(
         return exact
     routed = pairwise(big.withColumn("_bucket", srp_bucket(F.col("v"))), ["_bucket"])
     return exact.unionByName(routed)
+
+
+def dedup_cap_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    max_band_bucket: int = MAX_BAND_BUCKET,
+    max_block_rows: int = MAX_BLOCK_ROWS,
+) -> DataFrame:
+    """Telemetry side-output for the dedup family's safety caps: what
+    did the hot-bucket drop (`_lsh_candidates`) and the oversized-block
+    LSH re-route (`ngram_jaccard_pairs`) actually exclude?
+
+    One row per capped path:
+        (path, n_groups, n_groups_over_cap, n_rows_over_cap)
+
+    The caps themselves act silently at the operator level (the right
+    behavior for the hot path); a 100-TB run schedules this beside the
+    dedup job — same single scan shape, two tiny global aggregates — so
+    excluded volume is observable, alarmable, and attributable before
+    anyone trusts the pair counts downstream."""
+    sh3 = (
+        docs.select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    bsz = _band_table(sh3).groupBy("band", "key").agg(F.count("*").alias("n"))
+    over = F.col("n") > max_band_bucket
+    lsh = bsz.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_groups_over_cap"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias("n_rows_over_cap"),
+    ).select(F.lit("lsh_band_buckets").alias("path"), "*")
+
+    if block_cols is None:
+        return lsh
+    sh2 = (
+        docs.select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=2).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    blk = sh2.groupBy(*block_cols).agg(F.count("*").alias("n"))
+    bover = F.col("n") > max_block_rows
+    blocks = blk.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(bover, 1).otherwise(0)).cast("long").alias("n_groups_over_cap"),
+        F.sum(F.when(bover, F.col("n")).otherwise(0)).cast("long").alias("n_rows_over_cap"),
+    ).select(F.lit("ngram_blocks").alias("path"), "*")
+    return lsh.unionByName(blocks)

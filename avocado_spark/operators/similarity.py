@@ -177,6 +177,124 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+QUANT = 1_000_000.0
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """vec_id, v (original doubles), w (integer-quantized doubles).
+    Training/assignment run in w-space: every group-SUM over w is a sum
+    of integer-valued doubles — EXACT, so the trained centroids are
+    bit-identical in Spark and DuckDB regardless of aggregation order
+    (array dot-product folds are ordered in both engines already)."""
+    v = _as_double("embedding")
+    return embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(v, lambda x: F.round(x * QUANT)).alias("w"),
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 4,
+    sample_mod: int = 2,
+) -> DataFrame:
+    """Deterministic sampled k-means (Lloyd) coarse quantizer: init =
+    first ``n_centroids`` vectors, ``n_iters`` fixed assign/mean rounds
+    over the ``vec_id % sample_mod == 0`` sample. Fixed iteration count
+    + deterministic ties (cos desc, c_id) + exact integer-space sums
+    make the codebook replayable in SQL — a *trained* quantizer that
+    still honors the differential-oracle contract.
+
+    Scale shape: per round, one broadcast of n_centroids rows against
+    the sample (no shuffle of the big side) and a (c_id, dim) partial
+    agg; the 8-row centroid table localCheckpoints so the lineage stays
+    flat across rounds."""
+    qv = _quantized(embeddings).select("vec_id", "w")
+    cents = qv.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("w").alias("c_v")
+    )
+    sample = qv.where(F.col("vec_id") % sample_mod == 0)
+    for _ in range(n_iters):
+        scored = sample.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "w",
+            "c_id",
+            cosine_with_norms(
+                F.col("w"), F.col("c_v"), norm(F.col("w")), norm(F.col("c_v"))
+            ).alias("c_cos"),
+        )
+        wnd = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+        assigned = scored.withColumn("r", F.row_number().over(wnd)).where(F.col("r") == 1)
+        dims = assigned.select("c_id", F.posexplode("w").alias("pos", "val"))
+        means = dims.groupBy("c_id", "pos").agg(
+            (F.sum("val") / F.count("*")).alias("m")
+        )
+        newc = means.groupBy("c_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c_v_new")
+        )
+        cents = (
+            cents.join(newc, "c_id", "left")
+            .select("c_id", F.coalesce("c_v_new", "c_v").alias("c_v"))
+            .localCheckpoint(eager=True)  # empty cells keep their centroid
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 4,
+    sample_mod: int = 2,
+) -> DataFrame:
+    """IVF ANN over the sampled-k-means codebook: assignment runs in
+    the quantized space (same space the codebook was trained in), the
+    final re-rank uses the original doubles — identical output contract
+    to ``ivf_topk``."""
+    cents = train_ivf_centroids(
+        embeddings, n_centroids=n_centroids, n_iters=n_iters, sample_mod=sample_mod
+    )
+    qv = _quantized(embeddings)
+
+    def assign(df: DataFrame, id_out: str, v_out: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_out),
+            F.col("v").alias(v_out),
+            "c_id",
+            cosine_with_norms(
+                F.col("w"), F.col("c_v"), norm(F.col("w")), norm(F.col("c_v"))
+            ).alias("c_cos"),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.col("c_cos").desc(), F.col("c_id"))
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .where(F.col("c_rank") <= keep)
+            .select(id_out, v_out, "c_id")
+        )
+
+    base = assign(qv, "n_id", "n_v", keep=1)
+    q = assign(qv.join(queries.select("vec_id"), "vec_id"), "q_id", "q_v", keep=n_probe)
+    pairs = q.join(base, "c_id").where(F.col("q_id") != F.col("n_id"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(
+                F.col("q_v"), F.col("n_v"), norm(F.col("q_v")), norm(F.col("n_v"))
+            ),
+            9,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def recall_eval(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -198,6 +316,8 @@ def recall_eval(
         ann = srp_lsh_topk(embeddings, queries, k=k, **method_kwargs)
     elif method == "ivf":
         ann = ivf_topk(embeddings, queries, k=k, **method_kwargs)
+    elif method == "ivf_kmeans":
+        ann = ivf_kmeans_topk(embeddings, queries, k=k, **method_kwargs)
     else:
         raise ValueError(f"unknown ANN method: {method}")
     exact = brute_force_topk(embeddings, queries, k=k)

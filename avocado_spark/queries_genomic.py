@@ -1549,3 +1549,139 @@ def prefilter_reads_preset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "read_id", "contig", "start", "mapq", "sample_id",
         "mate_contig", "mate_start", "mate_mapped",
     )
+
+
+# ==========================================================================
+# Round 3: multi-allelic shared-anchor differential (VERDICT r02 ask #3)
+# ==========================================================================
+
+# Multi-allelic hotspot reads: all-'A' genome, hotspots every 97 (reads
+# ≤49 bp cover at most one). Reads split into three classes by id % 3:
+# class 1 carries a G mismatch at the hotspot, class 2 carries a T at
+# the SAME anchor, class 0 is reference. Each (site, allele) with >2
+# carriers is discovered, so most lattice sites host TWO variants at
+# one position — the overlapping-observation case where the reference's
+# OTHER_ALT correction applies (BiallelicGenotyper.scala:297-336): a T
+# read scored against the A→G variant attests a third allele, so it
+# counts toward depth and other_read_depth but is EXCLUDED from the
+# biallelic likelihood.
+READS_HOT_MULTI_SQL = """
+SELECT
+  oid AS read_id, contig, start, start + read_len AS end,
+  read_len, phred, mapq, sample_id, hot, carrier_class, alt_base,
+  (hot - start < read_len) AS covered,
+  (hot - start < read_len AND carrier_class <> 0) AS is_carrier,
+  concat(CAST(read_len AS STRING), 'M') AS cigar,
+  CASE WHEN hot - start < read_len AND carrier_class <> 0
+    THEN concat(CAST(hot - start AS STRING), 'A',
+                CAST(start + read_len - 1 - hot AS STRING))
+    ELSE CAST(read_len AS STRING) END AS md,
+  CASE WHEN hot - start < read_len AND carrier_class <> 0
+    THEN concat(repeat('A', CAST(hot - start AS INT)), alt_base,
+                repeat('A', CAST(start + read_len - 1 - hot AS INT)))
+    ELSE repeat('A', CAST(read_len AS INT)) END AS sequence,
+  repeat(chr(33 + CAST(phred AS INT)), CAST(read_len AS INT)) AS qual
+FROM (
+  SELECT o_orderkey AS oid,
+         concat('chr', CAST(o_orderkey % 4 AS STRING)) AS contig,
+         (o_orderkey * 37) % 3000 AS start,
+         20 + o_orderkey % 30 AS read_len,
+         CAST(25 + o_orderkey % 10 AS INT) AS phred,
+         CAST(20 + o_orderkey % 40 AS INT) AS mapq,
+         concat('s', CAST(o_orderkey % 2 AS STRING)) AS sample_id,
+         CAST(FLOOR((((o_orderkey * 37) % 3000) + 96) / 97) AS BIGINT) * 97 AS hot,
+         CAST(o_orderkey % 3 AS INT) AS carrier_class,
+         CASE WHEN o_orderkey % 3 = 1 THEN 'G'
+              WHEN o_orderkey % 3 = 2 THEN 'T' END AS alt_base
+  FROM orders
+) base
+"""
+
+tables.DERIVED_SQL["reads_hot_multi"] = READS_HOT_MULTI_SQL
+
+_MULTIALLELIC_ORACLE = f"""
+    WITH r AS ({READS_HOT_MULTI_SQL}),
+    alleles AS (
+      SELECT contig, hot AS site_start, alt_base AS alt_allele
+      FROM r WHERE is_carrier
+      GROUP BY contig, hot, alt_base HAVING COUNT(*) > 2
+    ),
+    obs AS (
+      SELECT a.contig, a.site_start, a.alt_allele, r.sample_id, r.mapq,
+             CASE WHEN r.carrier_class = 0 THEN 'ref'
+                  WHEN r.alt_base = a.alt_allele THEN 'alt'
+                  ELSE 'other' END AS cls,
+             1.0 - (1.0 - POW(10.0, -r.phred / 10.0))
+                 * (1.0 - POW(10.0, -r.mapq / 10.0)) AS e
+      FROM r
+      JOIN alleles a ON r.contig = a.contig AND r.hot = a.site_start
+      WHERE r.covered
+    ),
+    scored AS (
+      -- OTHER_ALT rows contribute NULL to every biallelic likelihood
+      -- (SUM skips them) but still count in depth / rms_mapq
+      SELECT contig, site_start, alt_allele, sample_id, cls, mapq,
+             CASE WHEN cls = 'other' THEN NULL
+                  WHEN cls = 'alt' THEN LN(2.0 * e) - LN(2.0)
+                  ELSE LN(2.0 * (1.0 - e)) - LN(2.0) END AS ll0,
+             CASE WHEN cls = 'other' THEN NULL
+                  ELSE LN(1.0) - LN(2.0) END AS ll1,
+             CASE WHEN cls = 'other' THEN NULL
+                  WHEN cls = 'alt' THEN LN(2.0 * (1.0 - e)) - LN(2.0)
+                  ELSE LN(2.0 * e) - LN(2.0) END AS ll2
+      FROM obs
+    ),
+    rolled AS (
+      SELECT contig, site_start, alt_allele, sample_id,
+             SUM(ll0) AS l0, SUM(ll1) AS l1, SUM(ll2) AS l2,
+             COUNT(*) AS read_depth,
+             CAST(SUM(CASE WHEN cls = 'ref' THEN 1 ELSE 0 END) AS INT) AS ref_read_depth,
+             CAST(SUM(CASE WHEN cls = 'alt' THEN 1 ELSE 0 END) AS INT) AS alt_read_depth,
+             CAST(SUM(CASE WHEN cls = 'other' THEN 1 ELSE 0 END) AS INT) AS other_read_depth,
+             SUM(CAST(mapq AS BIGINT) * mapq) AS sum_mapq_sq
+      FROM scored
+      GROUP BY contig, site_start, alt_allele, sample_id
+    )
+    SELECT contig, site_start, 'A' AS ref_allele, alt_allele, sample_id,
+           CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                WHEN l1 >= l0 AND l1 >= l2 THEN 1
+                ELSE 2 END AS gt_state,
+           ROUND((10.0 / LN(10.0)) *
+                 (GREATEST(l0, l1, l2) -
+                  CASE WHEN l0 >= l1 AND l0 >= l2 THEN GREATEST(l1, l2)
+                       WHEN l1 >= l0 AND l1 >= l2 THEN GREATEST(l0, l2)
+                       ELSE GREATEST(l0, l1) END), 5) AS gq,
+           CAST(read_depth AS INT) AS read_depth,
+           ref_read_depth, alt_read_depth, other_read_depth,
+           ROUND(SQRT(CAST(sum_mapq_sq AS DOUBLE) / read_depth), 6) AS rms_mapq
+    FROM rolled
+"""
+
+
+@query("biallelic_multiallelic", _MULTIALLELIC_ORACLE)
+def biallelic_multiallelic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 round 3 — TWO alleles sharing one anchor: per variant, reads
+    carrying the OTHER allele classify as OTHER_ALT — excluded from the
+    biallelic genotype likelihood, included in read_depth /
+    other_read_depth / RMS mapQ (BiallelicGenotyper.scala:297-336).
+    The oracle recomputes both variants' genotypes per site
+    arithmetically, so any cross-allele leakage into the likelihoods or
+    depth miscounting hash-mismatches."""
+    from avocado_spark.operators.genotyping import biallelic_pipeline
+
+    reads = tables.derived(spark, sf_dir, "reads_hot_multi")
+    g = biallelic_pipeline(spark, reads, phred_threshold=18, min_observations=2)
+    return g.select(
+        "contig",
+        "site_start",
+        "ref_allele",
+        "alt_allele",
+        "sample_id",
+        "gt_state",
+        F.round("gq", 5).alias("gq"),
+        "read_depth",
+        "ref_read_depth",
+        "alt_read_depth",
+        "other_read_depth",
+        F.round("rms_mapq", 6).alias("rms_mapq"),
+    )

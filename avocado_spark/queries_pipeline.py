@@ -476,11 +476,43 @@ def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25), k=5, method="srp")
 
 
-@query("multimodal_features")  # no SQL oracle: sha256 feature stand-in
+def _sha_word_le(word: int) -> str:
+    """DuckDB SQL for little-endian uint32 word ``word`` of the hex
+    sha256 digest in column ``hx``, scaled to [0,1) — the exact
+    derivation of multimodal.fake_features (np.frombuffer '<u4')."""
+    off = word * 8 + 1
+    return (
+        f"(CAST('0x' || substr(hx, {off}, 2) AS BIGINT)"
+        f" + CAST('0x' || substr(hx, {off + 2}, 2) AS BIGINT) * 256"
+        f" + CAST('0x' || substr(hx, {off + 4}, 2) AS BIGINT) * 65536"
+        f" + CAST('0x' || substr(hx, {off + 6}, 2) AS BIGINT) * 16777216)"
+        f" / 4294967296.0"
+    )
+
+
+@query(
+    "multimodal_features",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(n_chars * 10 AS INT) AS duration_ms,
+             sha256(text) AS hx
+      FROM documents
+    )
+    SELECT media_id, kind, duration_ms,
+           ROUND({_sha_word_le(0)}, 9) AS f0,
+           ROUND({_sha_word_le(7)}, 9) AS f7
+    FROM h
+    """,
+)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata +
     Arrow-batched feature extraction (deterministic SHA-256 stand-in
-    for the absent codecs) + frame-sampling explode; rows-only check."""
+    for the absent codecs). The oracle recomputes the digest→float
+    derivation in SQL (sha256 hex → little-endian uint32 slices), so
+    the Arrow exchange is hash-checked, not rows-only."""
     from avocado_spark.operators.multimodal import attach_media, fake_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -612,3 +644,191 @@ def gopher_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     word length band, symbol ratio, alphabetic fraction, stopword
     hits) — per-rule signals + pass verdict, all JVM-side."""
     return TX.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _kmeans_cents_cte(n_iters: int = 4, n_centroids: int = 8, sample_mod: int = 2) -> str:
+    """CTE chain replaying similarity.train_ivf_centroids in DuckDB:
+    fixed Lloyd rounds in the integer-quantized space (exact sums →
+    bit-identical centroids across engines)."""
+    parts = [
+        "qv AS (SELECT vec_id, v, [ROUND(x * 1000000.0) for x in v] AS w FROM e)",
+        f"cents0 AS (SELECT vec_id AS c_id, w AS c_v FROM qv WHERE vec_id < {n_centroids})",
+        f"samp AS (SELECT vec_id, w FROM qv WHERE vec_id % {sample_mod} = 0)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, w, c_id FROM (
+        SELECT s.vec_id, s.w, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_cos("s.w", "c.c_v")} DESC, c.c_id) AS r
+        FROM samp s CROSS JOIN cents{p} c
+      ) WHERE r = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT c_id, d, SUM(w[d]) / COUNT(*) AS m
+      FROM a{i}, UNNEST(generate_series(1, len(w))) AS u(d)
+      GROUP BY c_id, d)"""
+        )
+        parts.append(
+            f"n{i} AS (SELECT c_id, list(m ORDER BY d) AS c_v FROM m{i} GROUP BY c_id)"
+        )
+        parts.append(
+            f"""cents{i} AS (
+      SELECT c.c_id, COALESCE(n{i}.c_v, c.c_v) AS c_v
+      FROM cents{p} c LEFT JOIN n{i} USING (c_id))"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "ann_ivf_kmeans_recall",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    {_kmeans_cents_cte(4, 8, 2)},
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e2.v")}, 9) DESC, e2.vec_id) AS rank
+        FROM e q CROSS JOIN e e2 WHERE q.vec_id < 30 AND q.vec_id <> e2.vec_id
+      ) WHERE rank <= 5
+    ),
+    -- first-N arm (the untrained stand-in quantizer)
+    fc AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+    f_ranked AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+      FROM e CROSS JOIN fc c
+    ),
+    f_base AS (SELECT vec_id AS n_id, v AS n_v, c_id FROM f_ranked WHERE c_rank = 1),
+    f_q AS (SELECT vec_id AS q_id, v AS q_v, c_id FROM f_ranked
+            WHERE c_rank <= 2 AND vec_id < 30),
+    f_ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, b.n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ROUND({_cos("q.q_v", "b.n_v")}, 9) DESC, b.n_id) AS rank
+        FROM f_q q JOIN f_base b ON q.c_id = b.c_id AND q.q_id <> b.n_id
+      ) WHERE rank <= 5
+    ),
+    -- trained arm: assignment in quantized space against cents4
+    k_ranked AS (
+      SELECT qv.vec_id, qv.v, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+               ORDER BY {_cos("qv.w", "c.c_v")} DESC, c.c_id) AS c_rank
+      FROM qv CROSS JOIN cents4 c
+    ),
+    k_base AS (SELECT vec_id AS n_id, v AS n_v, c_id FROM k_ranked WHERE c_rank = 1),
+    k_q AS (SELECT vec_id AS q_id, v AS q_v, c_id FROM k_ranked
+            WHERE c_rank <= 2 AND vec_id < 30),
+    k_ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, b.n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ROUND({_cos("q.q_v", "b.n_v")}, 9) DESC, b.n_id) AS rank
+        FROM k_q q JOIN k_base b ON q.c_id = b.c_id AND q.q_id <> b.n_id
+      ) WHERE rank <= 5
+    )
+    SELECT x.q_id,
+           CAST(COUNT(*) AS INTEGER) AS n_exact,
+           CAST(COUNT(f.n_id) AS INTEGER) AS hits_first_n,
+           CAST(COUNT(k.n_id) AS INTEGER) AS hits_kmeans,
+           ROUND(CAST(COUNT(f.n_id) AS DOUBLE) / COUNT(*), 6) AS recall_first_n,
+           ROUND(CAST(COUNT(k.n_id) AS DOUBLE) / COUNT(*), 6) AS recall_kmeans
+    FROM exact x
+    LEFT JOIN f_ann f ON x.q_id = f.q_id AND x.n_id = f.n_id
+    LEFT JOIN k_ann k ON x.q_id = k.q_id AND x.n_id = k.n_id
+    GROUP BY x.q_id
+    """,
+)
+def ann_ivf_kmeans_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-k-means IVF quantizer vs the first-N stand-in, judged by
+    recall@5 against the exact top-5 on the same 30-query sample. The
+    oracle REPLAYS THE TRAINING (4 Lloyd rounds over the vec_id%2
+    sample in integer-quantized space — exact sums, deterministic
+    ties), so the trained codebook itself is hash-checked, not just the
+    final neighbor lists."""
+    from avocado_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 30)
+    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "n_id")
+    first = S.ivf_topk(emb, q, k=5).select("q_id", F.col("n_id").alias("f_id"))
+    km = S.ivf_kmeans_topk(emb, q, k=5).select("q_id", F.col("n_id").alias("k_id"))
+    hits_f = exact.join(
+        first, (exact["q_id"] == first["q_id"]) & (exact["n_id"] == first["f_id"])
+    ).groupBy(exact["q_id"].alias("q_id")).agg(F.count("*").cast("int").alias("hits_first_n"))
+    hits_k = exact.join(
+        km, (exact["q_id"] == km["q_id"]) & (exact["n_id"] == km["k_id"])
+    ).groupBy(exact["q_id"].alias("q_id")).agg(F.count("*").cast("int").alias("hits_kmeans"))
+    per_q = exact.groupBy("q_id").agg(F.count("*").cast("int").alias("n_exact"))
+    return (
+        per_q.join(hits_f, "q_id", "left")
+        .join(hits_k, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("hits_first_n", F.lit(0)).cast("int").alias("hits_first_n"),
+            F.coalesce("hits_kmeans", F.lit(0)).cast("int").alias("hits_kmeans"),
+            F.round(
+                F.coalesce("hits_first_n", F.lit(0)).cast("double") / F.col("n_exact"), 6
+            ).alias("recall_first_n"),
+            F.round(
+                F.coalesce("hits_kmeans", F.lit(0)).cast("double") / F.col("n_exact"), 6
+            ).alias("recall_kmeans"),
+        )
+    )
+
+
+@query(
+    "dedup_cap_stats",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sh AS (SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s FROM aug),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(s, x -> ((2*(i-1)+3) * x + (5*(i-1)+7)) % 1000000007))
+              for i in generate_series(1, 16)] AS sg
+      FROM shn
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band, list_slice(sg, b.b*4 + 1, b.b*4 + 4) AS key
+      FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    ),
+    bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+    lsh AS (
+      SELECT 'lsh_band_buckets' AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN n > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_over_cap,
+             CAST(SUM(CASE WHEN n > 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_over_cap
+      FROM bsz
+    ),
+    sh2 AS (SELECT doc_id, lang, source, {_shingles(_th(_TOKS), 2)} AS s FROM aug),
+    shn2 AS (SELECT * FROM sh2 WHERE len(s) > 0),
+    blk AS (SELECT lang, source, COUNT(*) AS n FROM shn2 GROUP BY lang, source),
+    blocks AS (
+      SELECT 'ngram_blocks' AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN n > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_over_cap,
+             CAST(SUM(CASE WHEN n > 15 THEN n ELSE 0 END) AS BIGINT) AS n_rows_over_cap
+      FROM blk
+    )
+    SELECT * FROM lsh UNION ALL SELECT * FROM blocks
+    """,
+)
+def dedup_cap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap telemetry for the dedup family: how many LSH band buckets /
+    pairwise blocks exceed their caps and how many rows sit in them —
+    the side output that makes the silent drop/re-route observable.
+    Demonstration caps (3 / 15) sized so exclusions are nonzero at
+    sf0.01; production runs pass the real MAX_BAND_BUCKET /
+    MAX_BLOCK_ROWS."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    return D.dedup_cap_stats(
+        docs, block_cols=["lang", "source"], max_band_bucket=3, max_block_rows=15
+    )
