@@ -254,3 +254,21 @@ def salted_agg(
         return F.sum(name).cast(dict(partial.dtypes)[name]).alias(name)
 
     return partial.groupBy(*keys).agg(*[combine(n) for n in aggs])
+
+
+def hash_sample_per_group(
+    df: DataFrame, group_cols: list[str], k: int, id_col: str
+) -> DataFrame:
+    """Deterministic per-group sample: rank rows inside each group by a
+    fixed LCG hash of the id (1103515245·id + 12345 mod 2³¹ — a
+    published LCG constant set, replayable in SQL) and keep the first
+    ``k``. The distributed answer to 'give me a reproducible stratified
+    sample of the corpus': one window shuffle on the group key, no
+    driver state, stable under re-runs and partitioning changes —
+    unlike rand()-based sampling, which no differential oracle could
+    check."""
+    from pyspark.sql import Window
+
+    h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k).drop("_r")

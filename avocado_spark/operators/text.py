@@ -190,3 +190,109 @@ def gopher_quality(
         n_stop.alias("stopword_hits"),
         F.coalesce(passes, F.lit(False)).alias("passes"),
     )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    token k-gram with an evaluation corpus — the standard pre-training
+    hygiene step (n-gram overlap against held-out benchmarks) that must
+    run BEFORE a corpus is declared training-ready.
+
+    Scale shape: the benchmark n-gram set is small by nature (eval sets
+    are thousands of docs, not billions) → distinct + broadcast; the
+    training side explodes its shingles map-side and the broadcast hash
+    join filters them in the scan pipeline — the big side never
+    shuffles. Output: one row per training doc with the count of shared
+    (distinct) k-grams and the contaminated verdict."""
+    from avocado_spark.operators.dedup import shingle_hashes
+
+    bench = (
+        benchmark.select(F.explode(shingle_hashes(F.col(text_col), k=k)).alias("g"))
+        .distinct()
+    )
+    doc_g = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col(text_col), k=k)).alias("g")
+    )
+    shared = (
+        doc_g.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared_ngrams"))
+    )
+    return docs.select("doc_id").join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).cast("int").alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# Gopher repetition-filter threshold (Rae et al. 2021, Appendix A —
+# duplicate n-gram fraction family).
+MAX_DUP_BIGRAM_RATIO = 0.2
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dup_bigram_ratio: float = MAX_DUP_BIGRAM_RATIO,
+) -> DataFrame:
+    """Intra-document repetition signals — the OTHER half of the Gopher
+    filter set (gopher_quality covers the composition rules; this
+    covers the duplicate-n-gram family): fraction of repeated token
+    bigrams and repeated tokens, plus a pass verdict. Pure per-row HOF
+    arithmetic — rides the scan like the quality gate, zero shuffle."""
+    t = tokens(F.col(text_col))
+    th = F.transform(t, token_hash)
+    n = F.size(th)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(th, 1, m), F.slice(th, 2, m), lambda a, b: (a * 10007 + b) % P
+    )
+    n_big = F.size(bigrams)
+    n_dist = F.size(F.array_distinct(bigrams))
+    dup_big = F.when(n_big > 0, (n_big - n_dist).cast("double") / n_big)
+    dup_tok = F.when(n > 0, (n - F.size(F.array_distinct(th))).cast("double") / n)
+    return docs.select(
+        "doc_id",
+        n_big.alias("n_bigrams"),
+        n_dist.alias("n_distinct_bigrams"),
+        F.round(dup_big, 8).alias("dup_bigram_ratio"),
+        F.round(dup_tok, 8).alias("dup_token_ratio"),
+        F.coalesce(dup_big <= max_dup_bigram_ratio, F.lit(False)).alias(
+            "passes_repetition"
+        ),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms: token explode → (doc, token)
+    counts → document frequency → tf·ln((N+1)/(df+1)) → rank window.
+
+    Scale shape: two hash aggs (map-side partials on both) + one
+    shuffle join on the token key + one per-doc window; the corpus-size
+    scalar rides a broadcast of a 1-row aggregate, not a driver
+    collect. Ranking is tie-broken (score desc rounded, token asc) so
+    the result is deterministic across engines."""
+    t = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").cast("int").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("tfidf", 9).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

@@ -708,7 +708,9 @@ _GATE_PRIORITY = [
     # multi-allelic fidelity, multimodal oracle upgrade, new telemetry
     "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
     "biallelic_multiallelic", "multimodal_features", "dedup_cap_stats",
-    "ann_ivf_kmeans_recall", "ann_recall_eval", "ann_ivf_probed",
+    "ann_ivf_kmeans_recall", "decontaminate_ngrams", "repetition_stats",
+    "stratified_sample", "tfidf_top_terms", "stream_trending_topk",
+    "ann_recall_eval", "ann_ivf_probed",
     # (1) never covered / reworked lately
     "token_count_bpe", "multimodal_frame_sample",
     "stream_tumbling_hourly", "stream_sliding_30m",

@@ -832,3 +832,116 @@ def dedup_cap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_cap_stats(
         docs, block_cols=["lang", "source"], max_band_bucket=3, max_block_rows=15
     )
+
+
+# ==========================================================================
+# Round 3: corpus-hygiene operators — decontamination, repetition,
+# stratified sampling, TF-IDF
+# ==========================================================================
+
+
+@query(
+    "decontaminate_ngrams",
+    f"""
+    WITH bg AS (
+      SELECT DISTINCT UNNEST({_shingles(_th(_TOKS), 3)}) AS g
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    dg AS (SELECT doc_id, UNNEST({_shingles(_th(_TOKS), 3)}) AS g FROM documents),
+    shared AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n
+      FROM dg JOIN bg USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n, 0) AS n_shared_ngrams,
+           COALESCE(s.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    """,
+)
+def decontaminate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th doc plays the eval set;
+    training docs sharing any token trigram with it are flagged. The
+    eval-set n-grams broadcast; the corpus side stays map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return TX.decontaminate(docs, bench, k=3)
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH th AS (SELECT doc_id, {_th(_TOKS)} AS h FROM documents),
+    big AS (
+      SELECT doc_id, h,
+             [(h[i] * 10007 + h[i+1]) % 1000000007
+              for i in generate_series(1, len(h) - 1)] AS bg
+      FROM th
+    )
+    SELECT doc_id,
+           len(bg) AS n_bigrams,
+           len(list_distinct(bg)) AS n_distinct_bigrams,
+           CASE WHEN len(bg) > 0
+                THEN ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 8)
+           END AS dup_bigram_ratio,
+           CASE WHEN len(h) > 0
+                THEN ROUND(CAST(len(h) - len(list_distinct(h)) AS DOUBLE) / len(h), 8)
+           END AS dup_token_ratio,
+           COALESCE(CASE WHEN len(bg) > 0
+                         THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                    END <= 0.2, FALSE) AS passes_repetition
+    FROM big
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram repetition signals per document —
+    shuffle-free per-row HOF arithmetic like the quality gate."""
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS r
+      FROM documents
+    ) WHERE r <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample via the LCG-hash rank
+    window — reproducible stratified sampling with no driver state."""
+    from avocado_spark.operators.relational import hash_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample_per_group(docs, ["lang"], k=20, id_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS INTEGER) AS tf FROM t GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             tf.tf * LN(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY ROUND(tfidf, 9) DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, ROUND(tfidf, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: two partial-aggregated hash
+    aggs, token-key join, per-doc rank window."""
+    return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)

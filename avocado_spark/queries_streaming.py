@@ -206,3 +206,26 @@ def stream_attribution_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked file streams, bounded join state) is exercised in
     tests/test_streaming.py."""
     return EV.attribution_join(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_trending_topk",
+    f"""
+    WITH counts AS (
+      SELECT (epoch_us(ts) // {_US_HOUR}) * {_US_HOUR} AS window_start_us,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_us
+                 ORDER BY n_events DESC, event_type) AS rank
+      FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def stream_trending_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per tumbling hour: streaming windowed
+    counts + the downstream rank stage, batch shadow."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = EV.tumbling_agg(ev, window="1 hour").drop("sum_value_c")
+    return EV.trending_topk(counts, k=3)

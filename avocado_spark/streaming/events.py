@@ -296,3 +296,24 @@ def attribution_join(
         F.unix_micros("r_ts").alias("r_ts_us"),
         F.round(F.col("r_value") * 100).cast("bigint").alias("r_value_c"),
     )
+
+
+def trending_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k trending event types per tumbling window, over the
+    ``tumbling_agg`` output. Rank windows are not supported inside a
+    streaming plan, so the streaming deployment shape is the standard
+    two-stage split: the WINDOWED COUNT stage runs streaming (keyed
+    state, watermark-bounded), and this rank stage runs on each emitted
+    result set (foreachBatch / downstream batch over the sink table) —
+    exactly how the convergence test drives it. On batch inputs the
+    whole pipeline is one plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start_us", "event_type", "n_events", "rank")
+    )

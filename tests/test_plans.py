@@ -169,6 +169,31 @@ def test_gopher_gate_no_shuffle(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set n-gram side must broadcast — shuffling the exploded
+    corpus grams on the join key is the 100TB failure here."""
+    plan = plan_of(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """Repetition signals are per-row HOF arithmetic: one scan, no
+    Exchange — same contract as the Gopher gate."""
+    plan = plan_of(spark, "repetition_stats")
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1
+
+
+def test_tfidf_partial_aggregation(spark):
+    """Both TF-IDF aggs must run partial+final (map-side combine before
+    the shuffle); the corpus-size scalar must not be a driver collect
+    (it rides a broadcast join in-plan)."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
+    assert "CartesianProduct" not in plan
+
+
 def test_components_round_no_cartesian(spark):
     """One large-star/small-star round must stay equi-join + partial
     agg — no cartesian, no nested loop."""

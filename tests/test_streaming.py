@@ -91,3 +91,18 @@ def test_streaming_attribution_join_matches_batch(spark, events_stream):
     out = _run_stream(spark, stream, "t_attrib", "append")
     batch = EV.attribution_join(load_table(spark, SF_SMOKE, "events"))
     assert _rows(out) == _rows(batch)
+
+
+def test_streaming_trending_topk_matches_batch(spark, events_stream):
+    # two-stage split: windowed counts run streaming into the sink,
+    # the rank stage runs over the emitted table (the foreachBatch
+    # deployment shape) and must converge to the single batch plan
+    counts = EV.tumbling_agg(events_stream).drop("sum_value_c")
+    assert counts.isStreaming
+    sink = _run_stream(spark, counts, "t_trending_counts", "complete")
+    got = EV.trending_topk(sink, k=3)
+    batch_counts = EV.tumbling_agg(load_table(spark, SF_SMOKE, "events")).drop(
+        "sum_value_c"
+    )
+    want = EV.trending_topk(batch_counts, k=3)
+    assert _rows(got) == _rows(want)
