@@ -453,3 +453,58 @@ def dedup_cap_stats(
         F.sum(F.when(bover, F.col("n")).otherwise(0)).cast("long").alias("n_rows_over_cap"),
     ).select(F.lit("ngram_blocks").alias("path"), "*")
     return lsh.unionByName(blocks)
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit signature into 4 bytes,
+    equi self-join on (band, byte), verify exact Hamming distance with
+    ``bit_count(xor)``. By pigeonhole a pair within Hamming ≤ 3 differs
+    in at most 3 of the 4 bands, so it MUST collide on at least one —
+    full recall at this radius BEFORE capping; the hot-bucket cap then
+    trades recall inside degenerate buckets for a bounded pair count,
+    the same contract (and telemetry story — see ``dedup_cap_stats``)
+    as the MinHash path. Byte bands have only 256 keys, so buckets run
+    hotter than MinHash bands: size the cap to the corpus."""
+    if max_hamming > 3:
+        raise ValueError("4-band bucketing guarantees recall only for max_hamming <= 3")
+    sig = simhash(docs, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.shiftright("simhash", 8 * b) % 256).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_bucket is not None:
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_band_bucket)
+            .drop("_bsz")
+        )
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    a = bands.select("band", "key", F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
+    b = bands.select("band", "key", F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("a_id", "b_id", ham.cast("int").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

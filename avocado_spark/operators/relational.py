@@ -272,3 +272,112 @@ def hash_sample_per_group(
     h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
     return df.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k).drop("_r")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to every LEFT row the most recent RIGHT row
+    with ``right.ts <= left.ts`` on the same keys (left-outer: no prior
+    right row → null columns) — the time-series primitive Spark's join
+    operators lack.
+
+    Spark-first shape: NO join at all. Both sides union into one table
+    (right rows tagged kind=0, left kind=1 so an equal-timestamp right
+    row sorts first and "at or before" is inclusive), then one
+    per-key window carries the last non-null right payload forward
+    (``last(struct, ignorenulls)`` — a single struct so all attached
+    columns come from the SAME matched row). One shuffle on the keys,
+    linear in rows — where a range-condition join would buffer
+    O(left×right) per key. Ties among equal-ts right rows resolve to
+    the max (ts, right_cols...) struct, i.e. the highest first payload
+    column — pass the unique id first for a deterministic pick.
+
+    ``tolerance`` (e.g. "30 minutes"): matches older than
+    ``left.ts - tolerance`` are nulled out, the pandas merge_asof
+    contract."""
+    from pyspark.sql import Window
+
+    rstruct = F.struct(
+        F.col(ts_col).alias("_ats"), *[F.col(c) for c in right_cols]
+    )
+    r_tagged = right.select(*keys, ts_col, F.lit(0).alias("_kind"), rstruct.alias("_r"))
+    rtype = r_tagged.schema["_r"].dataType
+    l_tagged = left.select(
+        *left.columns, F.lit(1).alias("_kind"), F.lit(None).cast(rtype).alias("_r")
+    )
+    for c in left.columns:
+        if c not in keys and c != ts_col:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_kind").asc(), F.col("_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
+        F.col("_kind") == 1
+    )
+    m = F.col("_m")
+    if tolerance is not None:
+        in_range = m["_ats"] >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        m = F.when(in_range, F.col("_m"))
+    return matched.select(
+        *left.columns,
+        m["_ats"].alias(f"r_{ts_col}"),
+        *[m[c].alias(f"r_{c}") for c in right_cols],
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Exact per-group quantiles by rank position: the row at
+    1 + floor((n−1)·q) in (value, id) order — a deterministic, engine-
+    portable definition (nearest-rank with fixed tie-break), unlike the
+    subtly-divergent percentile_disc/percentile_cont family.
+
+    Scale shape: row_number and the group count share ONE window
+    partitioning (one shuffle), the filter keeps |quantiles| rows per
+    group, and a tiny agg pivots them wide. At 100 TB you'd reach for
+    approx_percentile when the contract allows error; this is the exact
+    path and the oracle-checkable one. Output: group cols, n,
+    q<NN> columns (e.g. q50, q90) holding the value at that rank."""
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        value_col,
+        F.row_number().over(wr).alias("_rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pos = {q: 1 + F.floor((F.col("n") - 1) * F.lit(q)) for q in quantiles}
+    keep = None
+    for p in pos.values():
+        c = F.col("_rn") == p
+        keep = c if keep is None else (keep | c)
+    return (
+        ranked.where(keep)
+        .groupBy(*group_cols, "n")
+        .agg(
+            *[
+                F.max(F.when(F.col("_rn") == p, F.col(value_col))).alias(
+                    f"q{int(q * 100)}"
+                )
+                for q, p in pos.items()
+            ]
+        )
+    )

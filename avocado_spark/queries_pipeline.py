@@ -945,3 +945,44 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms: two partial-aggregated hash
     aggs, token-key join, per-doc rank window."""
     return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_SIMHASH_SIG = f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform({{h}}, x -> CASE WHEN (x >> (b-1)) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                     (p, q) -> p + q) >= 0
+                   THEN (CAST(1 AS BIGINT) << (b-1)) ELSE CAST(0 AS BIGINT) END
+              for b in generate_series(1, 32)]),
+             (p, q) -> p + q)"""
+
+
+@query(
+    "simhash_dup_pairs",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    th AS (SELECT doc_id, {_th(_TOKS)} AS h FROM aug),
+    sig AS (SELECT doc_id, {_SIMHASH_SIG.format(h="h")} AS simhash FROM th),
+    bands AS (
+      SELECT doc_id, simhash, b.b AS band, (simhash >> (8 * b.b)) & 255 AS key
+      FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS b) b
+    ),
+    capped AS (  -- hot-bucket cap mirrors dedup.MAX_BAND_BUCKET
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM bands
+      ) WHERE bsz <= 200
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS sa, b.simhash AS sb
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def simhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs over the augmented corpus:
+    byte-banded bucket join (guaranteed recall at this radius by
+    pigeonhole) + exact bit_count verify."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    return D.simhash_dup_pairs(docs, max_hamming=3)

@@ -229,3 +229,86 @@ def stream_trending_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = EV.tumbling_agg(ev, window="1 hour").drop("sum_value_c")
     return EV.trending_topk(counts, k=3)
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v0 AS (
+      SELECT user_id, ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    v AS (SELECT v0.user_id, v0.ts, v0.event_id, e.value
+          FROM v0 JOIN events e ON e.event_id = v0.event_id)
+    SELECT p.user_id, p.event_id AS p_event_id, epoch_us(p.ts) AS p_ts_us,
+           v.event_id AS v_event_id, epoch_us(v.ts) AS v_ts_us,
+           CAST(ROUND(v.value * 100) AS BIGINT) AS v_value_c
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent view at or
+    before it (null if none). Spark side is the JOIN-FREE union+window
+    shape — one shuffle on user_id, linear state — differentialed
+    against DuckDB's native ASOF LEFT JOIN. Equal-ts views dedup to the
+    max event_id on both sides."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from avocado_spark.operators.relational import asof_join
+
+    ev = EV.normalize_events(load_table(spark, sf_dir, "events"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, views, keys=["user_id"], ts_col="ts", right_cols=["event_id", "value"]
+    )
+    return out.select(
+        "user_id",
+        "p_event_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("r_event_id").alias("v_event_id"),
+        F.unix_micros("r_ts").alias("v_ts_us"),
+        F.round(F.col("r_value") * 100).cast("bigint").alias("v_value_c"),
+    )
+
+
+@query(
+    "events_value_quantiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, n,
+           CAST(ROUND(MAX(CASE WHEN rn = 1 + FLOOR((n - 1) * 0.5) THEN value END) * 100) AS BIGINT) AS q50_c,
+           CAST(ROUND(MAX(CASE WHEN rn = 1 + FLOOR((n - 1) * 0.9) THEN value END) * 100) AS BIGINT) AS q90_c
+    FROM ranked
+    WHERE rn = 1 + FLOOR((n - 1) * 0.5) OR rn = 1 + FLOOR((n - 1) * 0.9)
+    GROUP BY event_type, n
+    """,
+)
+def events_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 of event value per type by rank position —
+    one window shuffle, |q| rows kept per group, wide pivot."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from avocado_spark.operators.relational import exact_group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    out = exact_group_quantiles(
+        ev, ["event_type"], "value", "event_id", quantiles=(0.5, 0.9)
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("q50") * 100).cast("bigint").alias("q50_c"),
+        F.round(F.col("q90") * 100).cast("bigint").alias("q90_c"),
+    )

@@ -194,6 +194,21 @@ def test_tfidf_partial_aggregation(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_is_join_free(spark):
+    """The as-of primitive must ride union + window — any Join operator
+    means the range condition leaked into a per-key buffer join."""
+    plan = plan_of(spark, "events_asof_join")
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert j not in plan, plan
+    assert "Window" in plan
+
+
 def test_components_round_no_cartesian(spark):
     """One large-star/small-star round must stay equi-join + partial
     agg — no cartesian, no nested loop."""
