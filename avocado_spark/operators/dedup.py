@@ -441,11 +441,15 @@ def dedup_cap_stats(
 
     if block_cols is None:
         return lsh
-    sh2 = (
-        docs.select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=2).alias("sh"))
-        .where(F.size("sh") > 0)
+    # block sizes only need the membership gate (a doc blocks iff it has
+    # >= 2 tokens, i.e. at least one 2-shingle) — size(tokens) is the
+    # cheap equivalent of materializing the shingle+hash pass
+    blk = (
+        docs.select(*block_cols, F.size(tokens(F.col(text_col))).alias("_nt"))
+        .where(F.col("_nt") >= 2)
+        .groupBy(*block_cols)
+        .agg(F.count("*").alias("n"))
     )
-    blk = sh2.groupBy(*block_cols).agg(F.count("*").alias("n"))
     bover = F.col("n") > max_block_rows
     blocks = blk.agg(
         F.count("*").cast("long").alias("n_groups"),

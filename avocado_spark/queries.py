@@ -711,6 +711,7 @@ _GATE_PRIORITY = [
     "ann_ivf_kmeans_recall", "decontaminate_ngrams", "repetition_stats",
     "stratified_sample", "tfidf_top_terms", "stream_trending_topk",
     "events_asof_join", "events_value_quantiles", "simhash_dup_pairs",
+    "events_funnel",
     "ann_recall_eval", "ann_ivf_probed",
     # (1) never covered / reworked lately
     "token_count_bpe", "multimodal_frame_sample",

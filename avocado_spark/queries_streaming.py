@@ -312,3 +312,45 @@ def events_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q50") * 100).cast("bigint").alias("q50_c"),
         F.round(F.col("q90") * 100).cast("bigint").alias("q90_c"),
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH scoped AS (
+      SELECT * FROM (
+        SELECT *, MIN(ts) OVER (PARTITION BY user_id) AS u0 FROM events
+      ) WHERE ts < u0 + INTERVAL 2 DAY
+    ),
+    s0 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t0
+      FROM scoped
+    ),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+                          AND ts >= t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+                          AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    )
+    SELECT DISTINCT user_id,
+           epoch_us(t0) AS t0_us, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+           (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS reached_stage
+    FROM s2
+    """,
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel within each user's first 2 days:
+    stacked conditional-min windows on one user_id partitioning
+    (single shuffle, no sort); the horizon makes every break depth
+    occur in the fixture (mixed 0/1/2/3 distribution at sf0.01)."""
+    ev = EV.normalize_events(load_table(spark, sf_dir, "events"))
+    return EV.funnel_stages(ev, ("view", "click", "purchase"), within="2 days")

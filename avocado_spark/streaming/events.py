@@ -317,3 +317,53 @@ def trending_topk(counts: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("window_start_us", "event_type", "n_events", "rank")
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered funnel per user: the earliest time each stage was
+    reached, where stage k only counts at or after stage k−1's time
+    (view → click → purchase). ``within`` scopes the funnel to the
+    window after each user's FIRST event (e.g. "2 days" — the
+    onboarding-conversion question); None uses the full history.
+    Output: one row per user with t<k>_us per stage (null once the
+    funnel breaks) and ``reached_stage`` = number of completed stages.
+
+    Scale shape: stacked conditional-min windows over ONE user_id
+    partitioning — a single shuffle, no sort (unordered frame), no
+    self-joins; then one distinct per user. The per-row window results
+    are identical within a user, so the final dropDuplicates moves no
+    data that the window shuffle didn't already place."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = events
+    if within is not None:
+        df = df.withColumn("_u0", F.min("ts").over(w)).where(
+            F.col("ts") < F.col("_u0") + F.expr(f"INTERVAL {within}")
+        )
+    prev_t = None
+    tcols = []
+    for i, st in enumerate(stages):
+        cond = F.col("event_type") == st
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() & (F.col("ts") >= F.col(prev_t))
+        tcol = f"_t{i}"
+        df = df.withColumn(tcol, F.min(F.when(cond, F.col("ts"))).over(w))
+        prev_t = tcol
+        tcols.append(tcol)
+    reached = None
+    for i in range(len(stages)):
+        c = F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)
+        reached = c if reached is None else reached + c
+    return (
+        df.select(
+            "user_id",
+            *[F.unix_micros(F.col(t)).alias(f"t{i}_us") for i, t in enumerate(tcols)],
+            reached.alias("reached_stage"),
+        )
+        .dropDuplicates(["user_id"])
+    )

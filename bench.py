@@ -59,6 +59,9 @@ def main() -> None:
         "sink_sorted_single_file",
         "ann_ivf_kmeans_recall",
         "dedup_cap_stats",
+        "events_asof_join",
+        "events_funnel",
+        "simhash_dup_pairs",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
