@@ -704,44 +704,46 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline family, (5) kernels/relational ops unchanged and green
 # since round 1 (safe to drop under a cap).
 _GATE_PRIORITY = [
-    # (0) round-3 differentials: sink read-backs (last §2 evidence gap),
-    # multi-allelic fidelity, multimodal oracle upgrade, new telemetry
-    "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
-    "biallelic_multiallelic", "multimodal_features", "dedup_cap_stats",
-    "ann_ivf_kmeans_recall", "decontaminate_ngrams", "repetition_stats",
-    "stratified_sample", "tfidf_top_terms", "stream_trending_topk",
-    "events_asof_join", "events_value_quantiles", "simhash_dup_pairs",
-    "events_funnel",
-    "ann_recall_eval", "ann_ivf_probed",
-    # (1) never covered / reworked lately
-    "token_count_bpe", "multimodal_frame_sample",
-    "stream_tumbling_hourly", "stream_sliding_30m",
-    "stream_session_windows", "stream_dedup_first", "stream_running_total",
-    "events_props_parse", "events_salted_agg",
-    # (2) round-2 differentials
-    "dedup_clusters", "gopher_quality_gate", "stream_attribution_join",
-    "biallelic_pipeline_indel", "gvcf_all_sites_indel", "biallelic_cnv_ploidy",
-    "gvcf_jointer_e2e", "trio_from_reads", "prefilter_reads_preset",
-    # (3) genotyping core + cohort chain (core reworked in round 2)
-    "biallelic_pipeline", "gvcf_all_sites", "gvcf_square_off", "joint_recall",
-    "trio_mendelian", "discover_variants", "score_table_gen",
-    "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
-    "hard_filter_annotate", "variant_summary", "maf_site_quality",
-    "wide_agg_q1", "realign_reads", "coverage_cap", "prefilter_reads",
-    "count_filter_discovery", "merge_discovered_dedup",
+    # (0) round-4 reds: the 9 NTZ-regression queries, fixed in round 5
+    # at the scan boundary (time_fns.ts_us + load_table normalization) —
+    # these MUST re-prove against the driver differential first.
+    "events_asof_join", "events_funnel", "stream_trending_topk",
+    "stream_tumbling_hourly", "stream_sliding_30m", "stream_session_windows",
+    "stream_dedup_first", "stream_running_total", "stream_attribution_join",
+    # (1) not in the r4 sample (last driver row r2/r3) — §2 blind spots
+    # called out by the r4 verdict: interval joins, coverage cap,
+    # MinHash, realigner, plus the rest of positions 51+ last round.
     "interval_join_broadcast", "interval_join_binned",
-    "interval_join_group_right", "cnv_point_lookup",
-    # (4) LLM data-pipeline family
-    "exact_dedup", "minhash_dedup_pairs", "simhash_signatures",
-    "ngram_jaccard_pairs", "embedding_dup_pairs", "ann_topk_cosine",
-    "ann_srp_bucketed", "token_count", "quality_score", "language_id",
-    "doc_fingerprint",
-    # (5) stable since round 1 (r01 rows all green, code untouched)
+    "interval_join_group_right", "coverage_cap", "minhash_dedup_pairs",
+    "realign_reads", "cnv_point_lookup", "prefilter_reads",
+    "count_filter_discovery", "merge_discovered_dedup",
+    "exact_dedup", "simhash_signatures", "ngram_jaccard_pairs",
+    "embedding_dup_pairs", "ann_topk_cosine", "ann_srp_bucketed",
+    "token_count", "quality_score", "language_id", "doc_fingerprint",
+    # (2) last green in r1, never re-sampled since
     "scan_project_filter", "broadcast_equijoin_dim", "multiway_union",
     "semi_join_cohort", "anti_join_novel", "genome_sort_rank",
     "topk_per_group", "phred_kernels", "log_space_kernels",
     "genotype_state_quality", "reversed_array_add", "rms_mapq_rollup",
     "allele_trim", "mate_nullify", "sample_catalog", "ploidy_extremes",
+    # (3) green in r4 — re-confirm the flagship chain inside the 50-cap,
+    # everything after rides along if the cap allows
+    "biallelic_pipeline", "gvcf_jointer_e2e", "biallelic_multiallelic",
+    "dedup_clusters", "ann_ivf_kmeans_recall",
+    "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
+    "multimodal_features", "dedup_cap_stats",
+    "decontaminate_ngrams", "repetition_stats",
+    "stratified_sample", "tfidf_top_terms", "events_value_quantiles",
+    "simhash_dup_pairs", "ann_recall_eval", "ann_ivf_probed",
+    "token_count_bpe", "multimodal_frame_sample",
+    "events_props_parse", "events_salted_agg",
+    "gopher_quality_gate", "biallelic_pipeline_indel", "gvcf_all_sites_indel",
+    "biallelic_cnv_ploidy", "trio_from_reads", "prefilter_reads_preset",
+    "gvcf_all_sites", "gvcf_square_off", "joint_recall",
+    "trio_mendelian", "discover_variants", "score_table_gen",
+    "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
+    "hard_filter_annotate", "variant_summary", "maf_site_quality",
+    "wide_agg_q1",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from avocado_spark.queries import query
+from avocado_spark.functions.time_fns import ts_us
 from avocado_spark.session import load_table
 from avocado_spark.streaming import events as EV
 
@@ -271,9 +272,9 @@ def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "p_event_id",
-        F.unix_micros("ts").alias("p_ts_us"),
+        ts_us("ts").alias("p_ts_us"),
         F.col("r_event_id").alias("v_event_id"),
-        F.unix_micros("r_ts").alias("v_ts_us"),
+        ts_us("r_ts").alias("v_ts_us"),
         F.round(F.col("r_value") * 100).cast("bigint").alias("v_value_c"),
     )
 

@@ -66,20 +66,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     are columnar Parquet reads; projection/filter pushdown is Catalyst's
     job once the plan is declared). Ref: avocado-cli/.../BiallelicGenotyper.scala:218-222.
 
-    ``events.ts`` is TIMESTAMP(NANOS) on disk — read as long nanos
-    (session config) and surfaced as a proper timestamp column here.
+    Timestamp columns are normalized to one canonical type (TIMESTAMP,
+    UTC instant) no matter how the fixture encodes them — the driver has
+    regenerated ``events.parquet`` with different encodings across
+    rounds (TIMESTAMP(NANOS) → long-nanos shim; plain timestamp[us] →
+    TIMESTAMP_NTZ cast). Normalizing HERE, at the single scan choke
+    point, keeps every downstream operator encoding-agnostic.
     """
     from pyspark.sql import functions as F
 
-    if name == "events":
-        # the driver hands us ITS session, which won't carry this conf;
-        # it is runtime-settable, so pin it before the scan. Also pin
-        # UTC so timestamp comparisons against the (UTC-naive) DuckDB
-        # oracle are stable regardless of host TZ.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from avocado_spark.functions.time_fns import normalize_timestamps
+
+    # the driver hands us ITS session, which won't carry these confs;
+    # they are runtime-settable, so pin them before the scan. UTC makes
+    # NTZ-cast semantics and oracle comparisons host-TZ-independent;
+    # nanosAsLong keeps the legacy TIMESTAMP(NANOS) encoding readable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not /1000: double division loses ulps at 1e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)

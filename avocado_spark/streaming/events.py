@@ -28,42 +28,34 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
-# events.parquet on-disk schema (ts is TIMESTAMP(NANOS) → long nanos
-# under spark.sql.legacy.parquet.nanosAsLong)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from avocado_spark.functions.time_fns import normalize_timestamps, ts_us
 
 
 def normalize_events(raw: DataFrame) -> DataFrame:
-    """long-nanos ts → proper timestamp (shared by batch + stream)."""
+    """Canonicalize ts to TIMESTAMP (shared by batch + stream): handles
+    the long-nanos legacy encoding AND TIMESTAMP_NTZ (plain
+    timestamp[us] fixture) — the round-4 regression surface."""
     if dict(raw.dtypes).get("ts") == "bigint":
         # integer DIV, not /1000: double division loses ulps at 1e18 ns
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return normalize_timestamps(raw)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet — the S-table analog
     of `readStream`; one file = one micro-batch locally, a directory of
-    arriving files in production."""
+    arriving files in production.
+
+    The stream source needs an explicit schema; take it from a batch
+    footer read of the same path so the stream tracks whatever ts
+    encoding the fixture currently uses (it has changed across driver
+    rounds), then normalize to canonical TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # the file stream source requires a DIRECTORY of arriving
         # files; stage the single local fixture into a temp dir (in
@@ -74,7 +66,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = tempfile.mkdtemp(prefix="events_stream_")
         shutil.copy(path, os.path.join(staged, "events.parquet"))
         path = staged
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(path)
+    raw = spark.readStream.schema(raw_schema).format("parquet").load(path)
     return normalize_events(raw)
 
 
@@ -98,7 +90,7 @@ def tumbling_agg(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), _cents("value").alias("sum_value_c"))
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            ts_us(F.col("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
             "sum_value_c",
@@ -118,7 +110,7 @@ def sliding_agg(
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(F.count("*").alias("n_events"), _cents("value").alias("sum_value_c"))
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            ts_us(F.col("w.start")).alias("window_start_us"),
             "n_events",
             "sum_value_c",
         )
@@ -137,8 +129,8 @@ def session_agg(
         .agg(F.count("*").alias("n_events"), _cents("value").alias("sum_value_c"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            ts_us(F.col("w.start")).alias("session_start_us"),
+            ts_us(F.col("w.end")).alias("session_end_us"),
             "n_events",
             "sum_value_c",
         )
@@ -178,7 +170,7 @@ def first_event_per_key(events: DataFrame) -> DataFrame:
             "user_id",
             "event_type",
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            ts_us("ts").alias("ts_us"),
         )
     )
 
@@ -245,7 +237,7 @@ def running_total_batch(events: DataFrame) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_us("ts").alias("ts_us"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("running_total_c"),
     )
 
@@ -292,8 +284,8 @@ def attribution_join(
         "user_id",
         "l_event_id",
         "r_event_id",
-        F.unix_micros("l_ts").alias("l_ts_us"),
-        F.unix_micros("r_ts").alias("r_ts_us"),
+        ts_us("l_ts").alias("l_ts_us"),
+        ts_us("r_ts").alias("r_ts_us"),
         F.round(F.col("r_value") * 100).cast("bigint").alias("r_value_c"),
     )
 
@@ -362,7 +354,7 @@ def funnel_stages(
     return (
         df.select(
             "user_id",
-            *[F.unix_micros(F.col(t)).alias(f"t{i}_us") for i, t in enumerate(tcols)],
+            *[ts_us(F.col(t)).alias(f"t{i}_us") for i, t in enumerate(tcols)],
             reached.alias("reached_stage"),
         )
         .dropDuplicates(["user_id"])

@@ -84,6 +84,7 @@ def main() -> None:
     # Per-query best-of-N also still damps GC/codegen jitter.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     # default 3: measured run-to-run noise is epoch-shaped (whole
     # multi-minute windows 25-70% slow with the guest idle — host-level
     # interference), so more, widely-spaced samples is the only
@@ -93,31 +94,40 @@ def main() -> None:
     for _ in range(max(runs, 1)):
         for name in names:
             # time the full build+action; isolate per-query cache state
-            # so one query's persisted intermediates don't skew the next
+            # so one query's persisted intermediates don't skew the next.
+            # Fault-isolated: one throwing query records an error entry
+            # instead of zeroing out the whole artifact (round-4 lesson:
+            # a single AnalysisException left BENCH_r04 with no numbers).
             t0 = time.perf_counter()
-            df = registry[name](spark, sf_dir)
-            rows[name] = df.count()
-            dt = time.perf_counter() - t0
-            spark.catalog.clearCache()
-            timings[name] = min(timings.get(name, float("inf")), dt)
+            try:
+                df = registry[name](spark, sf_dir)
+                rows[name] = df.count()
+                dt = time.perf_counter() - t0
+                timings[name] = min(timings.get(name, float("inf")), dt)
+            except Exception as e:  # noqa: BLE001 — keep benching the rest
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()
     total = 0.0
     for name in names:
+        if name in errors and name not in timings:
+            continue
         timings[name] = round(timings[name], 3)
         total += timings[name]
         print(f"# {name}: {timings[name]:.3f}s rows={rows[name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": max(runs, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": max(runs, 1),
+    }
+    if errors:
+        out["errors"] = {n: e for n, e in errors.items() if n not in timings}
+    print(json.dumps(out))
     spark.stop()
 
 
