@@ -106,3 +106,97 @@ def test_streaming_trending_topk_matches_batch(spark, events_stream):
     )
     want = EV.trending_topk(batch_counts, k=3)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_late_data_dropped_at_watermark(spark, tmp_path):
+    """Late-data contract (r4 verdict stretch item): an event arriving
+    AFTER its window was finalized by the watermark is dropped — no
+    state resurrection, no double emit. Three micro-batches
+    (maxFilesPerTrigger=1): batch 0 opens the 00:00 window and advances
+    the watermark to 02:00; batch 1's eviction finalizes the 00:00
+    window (append emit, count 1); batch 2 carries a 00:45 row that is
+    now beyond the watermark and must vanish. (Spark semantics note: a
+    late row whose window is still LIVE in state does merge — drop
+    happens once the window is finalized, which is what this stages.)
+    The staged files are plain timestamp[us] (TIMESTAMP_NTZ), doubling
+    as an end-to-end NTZ streaming regression test."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    def _file(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),  # naive → TIMESTAMP_NTZ in Spark
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    # batch 0: max event time 04:00 → watermark 02:00 for batch 1
+    _file(f"{d}/0.parquet", [(1, T(0, 30), 10, "view", 1.0), (2, T(4, 0), 10, "view", 1.0)])
+    # batch 1: filler row; its eviction pass finalizes the 00:00 window
+    _file(f"{d}/1.parquet", [(5, T(4, 15), 12, "view", 1.0)])
+    # batch 2: LATE row for the finalized 00:00 window + an on-time row
+    _file(f"{d}/2.parquet", [(3, T(0, 45), 11, "view", 1.0), (4, T(4, 30), 11, "view", 1.0)])
+    now = _time.time()
+    for i, f in enumerate(["0.parquet", "1.parquet", "2.parquet"]):
+        os.utime(f"{d}/{f}", (now - 100 + i * 10, now - 100 + i * 10))
+
+    schema = spark.read.parquet(d).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+    stream = EV.tumbling_agg(EV.normalize_events(raw), window="1 hour", watermark="2 hours")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    h0 = 1704067200000000  # 2024-01-01 00:00 UTC
+    # append sink holds exactly the finalized windows: the 00:00 window
+    # emitted ONCE with count 1 — the late row neither re-emitted it nor
+    # resurrected state (04:00 never finalizes before availableNow ends)
+    got = [tuple(r) for r in spark.table("t_late").collect()]
+    assert got == [(h0, "view", 1, 100)]
+    # batch shadow over the ON-TIME subset reproduces the finalized row
+    shadow = (
+        EV.tumbling_agg(
+            EV.normalize_events(spark.read.parquet(d)).where(F.col("event_id") != 3),
+            window="1 hour",
+        )
+        .where(F.col("window_start_us") == h0)
+        .collect()
+    )
+    assert [tuple(r) for r in shadow] == [(h0, "view", 1, 100)]
+    # the un-watermarked full batch DOES count the late row — the delta
+    # is exactly the watermark drop
+    full = (
+        EV.tumbling_agg(EV.normalize_events(spark.read.parquet(d)), window="1 hour")
+        .where(F.col("window_start_us") == h0)
+        .collect()
+    )
+    assert [tuple(r) for r in full] == [(h0, "view", 2, 200)]
