@@ -381,3 +381,67 @@ def exact_group_quantiles(
             ]
         )
     )
+
+
+def rolling_event_stats(
+    events: DataFrame,
+    horizon_minutes: int = 30,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing event-time window features per key: for every event,
+    the count and exact cent-sum of that user's events in the last
+    ``horizon_minutes`` INCLUDING this one — the per-entity velocity /
+    rolling-exposure feature of fraud and engagement models.
+
+    Spark-first shape: a RANGE frame over epoch-micros, not a
+    self-join — one shuffle on the key, state linear in rows, and the
+    range frame admits all rows at equal timestamps symmetrically (the
+    same multiset DuckDB's RANGE BETWEEN INTERVAL frame admits). A
+    time-range self-join computes the same thing in O(rows × window)
+    with a shuffle per side; the window form is the one that survives
+    100 TB.
+    """
+    from pyspark.sql import Window
+
+    from avocado_spark.functions.time_fns import ts_us
+
+    keys = keys or ["user_id"]
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    base = events.withColumn("_us", ts_us(ts_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_us"))
+        .rangeBetween(-horizon_us, 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return base.select(
+        "event_id",
+        *keys,
+        F.col("_us").alias("ts_us"),
+        F.count("*").over(w).alias(f"n_{horizon_minutes}m"),
+        F.sum(cents).over(w).cast("bigint").alias(f"sum_{horizon_minutes}m_c"),
+    )
+
+
+def hash_sample_weighted(
+    df: DataFrame, group_col: str, k_col: Column, id_col: str
+) -> DataFrame:
+    """Weighted deterministic mixture: like ``hash_sample_per_group``
+    but each group keeps its OWN quota ``k_col`` (a per-row expression,
+    e.g. a weight-table lookup or a rule on the group key) — the
+    source-mixing primitive of pretraining-data curation ("2 parts
+    web, 1 part code"). Same replayable LCG rank, same single window
+    shuffle; quota evaluation is a scalar expression, no extra join
+    unless the caller brings one."""
+    from pyspark.sql import Window
+
+    h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_k", k_col)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= F.col("_k"))
+        .drop("_r", "_k")
+    )

@@ -296,3 +296,85 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
         .where(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+def chunk_dedup(
+    docs: DataFrame, text_col: str = "text", chunk_size: int = 20
+) -> DataFrame:
+    """Chunk-level exact dedup (the C4/RefinedWeb line-dedup analog —
+    at corpus scale, boilerplate repeats WITHIN otherwise-unique
+    documents, so document-level dedup misses it): split each doc into
+    fixed-size token chunks, keep each distinct chunk's FIRST corpus
+    occurrence (ordered by doc_id, chunk index), and reassemble the
+    surviving text per document.
+
+    Scale shape: explode → one winner-selection shuffle keyed on the
+    chunk STRING (skew-safe: identical boilerplate chunks all land in
+    one group but the winner window is O(group) with no buffering
+    beyond the sort) → one reassembly shuffle on doc_id. No driver
+    state, no self-join; both shuffles are on keys the next stage needs
+    anyway. Docs whose every chunk lost dedup drop out entirely —
+    the fully-boilerplate-document case.
+
+    Output: doc_id, n_chunks (pre-dedup), n_kept, clean_text.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("bigint")
+    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_size + 1, chunk_size), " "
+            ),
+        )
+    )
+    ex = docs.select(
+        "doc_id", n_chunks.alias("n_chunks"), F.posexplode(chunks).alias("cid", "chunk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cid")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.max("n_chunks").alias("n_chunks"),
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def ngram_corpus_topk(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 25
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the vocabulary /
+    boilerplate census that drives contamination screens and stopword
+    lists at pretraining scale.
+
+    Scale shape: n-gram explode feeds ONE hash aggregation (map-side
+    partial combine collapses the heavy hitters before the shuffle —
+    exactly the skew these queries have, since top n-grams are by
+    definition massive groups), then top-k via orderBy+limit, which
+    Spark executes as TakeOrderedAndProject (per-partition heaps, no
+    global sort). Deterministic under ties: (count desc, ngram asc).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -704,6 +704,9 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline family, (5) kernels/relational ops unchanged and green
 # since round 1 (safe to drop under a cap).
 _GATE_PRIORITY = [
+    # (-1) round-5 additions — no driver row yet
+    "chunk_dedup", "ngram_corpus_topk", "weighted_mix", "events_rolling_stats",
+    "revenue_multijoin", "stream_static_enrich", "bucketed_colocated_join",
     # (0) round-4 reds: the 9 NTZ-regression queries, fixed in round 5
     # at the scan boundary (time_fns.ts_us + load_table normalization) —
     # these MUST re-prove against the driver differential first.
@@ -774,3 +777,49 @@ def get_oracles() -> dict[str, str]:
     )
 
     return _gate_ordered(ORACLES)
+
+
+@query(
+    "revenue_multijoin",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON o.o_orderkey = l.l_orderkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_c DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def revenue_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped star join: returned-item revenue per customer.
+    The multi-join breadth check for the relational spine — two large
+    shuffle joins (orders⋈lineitem, ⋈customer) that AQE plans from
+    runtime stats, one broadcast dim (nation), partial-agg rollup, and
+    TakeOrderedAndProject for the top-k. Revenue is an integer
+    cent-sum so the hash comparison is exact under any accumulation
+    order. row_number-free: (revenue desc, custkey) is a total order.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(cents).cast("bigint").alias("revenue_c"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -986,3 +986,80 @@ def simhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole) + exact bit_count verify."""
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
     return D.simhash_dup_pairs(docs, max_hamming=3)
+
+
+@query(
+    "chunk_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    nn AS (SELECT doc_id, ts, CAST(CEIL(len(ts)/20.0) AS BIGINT) AS n_chunks FROM toks),
+    ex AS (SELECT doc_id, n_chunks, UNNEST(generate_series(0, n_chunks-1)) AS cid, ts
+           FROM nn WHERE n_chunks > 0),
+    chunks AS (SELECT doc_id, n_chunks, cid,
+                      array_to_string(list_slice(ts, cid*20+1, cid*20+20), ' ') AS chunk
+               FROM ex),
+    kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+             FROM chunks)
+    SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
+           STRING_AGG(chunk, ' ' ORDER BY cid) AS clean_text
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph/line) exact dedup with text reassembly —
+    catches boilerplate repeated INSIDE otherwise-unique documents,
+    which document-level dedup misses. The value-hash covers the
+    reassembled clean_text, so chunking, winner selection, and ordered
+    reconstruction are all differentialed."""
+    from avocado_spark.operators.text import chunk_dedup
+
+    return chunk_dedup(load_table(spark, sf_dir, "documents"), chunk_size=20)
+
+
+@query(
+    "ngram_corpus_topk",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+    grams AS (SELECT array_to_string(list_slice(ts, i, i+2), ' ') AS ngram
+              FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS t(i))
+    SELECT ngram, COUNT(*) AS n FROM grams
+    GROUP BY ngram ORDER BY n DESC, ngram LIMIT 25
+    """,
+)
+def ngram_corpus_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 trigram census: map-side partial agg absorbs
+    the heavy-hitter skew, TakeOrderedAndProject gives top-k without a
+    global sort. Deterministic under ties (count desc, ngram asc)."""
+    from avocado_spark.operators.text import ngram_corpus_topk
+
+    return ngram_corpus_topk(load_table(spark, sf_dir, "documents"), n=3, k=25)
+
+
+@query(
+    "weighted_mix",
+    r"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
+             THEN 10 ELSE 5 END AS k,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS r
+      FROM documents
+    ) WHERE r <= k
+    """,
+)
+def weighted_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixture ("2 parts even sources,
+    1 part odd"): per-group quota from a rule on the group key, LCG
+    rank window — the pretraining data-mixing primitive, replayable
+    in SQL with no rand() anywhere."""
+    from avocado_spark.operators.relational import hash_sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    k_col = (
+        F.when(F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2 == 0, 10)
+        .otherwise(5)
+    )
+    return hash_sample_weighted(docs, "source", k_col, "doc_id").select(
+        "doc_id", "source"
+    )

@@ -113,3 +113,61 @@ def sink_sorted_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "read_id", "contig", "start", F.monotonically_increasing_id().alias("file_order")
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    """
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: write BOTH join sides bucketed
+    by the join key (same bucket count), read them back through the
+    catalog, and join — the bucket layout carries the partitioning
+    proof, so the SortMergeJoin needs NO Exchange on either side
+    (plan-gated in tests/test_plans.py). At 100 TB this is THE way to
+    amortize a fact-fact join key across every downstream query: pay
+    the shuffle once at ingest, never again.
+
+    The hash can only match the oracle if every row of both sinks
+    round-tripped the bucketed write exactly once."""
+    import uuid
+
+    from avocado_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="avocado_bucketed_")
+    tag = uuid.uuid4().hex[:8]
+    to, tl = f"avb_orders_{tag}", f"avb_lineitem_{tag}"
+    IO.write_bucketed(
+        o.select("o_orderkey", "o_orderstatus"),
+        to,
+        ["o_orderkey"],
+        num_buckets=8,
+        sort_cols=["o_orderkey"],
+        path=os.path.join(base, "orders"),
+    )
+    IO.write_bucketed(
+        li, tl, ["l_orderkey"], num_buckets=8,
+        sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
+    )
+    ob, lb = spark.table(to), spark.table(tl)
+    return (
+        ob.hint("merge")
+        .join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_c"),
+        )
+    )

@@ -355,3 +355,57 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     occur in the fixture (mixed 0/1/2/3 distribution at sf0.01)."""
     ev = EV.normalize_events(load_table(spark, sf_dir, "events"))
     return EV.funnel_stages(ev, ("view", "click", "purchase"), within="2 days")
+
+
+@query(
+    "events_rolling_stats",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS n_30m,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_30m_c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute per-user velocity features via a RANGE frame
+    on epoch-micros — one shuffle on user_id, no time-range self-join.
+    Equal-timestamp rows are admitted symmetrically, matching DuckDB's
+    RANGE BETWEEN INTERVAL frame exactly."""
+    from avocado_spark.operators.relational import rolling_event_stats
+
+    return rolling_event_stats(
+        load_table(spark, sf_dir, "events"), horizon_minutes=30
+    )
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+           CAST(ROUND(e.value * 100) AS BIGINT) AS value_c,
+           c.c_name, c.c_nationkey
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: events left-joined to the
+    customer dimension. In a streaming plan the static side broadcasts
+    and the stream buffers NOTHING (no watermark, no state) — here the
+    batch shadow is oracle-checked; the streaming path converges in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return EV.enrich_with_dim(ev, cust).select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+        "c_name",
+        "c_nationkey",
+    )

@@ -359,3 +359,25 @@ def funnel_stages(
         )
         .dropDuplicates(["user_id"])
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_name", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to a (possibly streaming) event feed. The static side is
+    broadcast — the ONE join shape that needs no watermark and keeps no
+    state in a streaming plan, because the stream side never buffers:
+    each micro-batch hash-probes the broadcast table map-side.
+
+    Left-outer so unmatched events survive with null attributes (the
+    telemetry-before-signup case). Works identically on batch input,
+    which is what the DuckDB oracle checks."""
+    d = F.broadcast(
+        dim.select(F.col(dim_key).alias(key), *[F.col(c) for c in dim_cols])
+    )
+    return events.join(d, key, "left")

@@ -62,6 +62,12 @@ def main() -> None:
         "events_asof_join",
         "events_funnel",
         "simhash_dup_pairs",
+        # round 5: chunk-level dedup (two-shuffle explode+window),
+        # corpus n-gram census (heavy-hitter agg + top-k), rolling
+        # range-frame features (single window shuffle)
+        "chunk_dedup",
+        "ngram_corpus_topk",
+        "events_rolling_stats",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed

@@ -221,3 +221,72 @@ def test_components_round_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def final_plan(plan: str) -> str:
+    """AQE plan strings append an '== Initial Plan ==' section after the
+    final plan — strip it so operator counts aren't doubled."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_ngram_topk_take_ordered(spark):
+    """Corpus top-k must be TakeOrderedAndProject (per-partition heaps)
+    with map-side partial aggregation — never a global sort of the
+    full n-gram table."""
+    plan = plan_of(spark, "ngram_corpus_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_chunk_dedup_two_shuffles_no_join(spark):
+    """Chunk dedup = winner window (chunk key) + reassembly agg
+    (doc_id) — exactly two exchanges, no join of any kind."""
+    plan = final_plan(plan_of(spark, "chunk_dedup"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_rolling_stats_single_shuffle(spark):
+    """The RANGE-frame rolling feature is ONE shuffle on user_id — a
+    time-range self-join here would be a scale bug."""
+    plan = final_plan(plan_of(spark, "events_rolling_stats"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_weighted_mix_single_shuffle_no_join(spark):
+    """Quota is a scalar rule on the group key — no weight-table join,
+    one rank-window shuffle."""
+    plan = final_plan(plan_of(spark, "weighted_mix"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_revenue_multijoin_broadcast_dim_and_topk(spark):
+    """Q10 shape: nation must broadcast (never shuffle a 25-row dim),
+    top-20 must be TakeOrderedAndProject, and no nested-loop join."""
+    plan = final_plan(plan_of(spark, "revenue_multijoin"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stream_static_enrich_broadcasts(spark):
+    """The static dimension side must broadcast — a shuffle here would
+    buffer the stream."""
+    plan = final_plan(plan_of(spark, "stream_static_enrich"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Both sides bucketed by the join key → the SortMergeJoin consumes
+    the bucket layout directly: ZERO Exchange anywhere in the join
+    subtree (the partial/final agg above it may still shuffle)."""
+    plan = final_plan(plan_of(spark, "bucketed_colocated_join"))
+    assert "SortMergeJoin" in plan, plan
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, join_subtree
+    assert "Bucketed: true" in plan, plan

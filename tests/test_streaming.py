@@ -200,3 +200,17 @@ def test_streaming_late_data_dropped_at_watermark(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in full] == [(h0, "view", 2, 200)]
+
+
+def test_streaming_static_enrich_matches_batch(spark, events_stream):
+    """Stream-static broadcast join: no watermark, no state — each
+    micro-batch probes the broadcast dim; must converge to the batch
+    left join."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    stream = EV.enrich_with_dim(events_stream, cust)
+    assert stream.isStreaming
+    out = _run_stream(spark, stream, "t_enrich", "append")
+    batch = EV.enrich_with_dim(load_table(spark, SF_SMOKE, "events"), cust)
+    assert sorted(tuple(r) for r in out.drop("ts").collect()) == sorted(
+        tuple(r) for r in batch.drop("ts").collect()
+    )
