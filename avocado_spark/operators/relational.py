@@ -445,3 +445,44 @@ def hash_sample_weighted(
         .where(F.col("_r") <= F.col("_k"))
         .drop("_r", "_k")
     )
+
+
+def upsert_latest(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC compaction / dimension upsert without a table format: apply
+    a change feed over a base snapshot, keeping the LATEST version per
+    key (change rows outrank base rows at equal version). With
+    ``delete_col``, winning rows flagged true are dropped — full
+    upsert-delete semantics from plain DataFrames.
+
+    Spark-first shape: union + one rank window on the key — a single
+    shuffle, no join (the MERGE INTO of table formats is a join against
+    the base; for periodic batch compaction the union+window form
+    touches each row once and needs no transaction log). At 100 TB the
+    output is written back bucketed by the key so the next compaction
+    and every dimension join stay shuffle-free (see
+    sources/io.py::write_bucketed).
+    """
+    from pyspark.sql import Window
+
+    b = base.withColumn("_src", F.lit(0))
+    c = changes.withColumn("_src", F.lit(1))
+    u = b.unionByName(c)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    latest = (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    if delete_col is not None:
+        latest = latest.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    return latest

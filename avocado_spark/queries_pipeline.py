@@ -1063,3 +1063,62 @@ def weighted_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_weighted(docs, "source", k_col, "doc_id").select(
         "doc_id", "source"
     )
+
+
+@query(
+    "dim_upsert_compact",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+             1 AS version, FALSE AS deleted
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 10000 AS acctbal_c,
+             2 AS version, (c_custkey % 11 = 0) AS deleted
+      FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey,
+             CAST(5000 AS BIGINT) AS acctbal_c, 2 AS version, FALSE AS deleted
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                     ORDER BY version DESC) AS rn FROM u)
+    SELECT c_custkey, c_name, c_nationkey, acctbal_c, version
+    FROM r WHERE rn = 1 AND NOT deleted
+    """,
+)
+def dim_upsert_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: a deterministic change feed (updates for keys
+    %7, tombstones for %11, inserts at key+100000 for %13) applied over
+    the customer snapshot via union + one rank window — MERGE INTO
+    semantics (update/delete/insert) with a single shuffle and no table
+    format. The hash covers survivors, applied updates, AND tombstone
+    removals."""
+    from avocado_spark.operators.relational import upsert_latest
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    base = cust.select(
+        "c_custkey", "c_name", "c_nationkey",
+        cents.alias("acctbal_c"),
+        F.lit(1).alias("version"), F.lit(False).alias("deleted"),
+    )
+    upd = cust.where((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0)).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (cents + 10000).alias("acctbal_c"),
+        F.lit(2).alias("version"),
+        (F.col("c_custkey") % 11 == 0).alias("deleted"),
+    )
+    ins = cust.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        "c_name", "c_nationkey",
+        F.lit(5000).cast("bigint").alias("acctbal_c"),
+        F.lit(2).alias("version"), F.lit(False).alias("deleted"),
+    )
+    return upsert_latest(
+        base, upd.unionByName(ins), ["c_custkey"], "version", delete_col="deleted"
+    )

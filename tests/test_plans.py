@@ -290,3 +290,11 @@ def test_bucketed_join_no_exchange(spark):
     join_subtree = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree, join_subtree
     assert "Bucketed: true" in plan, plan
+
+
+def test_upsert_compact_single_shuffle_no_join(spark):
+    """CDC compaction is union + one rank window — one shuffle on the
+    key, never a MERGE-style join against the base."""
+    plan = final_plan(plan_of(spark, "dim_upsert_compact"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
