@@ -68,6 +68,11 @@ def main() -> None:
         "chunk_dedup",
         "ngram_corpus_topk",
         "events_rolling_stats",
+        # round 5b: AQE multi-join, bucketed co-located join (write+
+        # read+join timed as one), CDC upsert compaction
+        "revenue_multijoin",
+        "bucketed_colocated_join",
+        "dim_upsert_compact",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed

@@ -52,3 +52,57 @@ def test_asof_tolerance(spark):
     }
     assert out["p1"] == 11      # same instant, within horizon
     assert out["p2"] is None    # 150 is 50s before 200 -> outside 30s
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Property differential: on randomized inputs, asof_join must agree
+    with pandas.merge_asof (direction='backward', exact matches
+    allowed) — the de-facto semantics reference for as-of joins. The
+    right side is pre-sorted by (ts, rid) so merge_asof's last-wins
+    tie-break coincides with asof_join's max-struct tie-break (rid is
+    the first payload column)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    ts_vals = st.integers(min_value=0, max_value=30)
+    keys = st.integers(min_value=0, max_value=3)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lrows=st.lists(st.tuples(keys, ts_vals), min_size=1, max_size=25),
+        rrows=st.lists(st.tuples(keys, ts_vals), min_size=0, max_size=25),
+    )
+    def check(lrows, rrows):
+        lpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+            columns=["user", "ts", "lid"],
+        ).astype("int64")
+        rpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(rrows)],
+            columns=["user", "ts", "rid"],
+        ).astype("int64")
+        left = spark.createDataFrame(lpdf)
+        right = (
+            spark.createDataFrame(rpdf)
+            if len(rpdf)
+            else spark.createDataFrame([], "user long, ts long, rid long")
+        )
+        got = {
+            r["lid"]: r["r_rid"]
+            for r in asof_join(
+                left, right, keys=["user"], ts_col="ts", right_cols=["rid"]
+            ).collect()
+        }
+        lsort = lpdf.sort_values("ts", kind="stable")
+        rsort = rpdf.sort_values(["ts", "rid"], kind="stable")
+        merged = pd.merge_asof(
+            lsort, rsort, on="ts", by="user", direction="backward",
+            allow_exact_matches=True, suffixes=("", "_r"),
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+        assert got == want
+
+    check()
