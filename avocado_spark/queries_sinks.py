@@ -171,3 +171,38 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_c"),
         )
     )
+
+
+@query(
+    "sink_schema_evolution",
+    f"""
+    WITH reads_rel AS ({_READS})
+    SELECT read_id, contig, start, NULL AS mapq
+    FROM reads_rel WHERE sample_id = 's0'
+    UNION ALL
+    SELECT read_id, contig, start, mapq
+    FROM reads_rel WHERE sample_id = 's1'
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip: a v1 dataset written WITHOUT the
+    mapq column and a v2 dataset written with it, read back as one
+    relation via mergeSchema — v1 rows must surface null mapq, v2 rows
+    their real values. The hash can only match if the merged scan
+    neither drops the new column nor invents values for old files."""
+    df = tables.derived(spark, sf_dir, "reads_rel")
+    base = tempfile.mkdtemp(prefix="avocado_evolve_")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    IO.write_parquet(
+        df.where(F.col("sample_id") == "s0").select("read_id", "contig", "start"),
+        v1, num_partitions=2,
+    )
+    IO.write_parquet(
+        df.where(F.col("sample_id") == "s1").select(
+            "read_id", "contig", "start", "mapq"
+        ),
+        v2, num_partitions=2,
+    )
+    return IO.scan_parquet_evolved(spark, [v1, v2]).select(
+        "read_id", "contig", "start", "mapq"
+    )

@@ -108,3 +108,16 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", os.path.abspath(path))
     w.format("parquet").saveAsTable(table_name)
+
+
+def scan_parquet_evolved(
+    spark: SparkSession, paths: Sequence[str]
+) -> DataFrame:
+    """Schema-evolution scan: one logical relation over parquet
+    datasets written at different schema versions (``mergeSchema``) —
+    columns absent in older files surface as nulls. The ingest reality
+    of any long-lived 100 TB table: readers must span schema versions
+    without rewriting history. Merging reads every footer, so
+    production tables pin the merged schema in a catalog; this is the
+    discovery path."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
