@@ -409,3 +409,40 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_nationkey",
     )
+
+
+@query(
+    "events_rollup_hierarchy",
+    """
+    WITH e AS (SELECT event_type,
+                      (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+                      value
+               FROM events)
+    SELECT event_type, hour_us, GROUPING(event_type, hour_us) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM e GROUP BY ROLLUP(event_type, hour_us)
+    """,
+)
+def events_rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (type → type×hour → grand total) in ONE
+    aggregation pass — Spark's ROLLUP expands grouping sets inside a
+    single partial+final hash agg instead of three scans + union.
+    grouping_id disambiguates subtotal rows from genuine null keys;
+    its bit convention (leftmost rollup column = MSB) matches DuckDB's
+    GROUPING() exactly, which this differential pins."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = (ts_us("ts") - (ts_us("ts") % 3600000000)).alias("hour_us")
+    return (
+        ev.select("event_type", hour, "value")
+        .rollup("event_type", "hour_us")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_c"),
+        )
+    )
