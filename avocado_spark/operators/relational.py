@@ -486,3 +486,88 @@ def upsert_latest(
             delete_col
         )
     return latest
+
+
+def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile in ONE pass: per column, the row count,
+    null count, exact distinct count, and min/max (rendered to strings
+    so heterogeneous columns stack into one tall result). The ingest
+    gate of any 100 TB pipeline — run per batch, diffed against the
+    previous batch to catch schema drift and null storms.
+
+    Scale shape: a single wide aggregation; Spark plans the N exact
+    count(distinct)s as one Expand (N× row multiplier) + two-level agg,
+    partial-combined map-side — no per-column scans, no driver loop. At
+    warehouse scale you would swap approx_count_distinct per column to
+    drop the Expand; the exact form is the oracle-checkable one.
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # pivot tall via ONE explode over the single wide row — a union of
+    # per-column selects would re-plan the whole aggregation (and its
+    # scan) once per column
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select("n_rows", F.explode(entries).alias("e")).select(
+        F.col("e.column").alias("column"),
+        "n_rows",
+        "e.n_nulls",
+        "e.n_distinct",
+        "e.min_str",
+        "e.max_str",
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging with ENGINE-EXACT arithmetic:
+    mean and variance are derived from integer cent-sums and cent-
+    square-sums (exact under any accumulation order), so the final
+    float z-score is the same double expression over identical integers
+    in Spark and the SQL oracle — no stddev_samp cross-engine ulps.
+
+    Scale shape: one grouped agg (partial-combined) broadcast back onto
+    the rows via a tiny dim join — the moments table has |groups| rows.
+    """
+    c = F.round(F.col(value_col) * 100).cast("bigint")
+    mom = events.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(c).cast("bigint").alias("s1"),
+        F.sum(c * c).cast("bigint").alias("s2"),
+    )
+    joined = events.select(id_col, group_col, c.alias("v_c")).join(
+        F.broadcast(mom), group_col
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    # sample variance from exact integer moments
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * mean
+    ) / (F.col("n") - 1)
+    z = (F.col("v_c").cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) >= threshold)
+        .select(id_col, group_col, F.col("v_c"), "z")
+    )

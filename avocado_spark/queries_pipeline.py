@@ -1122,3 +1122,64 @@ def dim_upsert_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_latest(
         base, upd.unionByName(ins), ["c_custkey"], "version", delete_col="deleted"
     )
+
+
+@query(
+    "table_profile",
+    """
+    WITH w AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+             COUNT(DISTINCT l_orderkey) AS k_distinct,
+             CAST(MIN(l_orderkey) AS VARCHAR) AS k_min, CAST(MAX(l_orderkey) AS VARCHAR) AS k_max,
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS f_nulls,
+             COUNT(DISTINCT l_returnflag) AS f_distinct,
+             CAST(MIN(l_returnflag) AS VARCHAR) AS f_min, CAST(MAX(l_returnflag) AS VARCHAR) AS f_max,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+             COUNT(DISTINCT l_quantity) AS q_distinct,
+             CAST(MIN(l_quantity) AS VARCHAR) AS q_min, CAST(MAX(l_quantity) AS VARCHAR) AS q_max
+      FROM lineitem
+    )
+    SELECT 'l_orderkey' AS column, n_rows, k_nulls AS n_nulls, k_distinct AS n_distinct,
+           k_min AS min_str, k_max AS max_str FROM w
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, f_nulls, f_distinct, f_min, f_max FROM w
+    UNION ALL
+    SELECT 'l_quantity', n_rows, q_nulls, q_distinct, q_min, q_max FROM w
+    """,
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of three lineitem columns: row/
+    null/exact-distinct counts + min/max as strings — the per-batch
+    ingest gate, planned as a single Expand + two-level agg."""
+    from avocado_spark.operators.relational import table_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
+
+
+@query(
+    "events_zscore_outliers",
+    """
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+    mom AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(v_c) AS BIGINT) AS s1,
+                   CAST(SUM(v_c * v_c) AS BIGINT) AS s2
+            FROM c GROUP BY event_type),
+    j AS (SELECT c.event_id, c.event_type, c.v_c,
+                 ROUND((CAST(c.v_c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                   / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1)), 6) AS z
+          FROM c JOIN mom ON c.event_type = mom.event_type)
+    SELECT event_id, event_type, v_c, z FROM j WHERE ABS(z) >= 3.0
+    """,
+)
+def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers with engine-exact arithmetic: variance
+    from integer cent moments, so the float z is the identical double
+    expression over identical integers in both engines — no
+    stddev_samp cross-engine ulps. One grouped agg + broadcast moments
+    join."""
+    from avocado_spark.operators.relational import zscore_outliers
+
+    return zscore_outliers(load_table(spark, sf_dir, "events"))

@@ -298,3 +298,21 @@ def test_upsert_compact_single_shuffle_no_join(spark):
     plan = final_plan(plan_of(spark, "dim_upsert_compact"))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_table_profile_single_pass(spark):
+    """The N-column profile must be ONE aggregation over one scan
+    (Expand + two-level agg) — never a scan or join per column."""
+    plan = final_plan(plan_of(spark, "table_profile"))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_zscore_moments_broadcast(spark):
+    """The |groups|-row moments table must broadcast back onto the
+    event rows — shuffling 100 TB of events against 5 rows would be
+    the wrong side."""
+    plan = final_plan(plan_of(spark, "events_zscore_outliers"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
