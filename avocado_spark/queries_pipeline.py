@@ -1129,13 +1129,13 @@ def dim_upsert_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
              COUNT(DISTINCT l_orderkey) AS k_distinct,
              CAST(MIN(l_orderkey) AS VARCHAR) AS k_min, CAST(MAX(l_orderkey) AS VARCHAR) AS k_max,
-             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS f_nulls,
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_nulls,
              COUNT(DISTINCT l_returnflag) AS f_distinct,
              CAST(MIN(l_returnflag) AS VARCHAR) AS f_min, CAST(MAX(l_returnflag) AS VARCHAR) AS f_max,
-             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
              COUNT(DISTINCT l_quantity) AS q_distinct,
              CAST(MIN(l_quantity) AS VARCHAR) AS q_min, CAST(MAX(l_quantity) AS VARCHAR) AS q_max
       FROM lineitem
