@@ -446,3 +446,84 @@ def events_rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_c"),
         )
     )
+
+
+@query(
+    "events_value_deciles",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, decile, COUNT(*) AS n,
+           MIN(v_c) AS lo_c, MAX(v_c) AS hi_c
+    FROM t GROUP BY event_type, decile
+    """,
+)
+def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type decile distribution of event values: NTILE(10) under a
+    deterministic (value, event_id) order, rolled up to count + cent
+    bounds per bucket — the histogram primitive for drift monitoring.
+    One window shuffle reused by the following agg (same key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v_c").alias("lo_c"),
+            F.max("v_c").alias("hi_c"),
+        )
+    )
+
+
+@query(
+    "events_interarrival",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps (LAG over event time) rolled up to
+    count/min/max/sum — the session-cadence feature. The LAG window
+    and the user agg share one user_id shuffle; integer micros keep
+    the sums exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        )
+    )
