@@ -266,12 +266,9 @@ def hash_sample_per_group(
     sample of the corpus': one window shuffle on the group key, no
     driver state, stable under re-runs and partitioning changes —
     unlike rand()-based sampling, which no differential oracle could
-    check."""
-    from pyspark.sql import Window
-
-    h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
-    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k).drop("_r")
+    check. Fixed-quota special case of ``hash_sample_weighted`` (one
+    LCG definition, one rank-window implementation)."""
+    return hash_sample_weighted(df, group_cols, F.lit(k), id_col)
 
 
 def asof_join(
@@ -389,6 +386,7 @@ def rolling_event_stats(
     keys: list[str] | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Trailing event-time window features per key: for every event,
     the count and exact cent-sum of that user's events in the last
@@ -417,7 +415,7 @@ def rolling_event_stats(
     )
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     return base.select(
-        "event_id",
+        id_col,
         *keys,
         F.col("_us").alias("ts_us"),
         F.count("*").over(w).alias(f"n_{horizon_minutes}m"),
@@ -426,19 +424,22 @@ def rolling_event_stats(
 
 
 def hash_sample_weighted(
-    df: DataFrame, group_col: str, k_col: Column, id_col: str
+    df: DataFrame, group_cols: list[str] | str, k_col: Column, id_col: str
 ) -> DataFrame:
     """Weighted deterministic mixture: like ``hash_sample_per_group``
     but each group keeps its OWN quota ``k_col`` (a per-row expression,
     e.g. a weight-table lookup or a rule on the group key) — the
     source-mixing primitive of pretraining-data curation ("2 parts
-    web, 1 part code"). Same replayable LCG rank, same single window
-    shuffle; quota evaluation is a scalar expression, no extra join
-    unless the caller brings one."""
+    web, 1 part code"). Same replayable LCG rank (shared single
+    definition — the constants replay in every SQL oracle), same single
+    window shuffle; quota evaluation is a scalar expression, no extra
+    join unless the caller brings one."""
     from pyspark.sql import Window
 
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
     h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_k", k_col)
         .withColumn("_r", F.row_number().over(w))

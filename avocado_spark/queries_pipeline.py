@@ -1040,7 +1040,7 @@ def ngram_corpus_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
-        CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
+        CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
              THEN 10 ELSE 5 END AS k,
         ROW_NUMBER() OVER (PARTITION BY source
           ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS r
@@ -1056,9 +1056,13 @@ def weighted_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avocado_spark.operators.relational import hash_sample_weighted
 
     docs = load_table(spark, sf_dir, "documents")
+    # try_cast (and TRY_CAST in the oracle): a source with no trailing
+    # digits yields null -> the ELSE quota in BOTH engines, instead of
+    # an ANSI cast error in one and a crash in the other
     k_col = (
-        F.when(F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2 == 0, 10)
-        .otherwise(5)
+        F.when(
+            F.regexp_extract("source", r"(\d+)$", 1).try_cast("int") % 2 == 0, 10
+        ).otherwise(5)
     )
     return hash_sample_weighted(docs, "source", k_col, "doc_id").select(
         "doc_id", "source"
@@ -1084,11 +1088,11 @@ def weighted_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(5000 AS BIGINT) AS acctbal_c, 2 AS version, FALSE AS deleted
       FROM customer WHERE c_custkey % 13 = 0
     ),
-    u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    u AS (SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 AS src FROM changes),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
-                     ORDER BY version DESC) AS rn FROM u)
+                     ORDER BY version DESC, src DESC) AS rn FROM u)
     SELECT c_custkey, c_name, c_nationkey, acctbal_c, version
-    FROM r WHERE rn = 1 AND NOT deleted
+    FROM r WHERE rn = 1 AND NOT COALESCE(deleted, FALSE)
     """,
 )
 def dim_upsert_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -434,7 +434,7 @@ def events_rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F811
 
     ev = load_table(spark, sf_dir, "events")
-    hour = (ts_us("ts") - (ts_us("ts") % 3600000000)).alias("hour_us")
+    hour = (ts_us("ts") - F.pmod(ts_us("ts"), F.lit(3600000000))).alias("hour_us")
     return (
         ev.select("event_type", hour, "value")
         .rollup("event_type", "hour_us")

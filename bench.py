@@ -137,7 +137,10 @@ def main() -> None:
         "runs_per_query": max(runs, 1),
     }
     if errors:
-        out["errors"] = {n: e for n, e in errors.items() if n not in timings}
+        # every recorded error ships in the artifact — including queries
+        # that succeeded on SOME runs (flaky), which would otherwise read
+        # as fully healthy in the JSON while failing runs hid on stderr
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
