@@ -572,3 +572,30 @@ def zscore_outliers(
         .where(F.abs(F.col("z")) >= threshold)
         .select(id_col, group_col, F.col("v_c"), "z")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the LCG hash of the id
+    modulo 100 falls into cumulative percentage bands. A pure
+    projection — no shuffle, no rand(), stable under re-runs,
+    partitioning, and engine (the same arithmetic replays in SQL), so
+    the split can be recomputed anywhere instead of stored.
+
+    ``splits``: (label, percent) pairs summing to ≤ 100; ids hashing
+    past the last band get the final label (rounding guard).
+    """
+    h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
+    bucket = h % 100
+    expr = None
+    cum = 0
+    for label, pct in splits[:-1]:
+        cum += pct
+        cond = bucket < cum
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

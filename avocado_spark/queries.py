@@ -709,7 +709,7 @@ _GATE_PRIORITY = [
     "revenue_multijoin", "stream_static_enrich", "bucketed_colocated_join",
     "dim_upsert_compact", "sink_schema_evolution", "events_rollup_hierarchy",
     "table_profile", "events_zscore_outliers", "events_value_deciles",
-    "events_interarrival",
+    "events_interarrival", "dataset_split", "split_leakage",
     # (0) round-4 reds: the 9 NTZ-regression queries, fixed in round 5
     # at the scan boundary (time_fns.ts_us + load_table normalization) —
     # these MUST re-prove against the driver differential first.

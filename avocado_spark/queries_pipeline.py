@@ -1187,3 +1187,94 @@ def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avocado_spark.operators.relational import zscore_outliers
 
     return zscore_outliers(load_table(spark, sf_dir, "events"))
+
+
+_SPLIT_SQL = """CASE
+      WHEN (({id} * 1103515245 + 12345) % 2147483648) % 100 < 90 THEN 'train'
+      WHEN (({id} * 1103515245 + 12345) % 2147483648) % 100 < 95 THEN 'val'
+      ELSE 'test' END"""
+
+
+@query(
+    "dataset_split",
+    f"""
+    SELECT split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM (SELECT doc_id, {_SPLIT_SQL.format(id="doc_id")} AS split FROM documents)
+    GROUP BY split
+    """,
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment via the LCG hash
+    band — a pure projection (no shuffle, no rand()) rolled up to
+    per-split counts so the differential pins every id's band."""
+    from avocado_spark.operators.relational import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "split_leakage",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sh AS (
+      SELECT doc_id, lang, source, {_shingles(_th(_TOKS), 2)} AS s
+      FROM aug
+    ),
+    shn AS (SELECT doc_id, lang, source, s FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM shn a JOIN shn b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    labeled AS (
+      SELECT {_SPLIT_SQL.format(id="a_id")} AS sa,
+             {_SPLIT_SQL.format(id="b_id")} AS sb
+      FROM pairs WHERE jaccard >= 0.6
+    )
+    SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+    FROM labeled GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+    """,
+)
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination census: near-dup pairs (token-bigram
+    Jaccard over the augmented corpus) labeled with each side's
+    deterministic split — pairs crossing splits ARE evaluation leakage.
+    The split is a pure function of the id, so labeling costs a
+    projection on the pair table, not a join; the canonical
+    (least, greatest) label pair makes the rollup order-free."""
+    from avocado_spark.operators.relational import hash_split
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, ["lang", "source"], k=2, threshold=0.6)
+    sp = lambda c: (  # noqa: E731 — split label from the id, no join
+        F.when((((F.col(c) * 1103515245 + 12345) % 2147483648) % 100) < 90, "train")
+        .when((((F.col(c) * 1103515245 + 12345) % 2147483648) % 100) < 95, "val")
+        .otherwise("test")
+    )
+    labeled = pairs.select(sp("a_id").alias("sa"), sp("b_id").alias("sb"))
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            (F.col("sa") != F.col("sb")).alias("cross"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("cross").cast("int")).cast("bigint").alias("n_cross"),
+        )
+    )

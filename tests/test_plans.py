@@ -316,3 +316,12 @@ def test_zscore_moments_broadcast(spark):
     plan = final_plan(plan_of(spark, "events_zscore_outliers"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dataset_split_no_shuffle_before_agg(spark):
+    """Split assignment is a pure projection — the ONLY exchange is the
+    final tiny rollup's; no window, no join, no rand()."""
+    plan = final_plan(plan_of(spark, "dataset_split"))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "rand" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
