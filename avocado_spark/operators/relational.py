@@ -599,3 +599,145 @@ def hash_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_src: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigated shuffle join: the fact side gets a deterministic
+    salt (hash of `salt_src` columns mod n_salts), the dim side is
+    replicated once per salt value, and the join key becomes
+    (key, salt) — so a hot key's rows spread over `n_salts` reducers
+    instead of funnelling into one straggler partition.
+
+    Use when the dim is too big to broadcast AND the fact key is
+    pathologically skewed (AQE's skew-join split handles moderate skew
+    at runtime; salting is the static fix for one-key-dominates
+    distributions, e.g. a null-bucket or a celebrity user). The
+    replication cost is n_salts × |dim| — bounded, chosen by caller.
+    Result is row-identical to the unsalted inner join.
+    """
+    src = [F.col(c) for c in (salt_src or fact.columns)]
+    f = fact.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(n_salts)).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return f.join(d.hint("shuffle_hash"), [key, "_salt"], "inner").drop("_salt")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized (clamped-at-quantile) robust statistics:
+    exact p_lo/p_hi via the linear-interpolation percentile, values
+    clamped to [p_lo, p_hi], then mean / stddev / clipped counts over
+    the clamped series — the outlier-robust normalization step a
+    feature pipeline runs before z-scoring heavy-tailed metrics.
+
+    Engine-exact arithmetic: the caller passes an INTEGER-domain value
+    column (e.g. cents); the un-clipped mass is summed as exact integer
+    moments (order-free), the clipped mass is `count × bound`, and the
+    mean/variance are assembled from those in one identical double
+    expression on both engines — no float-sum association drift, the
+    same trick as `zscore_outliers`.
+
+    Scale shape: two hash aggregations on the same group key (the
+    first computes exact percentiles via sort-based agg, the second is
+    a partial+final moment rollup), joined broadcast since group
+    cardinality is small. No window over the full table, no per-row
+    Python.
+    """
+    v = F.col(value_col)
+    vd = v.cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(vd, F.lit(lo)).alias("p_lo"),
+        F.percentile(vd, F.lit(hi)).alias("p_hi"),
+    )
+    mid = F.when((vd >= F.col("p_lo")) & (vd <= F.col("p_hi")), v).otherwise(F.lit(0))
+    moments = (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            F.sum(mid).cast("bigint").alias("s1_mid"),
+            F.sum(mid * mid).cast("bigint").alias("s2_mid"),
+            F.sum((vd < F.col("p_lo")).cast("int")).cast("bigint").alias("n_clip_lo"),
+            F.sum((vd > F.col("p_hi")).cast("int")).cast("bigint").alias("n_clip_hi"),
+        )
+    )
+    s1 = (
+        F.col("s1_mid").cast("double")
+        + F.col("n_clip_lo").cast("double") * F.col("p_lo")
+        + F.col("n_clip_hi").cast("double") * F.col("p_hi")
+    )
+    s2 = (
+        F.col("s2_mid").cast("double")
+        + F.col("n_clip_lo").cast("double") * F.col("p_lo") * F.col("p_lo")
+        + F.col("n_clip_hi").cast("double") * F.col("p_hi") * F.col("p_hi")
+    )
+    mean = s1 / F.col("n")
+    var = (s2 - F.col("n") * mean * mean) / (F.col("n") - 1)
+    return moments.select(
+        group_col,
+        "n",
+        F.round("p_lo", 6).alias("p_lo"),
+        F.round("p_hi", 6).alias("p_hi"),
+        F.round(mean, 6).alias("w_mean"),
+        F.round(F.sqrt(var), 6).alias("w_std"),
+        "n_clip_lo",
+        "n_clip_hi",
+    )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, folded in event
+    order: acc = alpha*v + (1-alpha)*acc, seeded with the first value.
+    Returns the final EWMA + first/last/count per key.
+
+    Engine-exact: the fold runs over a SORTED collected array, so both
+    engines execute the identical IEEE op sequence (a float sum or
+    window would differ in association order). Scale note: per-key
+    state is the key's full event list — right for bounded-cardinality
+    keys (users, devices); for pathological keys the same fold runs
+    chunked through applyInPandas carrying the accumulator, which this
+    operator's contract (sorted fold semantics) makes well-defined.
+    One shuffle on the key, map-side partial collect.
+    """
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
+    )
+    seed = F.element_at(F.col("pairs"), 1)["v"].cast("double")
+    rest = F.slice(F.col("pairs"), 2, F.greatest(F.size("pairs") - 1, F.lit(0)))
+    fold = F.aggregate(
+        rest,
+        seed,
+        lambda acc, p: F.lit(alpha) * p["v"].cast("double")
+        + F.lit(1.0 - alpha) * acc,
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(pairs.alias("pairs"))
+        .select(
+            key_col,
+            F.size("pairs").cast("bigint").alias("n"),
+            F.element_at("pairs", 1)["v"].cast("double").alias("first_v"),
+            F.element_at("pairs", -1)["v"].cast("double").alias("last_v"),
+            F.round(fold, 6).alias("ewma"),
+        )
+    )

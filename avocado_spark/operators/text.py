@@ -378,3 +378,205 @@ def ngram_corpus_topk(
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed
+    term set and return the global top-k.
+
+    score(d) = sum_t idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1-b+b*dl/avgdl))
+    idf(t)   = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)     (Robertson/Lucene)
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE the (doc, term) hash agg, so the shuffle carries only
+    matching postings — at 100 TB that's the difference between
+    shuffling the corpus and shuffling the hit list. Corpus stats
+    (N, avgdl) ride a broadcast 1-row aggregate; per-term df is a
+    broadcast |terms|-row aggregate; the final top-k is
+    orderBy+limit => TakeOrderedAndProject (per-partition heaps, no
+    global sort). Deterministic under ties: (score desc, doc_id asc).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select("doc_id", F.size(toks).alias("dl"), toks.alias("toks"))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    hits = base.select(
+        "doc_id",
+        "dl",
+        F.explode(F.filter(F.col("toks"), lambda t: F.array_contains(terms, t))).alias(
+            "term"
+        ),
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index build: term -> document frequency + the first
+    `max_postings` doc ids (sorted) of its posting list.
+
+    Scale shape: distinct (doc, term) pairs via a hash agg (map-side
+    partial dedup), then ONE shuffle on the term key into a sort-free
+    posting assembly — `sort_array(collect_list(...))` then sliced, so
+    a stop-word term with 10^9 postings still produces a BOUNDED row
+    (the df count is exact; only the materialized list is capped).
+    At warehouse scale the full postings would go to a bucketed sink;
+    the cap is the driver-facing contract, mirrored in the oracle.
+    """
+    pairs = (
+        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    # postings ship as a CSV string, not array<long>: the differential
+    # harness stringifies cells, and array formatting is not stable
+    # across engines/dataframe bridges — the CSV form is
+    idx = pairs.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings), ","
+        ).alias("postings"),
+    )
+    out = idx.where(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.where(F.col("df") <= max_df)
+    return out.select("term", "df", "total_tf", "postings")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: concatenate each group's token
+    stream in `order_col` order and cut it into fixed `budget`-token
+    context windows; each document is assigned to the window where its
+    first token lands (documents may straddle the boundary — the
+    trainer's concat-then-chunk semantics, not first-fit bin packing,
+    which is order-dependent and not replayable in SQL).
+
+    Scale shape: one shuffle (window partitioned by group, ordered by
+    `order_col`) computing a running token offset — linear state, no
+    join, no second pass. Window ids are deterministic given the sort
+    key, so the packing is reproducible across engines and runs.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(group_col, order_col, n.alias("n_tokens"))
+        .withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            group_col,
+            order_col,
+            "n_tokens",
+            F.floor(F.col("start_off") / budget).cast("bigint").alias("seq_id"),
+            (F.col("start_off") % budget).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+# deterministic synthetic-PII injection: the raw corpus has no PII, so
+# both engines append the same fabricated markers before scrubbing
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def inject_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic fake PII markers (email / IPv4 / phone) to
+    a subset of documents keyed by doc_id residues."""
+    did = F.col("doc_id")
+    t = F.col(text_col)
+    t = F.when(
+        did % 3 == 0,
+        F.concat(t, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(t)
+    t = F.when(
+        did % 5 == 0,
+        F.concat(t, F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+    ).otherwise(t)
+    t = F.when(
+        did % 7 == 0,
+        F.concat(t, F.lit(" call 555-"), (1000 + did % 9000).cast("string")),
+    ).otherwise(t)
+    return docs.withColumn(text_col, t)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: count and redact emails, IPv4 literals, and
+    phone-shaped digit runs via JVM-side regexp_count/regexp_replace.
+    Returns per-doc redaction counts plus an order-sensitive
+    fingerprint of the scrubbed text (cheap equality proxy so the
+    differential doesn't ship megabytes of text).
+
+    Scale shape: pure per-row narrow transforms, whole-stage codegen,
+    zero shuffles — the scan cost IS the query cost; patterns are
+    anchored simple (no catastrophic backtracking) so throughput is
+    linear in bytes.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        doc_fingerprint(tokens(scrubbed)).alias("scrubbed_fp"),
+    )

@@ -826,3 +826,200 @@ def revenue_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_c").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "salted_skew_join",
+    """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0 ELSE l_orderkey % 100 END AS k,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem
+    ),
+    dim AS (SELECT range AS k, (range * 7 + 3) % 11 AS weight FROM range(100))
+    SELECT fact.k AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty_c * weight) AS BIGINT) AS wsum_c
+    FROM fact JOIN dim ON fact.k = dim.k
+    GROUP BY fact.k
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join: 90% of lineitem collapses onto one
+    hot key; the salted join spreads that key over 16 reducers (fact
+    side salted by row hash, dim replicated ×16, join on (key, salt))
+    and the rollup proves the result row-identical to the plain join
+    the oracle runs. The static fix for one-key-dominates skew where
+    AQE's split can't help (e.g. a null bucket); forced shuffle_hash
+    so the demo exercises the shuffle path, not a broadcast."""
+    from avocado_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 100 < 90, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .cast("bigint")
+        .alias("k"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), ((F.col("id") * 7 + 3) % 11).alias("weight")
+    )
+    joined = salted_join(
+        li, dim, "k", n_salts=16, salt_src=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("qty_c") * F.col("weight")).cast("bigint").alias("wsum_c"),
+    )
+
+
+@query(
+    "winsorized_stats",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v_c
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(v_c AS DOUBLE), 0.05) AS p_lo,
+             quantile_cont(CAST(v_c AS DOUBLE), 0.95) AS p_hi
+      FROM c GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT c.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             FIRST(p_lo) AS p_lo, FIRST(p_hi) AS p_hi,
+             CAST(SUM(CASE WHEN CAST(v_c AS DOUBLE) >= p_lo
+                            AND CAST(v_c AS DOUBLE) <= p_hi
+                           THEN v_c ELSE 0 END) AS BIGINT) AS s1_mid,
+             CAST(SUM(CASE WHEN CAST(v_c AS DOUBLE) >= p_lo
+                            AND CAST(v_c AS DOUBLE) <= p_hi
+                           THEN v_c * v_c ELSE 0 END) AS BIGINT) AS s2_mid,
+             CAST(SUM(CASE WHEN CAST(v_c AS DOUBLE) < p_lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_lo,
+             CAST(SUM(CASE WHEN CAST(v_c AS DOUBLE) > p_hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_hi
+      FROM c JOIN b ON c.l_returnflag = b.l_returnflag
+      GROUP BY c.l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(p_lo, 6) AS p_lo, ROUND(p_hi, 6) AS p_hi,
+           ROUND((CAST(s1_mid AS DOUBLE) + CAST(n_clip_lo AS DOUBLE) * p_lo
+                  + CAST(n_clip_hi AS DOUBLE) * p_hi) / n, 6) AS w_mean,
+           ROUND(SQRT((CAST(s2_mid AS DOUBLE)
+                  + CAST(n_clip_lo AS DOUBLE) * p_lo * p_lo
+                  + CAST(n_clip_hi AS DOUBLE) * p_hi * p_hi
+                  - n * ((CAST(s1_mid AS DOUBLE) + CAST(n_clip_lo AS DOUBLE) * p_lo
+                          + CAST(n_clip_hi AS DOUBLE) * p_hi) / n)
+                       * ((CAST(s1_mid AS DOUBLE) + CAST(n_clip_lo AS DOUBLE) * p_lo
+                          + CAST(n_clip_hi AS DOUBLE) * p_hi) / n))
+                 / (n - 1)), 6) AS w_std,
+           n_clip_lo, n_clip_hi
+    FROM m
+    """,
+)
+def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized robust statistics over integer cents:
+    exact interpolated percentiles, clip counts, and mean/std
+    assembled from order-free integer moments — engine-exact to the
+    rounded digit (same decomposition trick as zscore_outliers)."""
+    from avocado_spark.operators.relational import winsorized_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v_c"),
+    )
+    return winsorized_stats(li, "l_returnflag", "v_c")
+
+
+@query(
+    "events_ewma",
+    """
+    WITH g AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+           vs[1] AS first_v, vs[-1] AS last_v,
+           ROUND(list_reduce(vs, (acc, v) -> 0.2 * v + 0.8 * acc), 6) AS ewma
+    FROM g
+    """,
+)
+def events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA folded in event order over a sorted collected
+    array — both engines execute the identical IEEE op sequence, so
+    the 6-digit round is exact (a float window-sum would drift on
+    association order). One shuffle on user_id."""
+    from avocado_spark.operators.relational import ewma_per_key
+
+    return ewma_per_key(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", alpha=0.2
+    )
+
+
+_ZVAL_SQL = """(((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19) + (((x >> 10) & 1) << 20) + (((y >> 10) & 1) << 21) + (((x >> 11) & 1) << 22) + (((y >> 11) & 1) << 23) + (((x >> 12) & 1) << 24) + (((y >> 12) & 1) << 25) + (((x >> 13) & 1) << 26) + (((y >> 13) & 1) << 27) + (((x >> 14) & 1) << 28) + (((y >> 14) & 1) << 29) + (((x >> 15) & 1) << 30) + (((y >> 15) & 1) << 31)"""
+
+
+@query(
+    "zorder_layout",
+    f"""
+    WITH z AS (
+      SELECT l_partkey AS x, l_suppkey AS y,
+             CAST(({_ZVAL_SQL}) AS BIGINT) >> 18 AS block
+      FROM lineitem
+    )
+    SELECT block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY block
+    """,
+)
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality report over (l_partkey, l_suppkey):
+    Morton-key blocks with per-block min/max envelopes on BOTH axes —
+    the footer-stats layout a ZORDER writer would produce, computed as
+    straight-line bigint shift/mask codegen + one hash agg."""
+    from avocado_spark.operators.layout import zorder_block_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_block_stats(li, "l_partkey", "l_suppkey", bits=16, block_shift=18)
+
+
+@query(
+    "zorder_pruning",
+    f"""
+    WITH z AS (
+      SELECT l_partkey AS x, l_suppkey AS y,
+             CAST(({_ZVAL_SQL}) AS BIGINT) >> 18 AS block
+      FROM lineitem
+    ),
+    b AS (
+      SELECT block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(x) AS x_min, MAX(x) AS x_max,
+             MIN(y) AS y_min, MAX(y) AS y_max
+      FROM z GROUP BY block
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN 1000 BETWEEN x_min AND x_max THEN 1 ELSE 0 END) AS BIGINT) AS x_blocks_read,
+           CAST(SUM(CASE WHEN 1000 BETWEEN x_min AND x_max THEN n_rows ELSE 0 END) AS BIGINT) AS x_rows_read,
+           CAST(SUM(CASE WHEN 50 BETWEEN y_min AND y_max THEN 1 ELSE 0 END) AS BIGINT) AS y_blocks_read,
+           CAST(SUM(CASE WHEN 50 BETWEEN y_min AND y_max THEN n_rows ELSE 0 END) AS BIGINT) AS y_rows_read
+    FROM b
+    """,
+)
+def zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-pruning scorecard: for point queries x=1000 / y=50,
+    how many Z-order blocks (and rows) must a min/max-stats reader
+    open? The one-row figure of merit for the clustered layout."""
+    from avocado_spark.operators.layout import pruning_efficiency, zorder_block_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pruning_efficiency(
+        zorder_block_stats(li, "l_partkey", "l_suppkey", bits=16, block_shift=18),
+        x_point=1000,
+        y_point=50,
+    )
+

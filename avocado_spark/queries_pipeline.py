@@ -1278,3 +1278,143 @@ def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cross").cast("int")).cast("bigint").alias("n_cross"),
         )
     )
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS tk FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM base
+    ),
+    hits AS (
+      SELECT doc_id, dl,
+             unnest(list_filter(tk,
+               t -> list_contains(['spark','hash','window','merge'], t))) AS term
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, FIRST(dl) AS dl
+      FROM hits GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           ROUND(SUM(
+             LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+           ), 6) AS bm25,
+           CAST(COUNT(*) AS INT) AS n_terms_hit
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 4-term query over the corpus:
+    filtered-explode postings, broadcast df/corpus stats, global top-k
+    via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(docs, ["spark", "hash", "window", "merge"], k=20)
+
+
+@query(
+    "inverted_index",
+    f"""
+    WITH pairs AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',')
+             AS postings
+    FROM pairs GROUP BY term HAVING COUNT(*) >= 2
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-term document frequency + capped
+    sorted posting list (bounded rows even for stop-word terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.inverted_index(docs, min_df=2, max_postings=20)
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_off
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(CAST(start_off AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+           CAST(start_off % 256 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-then-chunk at 256 tokens
+    per source): one window shuffle, deterministic window ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pack_sequences(docs, budget=256)
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE_SQL = "\\b\\d{3}-\\d{4}\\b"
+
+
+@query(
+    "pii_scrub",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+           ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+           THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           ELSE '' END AS text
+      FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '{_PII_IP_SQL}')) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS INT) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+          '{_PII_IP_SQL}', '<IP>', 'g'),
+          '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS scrubbed
+      FROM inj
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               {_th("list_filter(string_split(scrubbed, ' '), x -> x <> '')")}),
+             (a, h) -> (a * 131 + h) % 1000000007) AS scrubbed_fp
+    FROM scrub
+    """,
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census over a deterministically PII-injected
+    corpus: email/IP/phone counts + a fingerprint of the scrubbed
+    text proving byte-identical redaction across engines. Pure
+    narrow codegen — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pii_scrub(TX.inject_pii(docs))

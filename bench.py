@@ -73,6 +73,17 @@ def main() -> None:
         "revenue_multijoin",
         "bucketed_colocated_join",
         "dim_upsert_compact",
+        # round 6: retrieval (BM25 + inverted index), skew-salted
+        # shuffle join, Z-order layout agg, winsorized moments, EWMA
+        # fold, PII regex scan, token packing window
+        "bm25_topk",
+        "inverted_index",
+        "salted_skew_join",
+        "zorder_layout",
+        "winsorized_stats",
+        "events_ewma",
+        "pii_scrub",
+        "pack_sequences",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed

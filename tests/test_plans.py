@@ -325,3 +325,72 @@ def test_dataset_split_no_shuffle_before_agg(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     assert "rand" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_join_shuffle_hash_on_salt(spark):
+    """The salted join must be a ShuffledHashJoin keyed on
+    (key, _salt) — broadcast would defeat the demo, and the salt must
+    actually reach the partitioning so the hot key spreads."""
+    plan = final_plan(plan_of(spark, "salted_skew_join"))
+    assert "ShuffledHashJoin [k" in plan, plan
+    assert "_salt" in plan[plan.index("ShuffledHashJoin"):].split("\n")[0], plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_winsorized_two_aggs_broadcast_bounds(spark):
+    """Bounds join must broadcast (group cardinality is tiny); the
+    percentile agg and the moment agg are the only shuffles."""
+    plan = final_plan(plan_of(spark, "winsorized_stats"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_scrub_no_shuffle(spark):
+    """Redaction is a pure narrow projection — zero exchanges; the
+    scan cost is the query cost."""
+    plan = final_plan(plan_of(spark, "pii_scrub"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle_no_join(spark):
+    """Packing is one running-total window on the group key — one
+    shuffle, no join, linear state."""
+    plan = final_plan(plan_of(spark, "pack_sequences"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bm25_broadcasts_stats_and_topk(spark):
+    """BM25: df table and corpus stats ride broadcasts; the final
+    top-k is TakeOrderedAndProject, never a global sort."""
+    plan = final_plan(plan_of(spark, "bm25_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_inverted_index_partial_dedup(spark):
+    """Posting assembly: the (term, doc) agg must partial-combine
+    map-side before the term shuffle."""
+    plan = final_plan(plan_of(spark, "inverted_index"))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
+
+
+def test_ewma_single_shuffle_no_window(spark):
+    """EWMA is one hash agg on the key (collect + fold) — no window,
+    no join, one exchange."""
+    plan = final_plan(plan_of(spark, "events_ewma"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zorder_codegen_single_agg(spark):
+    """The Morton key must be straight-line codegen feeding one hash
+    agg — no UDF, no join, no extra shuffle."""
+    plan = final_plan(plan_of(spark, "zorder_layout"))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "*(1)" in plan, plan  # codegen stage markers in plan string
