@@ -318,6 +318,8 @@ def recall_eval(
         ann = ivf_topk(embeddings, queries, k=k, **method_kwargs)
     elif method == "ivf_kmeans":
         ann = ivf_kmeans_topk(embeddings, queries, k=k, **method_kwargs)
+    elif method == "int8":
+        ann = int8_topk(embeddings, queries, k=k, **method_kwargs)
     else:
         raise ValueError(f"unknown ANN method: {method}")
     exact = brute_force_topk(embeddings, queries, k=k)
@@ -337,5 +339,85 @@ def recall_eval(
             F.round(
                 F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"), 6
             ).alias("recall"),
+        )
+    )
+
+
+def int8_quantize(embeddings: DataFrame) -> DataFrame:
+    """Scalar int8 quantization: per-vector scale = max|x|, codes
+    q[i] = round(x[i]/scale*127) ∈ [-127, 127]. 4× memory cut (8× vs
+    float64) — at 100 TB the quantized index fits where floats don't,
+    and the int codes are exactly replayable in SQL (round half away
+    from zero on both engines)."""
+    v = _as_double("embedding")
+    scale = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    return embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale * 127).cast("int")).alias("q"),
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN over int8 codes: rank by the cosine of the DEQUANTIZED
+    vectors (x̂[i] = q[i]·scale/127) — the ranking an int8 index
+    serves, with exact integer dot products under the hood. Same
+    blocked cross-join + rank-window shape as brute force; the win is
+    the 4-8× smaller scan side, not the pair count."""
+    deq = lambda qcol, scol: F.transform(  # noqa: E731
+        qcol, lambda c: c.cast("double") * scol / 127.0
+    )
+    base = int8_quantize(embeddings).select(
+        F.col("vec_id").alias("n_id"), deq(F.col("q"), F.col("scale")).alias("n_v")
+    ).withColumn("n_n", norm(F.col("n_v")))
+    q = (
+        int8_quantize(embeddings.join(queries.select("vec_id"), "vec_id"))
+        .select(F.col("vec_id").alias("q_id"), deq(F.col("q"), F.col("scale")).alias("q_v"))
+        .withColumn("q_n", norm(F.col("q_v")))
+    )
+    pairs = q.crossJoin(base).where(F.col("q_id") != F.col("n_id"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(F.col("q_v"), F.col("n_v"), F.col("q_n"), F.col("n_n")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_centroids(
+    embeddings: DataFrame, label_col: str = "label", fp_scale: int = 1_000_000
+) -> DataFrame:
+    """Exact per-label centroid of the embedding column, one row per
+    (label, dimension): components are fixed-point quantized to
+    integers BEFORE the sum, so the aggregation is order-free exact
+    (a float array-sum would drift with partitioning).
+
+    Scale shape: posexplode → one hash agg on (label, idx) with
+    map-side partials — the dimension axis rides the key, so a
+    1000-dim embedding shuffles 1000 small rows per partial, never a
+    whole array per row."""
+    v = _as_double("embedding")
+    return (
+        embeddings.select(label_col, F.posexplode(v).alias("idx", "x"))
+        .select(
+            label_col,
+            "idx",
+            F.round(F.col("x") * fp_scale).cast("bigint").alias("xq"),
+        )
+        .groupBy(label_col, "idx")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("xq").alias("s"))
+        .select(
+            label_col,
+            "idx",
+            "n",
+            F.round(F.col("s").cast("double") / (F.col("n") * float(fp_scale)), 6).alias(
+                "centroid"
+            ),
         )
     )

@@ -1418,3 +1418,73 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow codegen — zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.pii_scrub(TX.inject_pii(docs))
+
+
+@query(
+    "ann_int8_recall",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v),
+               (a, x) -> greatest(a, abs(x))) AS sc
+      FROM e
+    ),
+    d AS (
+      SELECT vec_id,
+             [CAST(CAST(round(v[i] / sc * 127) AS INTEGER) AS DOUBLE) * sc / 127.0
+              for i in generate_series(1, len(v))] AS v
+      FROM s
+    ),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e.v")}, 9) DESC, e.vec_id) AS rank
+        FROM e q CROSS JOIN e WHERE q.vec_id < 25 AND q.vec_id <> e.vec_id
+      ) WHERE rank <= 5
+    ),
+    ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "d.v")}, 9) DESC, d.vec_id) AS rank
+        FROM d q CROSS JOIN d WHERE q.vec_id < 25 AND q.vec_id <> d.vec_id
+      ) WHERE rank <= 5
+    )
+    SELECT x.q_id,
+           CAST(COUNT(*) AS INTEGER) AS n_exact,
+           CAST(COUNT(a.n_id) AS INTEGER) AS n_hits,
+           ROUND(CAST(COUNT(a.n_id) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact x LEFT JOIN ann a ON x.q_id = a.q_id AND x.n_id = a.n_id
+    GROUP BY x.q_id
+    """,
+)
+def ann_int8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8 scalar-quantized index (per-vector scale,
+    codes in [-127,127], ranked on dequantized cosine) vs the exact
+    float top-5 — quantifies what the 4-8x memory cut costs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25), k=5, method="int8")
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, i AS idx, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS centroid
+    FROM (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS i,
+             unnest([CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     for x in embedding]) AS xq
+      FROM embeddings
+    ) GROUP BY label, i
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding centroids via fixed-point integer
+    sums over a posexplode — order-free exact aggregation, one hash
+    agg on (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_centroids(emb)

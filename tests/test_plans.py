@@ -394,3 +394,44 @@ def test_zorder_codegen_single_agg(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "*(1)" in plan, plan  # codegen stage markers in plan string
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the win of a selective dim filter comes from Spark's
+    runtime bloom-filter injection: the filtered build side publishes a
+    bloom_filter_agg and the fact side applies might_contain BEFORE its
+    shuffle. The production thresholds
+    (applicationSideScanSizeThreshold=10GB) only trigger at real scale,
+    so this gate pins the mechanism with test-scale thresholds."""
+    from avocado_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
