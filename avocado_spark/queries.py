@@ -1023,3 +1023,71 @@ def zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_point=50,
     )
 
+
+
+@query(
+    "events_pivot_wide",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS purchase_value_c
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user event-type counts + purchase cent-sum
+    in one pass. The VALUES list is pinned (the five generator types)
+    so the pivot is a single partial+final hash agg — an unpinned
+    pivot would need a driver-side distinct scan first, a hidden
+    synchronization barrier at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    pv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("purchase_value_c"))
+    )
+    return (
+        out.join(pv, "user_id", "left")
+        .na.fill({"purchase_value_c": 0})
+        .select(
+            "user_id",
+            *[F.col(c).cast("bigint").alias(c) for c in ("click", "error", "purchase", "signup", "view")],
+            "purchase_value_c",
+        )
+    )
+
+
+@query(
+    "lineitem_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus): all four
+    subtotal levels in ONE pass via Expand — four separate aggs would
+    scan the fact table four times. Cent-sums keep the hash exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_c"),
+    )

@@ -1488,3 +1488,50 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg on (label, dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_centroids(emb)
+
+
+@query(
+    "fuzzy_dup_verify",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sh AS (
+      SELECT doc_id, lang, source, {_shingles(_th(_TOKS), 2)} AS s, text
+      FROM aug
+    ),
+    shn AS (SELECT * FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard,
+             substring(a.text, 1, 40) AS pa, substring(b.text, 1, 40) AS pb
+      FROM shn a JOIN shn b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard,
+           CAST(levenshtein(pa, pb) AS INT) AS lev_prefix,
+           CAST(levenshtein(pa, pb) <= 8 AS BOOLEAN) AS edit_confirmed
+    FROM pairs WHERE jaccard >= 0.6
+    """,
+)
+def fuzzy_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-opinion fuzzy verify on the near-dup candidates: the
+    set-based Jaccard detector's pairs get an ORDER-SENSITIVE edit
+    distance over a 40-char prefix — catching shuffled-token false
+    positives that any bag-of-shingles metric is blind to. The
+    Levenshtein DP runs only on candidate pairs (|pairs| × 40² cells),
+    never corpus-wide; prefixes ride the existing pair join."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, ["lang", "source"], k=2, threshold=0.6)
+    pre = docs.select("doc_id", F.substring("text", 1, 40).alias("p"))
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        pairs.join(pre.select(F.col("doc_id").alias("a_id"), F.col("p").alias("pa")), "a_id")
+        .join(pre.select(F.col("doc_id").alias("b_id"), F.col("p").alias("pb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round("jaccard", 6).alias("jaccard"),
+            lev.cast("int").alias("lev_prefix"),
+            (lev <= 8).alias("edit_confirmed"),
+        )
+    )
