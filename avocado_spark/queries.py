@@ -704,7 +704,14 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline family, (5) kernels/relational ops unchanged and green
 # since round 1 (safe to drop under a cap).
 _GATE_PRIORITY = [
-    # (-1) round-5 additions — no driver row yet
+    # (-2) round-6 additions — no driver row yet
+    "bm25_topk", "inverted_index", "pack_sequences", "pii_scrub",
+    "salted_skew_join", "winsorized_stats", "events_ewma",
+    "zorder_layout", "zorder_pruning", "ann_int8_recall",
+    "embedding_centroids", "events_pivot_wide", "lineitem_cube",
+    "fuzzy_dup_verify",
+    # (-1) round-5 additions — the driver's round-5 gate never ran
+    # (no CORRECTNESS_r05 artifact), so these still lack a driver row
     "chunk_dedup", "ngram_corpus_topk", "weighted_mix", "events_rolling_stats",
     "revenue_multijoin", "stream_static_enrich", "bucketed_colocated_join",
     "dim_upsert_compact", "sink_schema_evolution", "events_rollup_hierarchy",
