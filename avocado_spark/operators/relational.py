@@ -741,3 +741,91 @@ def ewma_per_key(
             F.round(fold, 6).alias("ewma"),
         )
     )
+
+
+def corr_regression(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation + OLS slope/intercept, assembled
+    from integer moments: the caller passes INTEGER-domain x/y columns
+    (e.g. cents), the five power sums accumulate as exact BIGINTs
+    (order-free under any partitioning), and the float statistics are
+    one identical double expression on both engines — the same
+    engine-exactness trick as `zscore_outliers`/`winsorized_stats`,
+    where a naive `corr()` would drift on float accumulation order.
+
+    Scale shape: ONE partial+final hash aggregation over the fact
+    table; the moment-to-statistic projection is per-group scalar
+    math. This is also the distributed-friendly form: moments merge
+    associatively, so the same query incrementalizes over partitions,
+    days, or streams.
+    """
+    x = F.col(x_col)
+    y = F.col(y_col)
+    m = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return m.select(
+        group_col,
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+        F.round(cov / vx, 6).alias("ols_slope"),
+        F.round((sy - (cov / vx) * sx) / n, 6).alias("ols_intercept"),
+    )
+
+
+def chisq_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square test of independence over two categorical columns:
+    observed cell counts vs the row×col/total expectation. Counts are
+    exact integers, so the χ² statistic is the identical double
+    expression on both engines.
+
+    Scale shape: one hash agg for the contingency cells, two
+    broadcast-sized marginal aggs re-joined on the category keys —
+    never a driver-side crosstab collect. Returns one row with the
+    statistic and degrees of freedom.
+    """
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").cast("bigint").alias("o"))
+    ra = cells.groupBy(a_col).agg(F.sum("o").alias("row_n"))
+    cb = cells.groupBy(b_col).agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("total"))
+    j = (
+        cells.join(F.broadcast(ra), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return j.agg(
+        F.round(F.sum(F.round(term, 9)), 6).alias("chi2"),
+        (
+            (F.count_distinct(F.col(a_col)) - 1)
+            * (F.count_distinct(F.col(b_col)) - 1)
+        ).cast("bigint").alias("dof"),
+        F.first("total").cast("bigint").alias("n"),
+    )

@@ -1098,3 +1098,87 @@ def lineitem_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qty_c"),
     )
+
+
+@query(
+    "lineitem_corr_regression",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS pearson_r,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS ols_slope,
+           ROUND((CAST(sy AS DOUBLE)
+             - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS ols_intercept
+    FROM m
+    """,
+)
+def lineitem_corr_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag Pearson r and OLS fit of price-on-quantity, assembled
+    from exact integer power sums — one partial+final hash agg whose
+    moments merge associatively (the incrementalizable form), with the
+    float stats computed identically on both engines. Whole-dollar
+    domain keeps sum(y²) inside BIGINT; ANSI mode makes any overflow
+    loud, and a decimal(38) widening is the documented 100-TB path."""
+    from avocado_spark.operators.relational import corr_regression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    return corr_regression(li, "l_returnflag", "x", "y")
+
+
+@query(
+    "events_chisq",
+    """
+    WITH b AS (
+      SELECT event_type AS a, CAST(FLOOR(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bnd
+      FROM events
+    ),
+    cells AS (SELECT a, bnd, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY a, bnd),
+    ra AS (SELECT a, SUM(o) AS row_n FROM cells GROUP BY a),
+    cb AS (SELECT bnd, SUM(o) AS col_n FROM cells GROUP BY bnd),
+    tot AS (SELECT SUM(o) AS total FROM cells)
+    SELECT ROUND(SUM(ROUND(
+             (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE)), 9)), 6) AS chi2,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT bnd) - 1) AS BIGINT) AS dof,
+           CAST(FIRST(total) AS BIGINT) AS n
+    FROM cells JOIN ra USING (a) JOIN cb USING (bnd) CROSS JOIN tot
+    """,
+)
+def events_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type × value band: exact
+    integer contingency cells, broadcast marginals, one-row statistic.
+    Per-cell terms are rounded before the final sum so the 6-digit
+    statistic is stable under any accumulation order."""
+    from avocado_spark.operators.relational import chisq_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") / 5.0).cast("bigint").alias("band"),
+    )
+    return chisq_independence(ev, "event_type", "band")

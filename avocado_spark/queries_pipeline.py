@@ -1535,3 +1535,70 @@ def fuzzy_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lev <= 8).alias("edit_confirmed"),
         )
     )
+
+
+@query(
+    "source_vocab_overlap",
+    f"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.nv + sb.nv - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def source_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic that flags near-identical crawls before they skew a
+    training mixture. The pair space is |sources|², but each pair's
+    intersection is computed by an equi-join on the token key (partial
+    distinct agg map-side, one shuffle on token) — never a set
+    cross-product; per-source vocab sizes ride a broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").cast("bigint").alias("nv"))
+    inter = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "nv_a",
+            "nv_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
