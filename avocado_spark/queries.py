@@ -709,7 +709,9 @@ _GATE_PRIORITY = [
     "salted_skew_join", "winsorized_stats", "events_ewma",
     "zorder_layout", "zorder_pruning", "ann_int8_recall",
     "embedding_centroids", "events_pivot_wide", "lineitem_cube",
-    "fuzzy_dup_verify",
+    "fuzzy_dup_verify", "lineitem_corr_regression", "events_chisq",
+    "source_vocab_overlap", "sink_csv_roundtrip", "sink_json_roundtrip",
+    "source_token_entropy", "events_mutual_info",
     # (-1) round-5 additions — the driver's round-5 gate never ran
     # (no CORRECTNESS_r05 artifact), so these still lack a driver row
     "chunk_dedup", "ngram_corpus_topk", "weighted_mix", "events_rolling_stats",

@@ -1602,3 +1602,99 @@ def source_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "source_token_entropy",
+    f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY source, tok
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM tf GROUP BY source)
+    SELECT tf.source,
+           CAST(FIRST(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(SUM(ROUND(
+             -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)), 6) AS entropy_nats
+    FROM tf JOIN tot ON tf.source = tot.source
+    GROUP BY tf.source
+    """,
+)
+def source_token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    diversity gauge that separates boilerplate-heavy crawls from
+    natural text. Counts are exact integers; each -p·ln(p) term is
+    rounded before the sum so the 6-digit statistic is accumulation-
+    order stable. Two hash aggs + a broadcast totals join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.round(F.sum(F.round(-p * F.log(p), 9)), 6).alias("entropy_nats"),
+        )
+    )
+
+
+@query(
+    "events_mutual_info",
+    """
+    WITH b AS (
+      SELECT event_type AS a, CAST(FLOOR(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bnd
+      FROM events
+    ),
+    cells AS (SELECT a, bnd, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY a, bnd),
+    ra AS (SELECT a, SUM(o) AS row_n FROM cells GROUP BY a),
+    cb AS (SELECT bnd, SUM(o) AS col_n FROM cells GROUP BY bnd),
+    tot AS (SELECT SUM(o) AS total FROM cells)
+    SELECT ROUND(SUM(ROUND(
+             (CAST(o AS DOUBLE) / CAST(total AS DOUBLE))
+             * LN(CAST(o AS DOUBLE) * CAST(total AS DOUBLE)
+                  / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE))), 9)), 6)
+             AS mi_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(FIRST(total) AS BIGINT) AS n
+    FROM cells JOIN ra USING (a) JOIN cb USING (bnd) CROSS JOIN tot
+    """,
+)
+def events_mutual_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value band — the
+    feature-relevance twin of `events_chisq`, assembled from the same
+    exact contingency cells + broadcast marginals, with per-cell terms
+    rounded before the order-free sum."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("a"),
+        F.floor(F.col("value").cast("double") / 5.0).cast("bigint").alias("bnd"),
+    )
+    cells = b.groupBy("a", "bnd").agg(F.count("*").cast("bigint").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("row_n"))
+    cb = cells.groupBy("bnd").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("total"))
+    j = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "bnd")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("o").cast("double") / F.col("total").cast("double")) * F.log(
+        F.col("o").cast("double")
+        * F.col("total").cast("double")
+        / (F.col("row_n").cast("double") * F.col("col_n").cast("double"))
+    )
+    return j.agg(
+        F.round(F.sum(F.round(term, 9)), 6).alias("mi_nats"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.first("total").cast("bigint").alias("n"),
+    )

@@ -206,3 +206,63 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IO.scan_parquet_evolved(spark, [v1, v2]).select(
         "read_id", "contig", "start", "mapq"
     )
+
+
+@query(
+    "sink_csv_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c
+    FROM events WHERE event_id < 20000
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-format breadth: CSV sink + schema-declared read-back (the
+    reference's htsjdk text edges — SAM/VCF — are line-oriented text
+    with an external schema, exactly this shape). Values ride as
+    integer cents so text serialization is lossless; the read-back
+    declares the schema explicitly (no inferSchema pass — at 100 TB
+    schema inference is a full extra scan)."""
+    from avocado_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 20000)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="avocado_sink_"), "events_csv")
+    out.write.mode("overwrite").option("header", "true").csv(root)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value_c bigint"
+    ).option("header", "true").csv(root)
+
+
+@query(
+    "sink_json_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c
+    FROM events WHERE event_id < 20000
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-format breadth: JSON-lines sink + schema-declared
+    read-back — the interchange format for downstream tools that don't
+    speak parquet. Same lossless integer-cent contract and no-inference
+    scan as the CSV arm."""
+    from avocado_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 20000)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="avocado_sink_"), "events_json")
+    out.write.mode("overwrite").json(root)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value_c bigint"
+    ).json(root)
