@@ -150,3 +150,68 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via the degree-oriented node-iterator
+    (Suri & Vassilvitskii, WWW'11 — the MapReduce-era answer to the
+    "curse of the last reducer"): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, generate wedges only
+    at each edge's SOURCE, and close them against the canonical edge
+    set. Orientation bounds every node's out-degree by O(sqrt(m)), so
+    wedge generation is O(m^1.5) worst-case instead of the hub node's
+    O(d_max²) — the skew that kills a naive implementation on any
+    power-law graph.
+
+    ``edges``: canonical undirected edges (u < v, distinct). Returns
+    (node, n_triangles) for every node in at least one triangle.
+
+    Scale shape: one degree agg, two equi-joins (wedge-build on the
+    shared source, wedge-close on the canonical pair), one final
+    explode+agg. All shuffles are on node/pair keys; AQE splits any
+    residual skew. No driver state, no iteration.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    # wedge (s, x, y) with x < y by id — close against the canonical
+    # (u < v) edge set, so the closing edge's own orientation is moot
+    wedges = e1.join(e2, "s").where(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    nodes = tri.select(
+        F.explode(F.array("s", "x", "y")).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def coorder_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical co-order part pairs: distinct (u < v) part pairs that
+    appear in the same order — the co-occurrence graph construction.
+    The per-order self-join is bounded by order width (≤ 7 lines in
+    TPC-H-shaped data), so the pair space is linear in orders."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )

@@ -512,3 +512,65 @@ def simhash_dup_pairs(
     return cand.select("a_id", "b_id", ham.cast("int").alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_token_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity self-join (Xiao et
+    al., WWW'08): token-SET Jaccard pairs WITHOUT a blocking key and
+    WITHOUT MinHash's probabilistic recall — candidate generation is
+    provably lossless at the given threshold.
+
+    Principle: order every document's distinct tokens by (global
+    document frequency asc, hash asc) — one canonical corpus order —
+    and keep only each doc's first ``|d| - ceil(t*|d|) + 1`` tokens
+    (its *prefix*). Any pair with J >= t must share at least one
+    prefix token, so an equi self-join on prefix tokens finds every
+    true pair; exact verification then removes false candidates.
+    Rare-first ordering is also the scale insight: stopword-grade
+    tokens sort LAST and never enter prefixes, so the join's buckets
+    are structurally small exactly where a naive token join explodes.
+
+    Scale shape: one agg for document frequency (broadcast back), one
+    window rank per doc, an equi join on single token hashes (AQE
+    skew-splittable), then `_verify_jaccard`'s size-ratio + intersect
+    pass. ``max_token_bucket`` is a belt-and-braces cap on residual
+    hot prefix tokens (cap telemetry pattern of the LSH path); recall
+    stays exact whenever no bucket exceeds the cap.
+    """
+    th = F.array_sort(F.array_distinct(F.transform(tokens(F.col(text_col)), token_hash)))
+    sets = (
+        docs.select("doc_id", th.alias("th"))
+        .where(F.size("th") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = sets.select("doc_id", F.size("th").alias("n"), F.explode("th").alias("h"))
+    dfreq = tok.groupBy("h").agg(F.count("*").alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+    pref = (
+        tok.join(F.broadcast(dfreq), "h")
+        .withColumn("_rk", F.row_number().over(wd))
+        .where(F.col("_rk") <= prefix_len)
+        .select("doc_id", "h")
+    )
+    if max_token_bucket is not None:
+        wb = Window.partitionBy("h")
+        pref = (
+            pref.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_token_bucket)
+            .drop("_bsz")
+        )
+    pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verify_jaccard(cand, sets, threshold, shingle_col="th")

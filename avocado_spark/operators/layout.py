@@ -94,3 +94,55 @@ def pruning_efficiency(
             "y_rows_read"
         ),
     )
+
+
+def shard_layout(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-export shard layout: deterministically scatter
+    documents into ``n_shards`` output shards by an LCG hash of the id
+    (the global shuffle a dataloader needs so every shard is an
+    unbiased sample of the corpus), and report per-shard document
+    count, token budget, and an order-sensitive fingerprint of the
+    shard's content in its within-shard read order (hash asc, id asc).
+
+    The fingerprint makes shard CONTENT AND ORDER part of the
+    differential — two engines agreeing on counts but disagreeing on
+    iteration order (the thing that silently changes training runs)
+    hash-mismatch here.
+
+    Scale shape: one hash aggregation on the shard id; the ordered
+    fold rides an array_sort(collect_list) per shard, so shards must
+    stay driver-irrelevant but executor-memory-sized — exactly the
+    contract of a real shard writer (a shard IS one output file). The
+    production writer is `repartition(n_shards, hash).sortWithin
+    Partitions` straight into the sink; this operator is its audit.
+    """
+    from avocado_spark.operators.text import doc_fingerprint, tokens
+
+    h = (F.col(id_col) * 1103515245 + 12345) % 2147483648
+    fp = doc_fingerprint(tokens(F.col(text_col)))
+    per_doc = docs.select(
+        (h % n_shards).cast("bigint").alias("shard_id"),
+        h.alias("_h"),
+        F.col(id_col).alias("_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("_n_tokens"),
+        fp.alias("_fp"),
+    )
+    ordered_fps = F.transform(
+        F.array_sort(F.collect_list(F.struct("_h", "_id", "_fp"))),
+        lambda s: s["_fp"],
+    )
+    order_fp = F.aggregate(
+        ordered_fps,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    return per_doc.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_n_tokens").cast("bigint").alias("n_tokens"),
+        order_fp.alias("order_fp"),
+    )

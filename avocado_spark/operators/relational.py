@@ -829,3 +829,81 @@ def chisq_independence(
         ).cast("bigint").alias("dof"),
         F.first("total").cast("bigint").alias("n"),
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only
+    change feed: per key, collapse consecutive runs of the same
+    attribute value into versioned validity intervals
+    ``[valid_from_us, valid_to_us)`` with an ``is_current`` flag on the
+    open-ended last run — the warehouse primitive that turns an event
+    log into a point-in-time joinable dimension.
+
+    Spark-first shape: the change detector is ``lag(attr) != attr``
+    per key, the version number is a running sum of change flags, and
+    the interval bounds are a grouped min + a ``lead`` over versions —
+    all four windows/aggs share ONE hash partitioning on the key, so
+    the whole operator is a single shuffle regardless of history depth.
+    At 100 TB the feed arrives bucketed by the key (sources/io.py::
+    write_bucketed) and even that shuffle disappears.
+    """
+    from avocado_spark.functions.time_fns import ts_us
+
+    w = Window.partitionBy(key_col).orderBy("_us", order_col)
+    chg = F.when(
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col)),
+        1,
+    ).otherwise(0)
+    runs = events.select(
+        key_col,
+        attr_col,
+        ts_us(ts_col).alias("_us"),
+        F.col(order_col),
+    ).withColumn("version", F.sum(chg).over(w).cast("bigint"))
+    hist = runs.groupBy(key_col, "version").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min("_us").cast("bigint").alias("valid_from_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return hist.select(
+        key_col,
+        "version",
+        attr_col,
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        F.lead("valid_from_us").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percentile-rank normalization of a score column —
+    the cross-source calibration step before mixing heterogeneous
+    quality signals (a raw score of 0.7 means different things on web
+    text vs code). ``percent_rank`` is rank-based, so it is exact and
+    engine-independent wherever the underlying order is total; ties
+    are broken by the id to keep the order total.
+
+    One window shuffle on the group; no second pass (percent_rank
+    needs only the partition size, which the window frame carries).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    return df.select(
+        id_col,
+        group_col,
+        F.col(value_col),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

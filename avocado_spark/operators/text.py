@@ -580,3 +580,51 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
         doc_fingerprint(tokens(scrubbed)).alias("scrubbed_fp"),
     )
+
+
+# deterministic mojibake injection: the synthetic corpus is pure ASCII,
+# so both engines append the same non-ASCII / replacement / control
+# markers before the census runs
+_NON_ASCII_RE = r"[^\x00-\x7F]"
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def inject_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic encoding-damage markers (accented latin-1,
+    U+FFFD replacement chars, a BEL control byte) to doc_id residue
+    classes, mirroring what a wrong-charset transcode leaves behind."""
+    did = F.col("doc_id")
+    t = F.col(text_col)
+    t = F.when(did % 4 == 0, F.concat(t, F.lit(" café résumé"))).otherwise(t)
+    t = F.when(did % 6 == 0, F.concat(t, F.lit(" ��"))).otherwise(t)
+    t = F.when(did % 9 == 0, F.concat(t, F.lit("\x07"))).otherwise(t)
+    return docs.withColumn(text_col, t)
+
+
+def charset_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality census: per document, codepoint length,
+    non-ASCII count, U+FFFD replacement-char count (the smoking gun of
+    a wrong-charset decode), and control-char count (excluding
+    tab/newline/CR) — the keep/kill signal cheap enough to run on every
+    crawl byte before any tokenizer sees it.
+
+    Scale shape: pure per-row regexp_count projections, whole-stage
+    codegen, zero shuffles; patterns are single character classes (no
+    backtracking), so cost is linear in bytes. Patterns stay within the
+    RE2 / Java-regex shared dialect so the SQL oracle replays
+    byte-identically.
+    """
+    t = F.col(text_col)
+    n_non_ascii = F.regexp_count(t, F.lit(_NON_ASCII_RE)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("int").alias("n_chars"),
+        n_non_ascii.alias("n_non_ascii"),
+        F.regexp_count(t, F.lit("�")).cast("int").alias("n_replacement"),
+        F.regexp_count(t, F.lit(_CTRL_RE)).cast("int").alias("n_ctrl"),
+        F.round(
+            (F.length(t) - n_non_ascii).cast("double")
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("ascii_ratio"),
+    )

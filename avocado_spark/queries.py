@@ -704,6 +704,10 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline family, (5) kernels/relational ops unchanged and green
 # since round 1 (safe to drop under a cap).
 _GATE_PRIORITY = [
+    # (-3) round-7 additions — no driver row yet
+    "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
+    "training_shard_layout", "source_pctrank_norm",
+    "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
     # (-2) round-6 additions — no driver row yet
     "bm25_topk", "inverted_index", "pack_sequences", "pii_scrub",
     "salted_skew_join", "winsorized_stats", "events_ewma",
@@ -1184,3 +1188,98 @@ def events_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value").cast("double") / 5.0).cast("bigint").alias("band"),
     )
     return chisq_independence(ev, "event_type", "band")
+
+
+@query(
+    "coorder_triangles",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS t
+      FROM edges
+      JOIN deg du ON du.node = edges.u
+      JOIN deg dv ON dv.node = edges.v
+    ),
+    wedges AS (
+      SELECT e1.s, e1.t AS x, e2.t AS y
+      FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+    ),
+    tri AS (
+      SELECT s, x, y FROM wedges
+      JOIN edges ON edges.u = wedges.x AND edges.v = wedges.y
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT s AS node FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri
+    ) GROUP BY node
+    """,
+)
+def coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the co-order graph via the
+    degree-oriented node-iterator — O(m^1.5) wedge bound, no hub-node
+    blowup (the last-reducer curse)."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.triangle_counts(C.coorder_edges(li))
+
+
+@query(
+    "small_qty_avg_filter",
+    """
+    WITH qty AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s_c,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN qty ON qty.l_partkey = lineitem.l_partkey
+    WHERE CAST(ROUND(l_quantity * 100) AS BIGINT)
+          < 0.5 * (CAST(s_c AS DOUBLE) / n)
+    GROUP BY p_brand
+    """,
+)
+def small_qty_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — rows under a correlated per-group average
+    (small-quantity orders below half the part's mean). The correlated
+    scalar subquery decorrelates to one grouped agg re-joined on the
+    key; the threshold compares exact integer cents against a double
+    mean derived from the same integers, so both engines agree to the
+    bit. Two shuffles (per-part agg, final brand rollup) + one
+    broadcastable dim join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    qty = li.groupBy("l_partkey").agg(
+        F.sum(qc).cast("bigint").alias("s_c"), F.count("*").alias("n")
+    )
+    small = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(qty, "l_partkey")
+        .where(qc < 0.5 * (F.col("s_c").cast("double") / F.col("n")))
+    )
+    return small.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_c"),
+    )

@@ -1698,3 +1698,143 @@ def events_mutual_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_cells"),
         F.first("total").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "charset_census",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 4 = 0 THEN ' café résumé' ELSE '' END
+        || CASE WHEN doc_id % 6 = 0 THEN ' ��' ELSE '' END
+        || CASE WHEN doc_id % 9 = 0 THEN chr(7) ELSE '' END AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS INT) AS n_non_ascii,
+        CAST(len(regexp_extract_all(text, '�')) AS INT) AS n_replacement,
+        CAST(len(regexp_extract_all(text,
+          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS INT) AS n_ctrl
+      FROM inj
+    )
+    SELECT doc_id, n_chars, n_non_ascii, n_replacement, n_ctrl,
+           ROUND(CAST(n_chars - n_non_ascii AS DOUBLE)
+                 / greatest(n_chars, 1), 6) AS ascii_ratio
+    FROM c
+    """,
+)
+def charset_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality census over a deterministically mojibake-
+    injected corpus: non-ASCII / U+FFFD / control-char counts and the
+    ASCII ratio — zero-shuffle codegen projections."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.charset_census(TX.inject_mojibake(docs))
+
+
+@query(
+    "source_pctrank_norm",
+    """
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                 ORDER BY n_chars ASC, doc_id ASC), 6) AS pct_rank
+    FROM documents
+    """,
+)
+def source_pctrank_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank normalization of a raw quality
+    signal (n_chars) — the cross-source score calibration step; one
+    window shuffle, rank-based so engine-exact."""
+    from avocado_spark.operators.relational import percentile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percentile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+@query(
+    "training_shard_layout",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id * 1103515245 + 12345) % 2147483648 AS h,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), {_th(_TOKS)}),
+                         (a, x) -> (a * 131 + x) % 1000000007) AS fp
+      FROM documents
+    )
+    SELECT CAST(h % 8 AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list(fp ORDER BY h, doc_id)),
+             (a, x) -> (a * 131 + x) % 1000000007) AS order_fp
+    FROM d GROUP BY 1
+    """,
+)
+def training_shard_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-shard training-export layout with per-shard
+    doc/token counts and an order-sensitive content fingerprint in
+    within-shard read order — shard content AND iteration order are
+    part of the differential."""
+    from avocado_spark.operators.layout import shard_layout
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_layout(docs, n_shards=8)
+
+
+@query(
+    "ppjoin_dup_pairs",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sets AS (
+      SELECT doc_id, list_distinct({_th(_TOKS)}) AS th
+      FROM aug WHERE len({_TOKS}) > 0
+    ),
+    tok AS (
+      SELECT doc_id, len(th) AS n, unnest(th) AS h FROM sets
+    ),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM tok GROUP BY h),
+    ranked AS (
+      SELECT t.doc_id, t.h,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df ASC, t.h ASC) AS rk,
+             t.n
+      FROM tok t JOIN dfreq d USING (h)
+    ),
+    pref0 AS (
+      SELECT doc_id, h FROM ranked
+      WHERE rk <= n - CAST(ceil(0.6 * n) AS INT) + 1
+    ),
+    pref AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS bsz FROM pref0
+      ) WHERE bsz <= 200
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM pref a JOIN pref b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(sa.th, sb.th)) AS DOUBLE)
+             / (len(sa.th) + len(sb.th) - len(list_intersect(sa.th, sb.th)))
+               AS jaccard
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.a_id
+      JOIN sets sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.6
+    """,
+)
+def ppjoin_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered token-set Jaccard pairs — lossless
+    candidate generation with NO blocking key and NO MinHash recall
+    loss; the rare-token-first prefix order keeps join buckets small
+    at corpus scale."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    out = D.prefix_filter_pairs(docs, threshold=0.6)
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))

@@ -527,3 +527,81 @@ def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
         )
     )
+
+
+@query(
+    "events_scd2_history",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+    ),
+    hist AS (
+      SELECT user_id, version,
+             MIN(event_type) AS event_type,
+             CAST(MIN(us) AS BIGINT) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) IS NULL AS is_current,
+           n_events
+    FROM hist
+    """,
+)
+def events_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history compiled from the raw event feed: per-user
+    runs of the same event_type become versioned validity intervals
+    with an open-ended current row — lag-detect + running-sum version
+    + grouped min + lead, all sharing ONE user_id shuffle."""
+    from avocado_spark.operators.relational import scd2_history
+
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "multitouch_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_id AS touch_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT t.touch_id, t.user_id, c.conv_id
+      FROM t JOIN c ON t.user_id = c.user_id
+       AND t.t_us <= c.c_us AND t.t_us > c.c_us - 21600000000
+    ),
+    credited AS (
+      SELECT touch_id, user_id,
+             1000000 // COUNT(*) OVER (PARTITION BY conv_id) AS credit_u
+      FROM pairs
+    )
+    SELECT touch_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(SUM(credit_u) AS BIGINT) AS credit_u
+    FROM credited GROUP BY touch_id, user_id
+    """,
+)
+def multitouch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (6h horizon): each purchase
+    splits 1e6 credit micro-units integer-evenly across the user's
+    views in the window — exact bigint credit per touch, no float
+    summation-order drift."""
+    return EV.multitouch_attribution(load_table(spark, sf_dir, "events"))

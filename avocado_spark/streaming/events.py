@@ -381,3 +381,47 @@ def enrich_with_dim(
         dim.select(F.col(dim_key).alias(key), *[F.col(c) for c in dim_cols])
     )
     return events.join(d, key, "left")
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    touch_type: str = "view",
+    conv_type: str = "purchase",
+    horizon_us: int = 6 * 3_600_000_000,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion splits one unit
+    of credit EQUALLY across all of the user's touch events in the
+    ``horizon_us`` window before it (inclusive) — the generalization of
+    first/last-touch `attribution_join` that marketing/causal pipelines
+    actually run.
+
+    Credit is integer micro-units (``1_000_000 div n`` per touch), so
+    per-touch sums are exact bigints in any accumulation order — no
+    float 1/n summation-order drift between engines.
+
+    Scale shape: the touch×conversion pair space is a per-user interval
+    join bounded by the horizon; everything — pair build, per-conversion
+    fan-out count, per-touch credit sum — shuffles on user-derived keys
+    once each. State is bounded by events-per-user-per-horizon, the
+    same contract as the streaming join's watermark."""
+    us = ts_us("ts")
+    touches = events.where(F.col("event_type") == touch_type).select(
+        "user_id", F.col("event_id").alias("touch_id"), us.alias("t_us")
+    )
+    convs = events.where(F.col("event_type") == conv_type).select(
+        "user_id", F.col("event_id").alias("conv_id"), us.alias("c_us")
+    )
+    pairs = touches.join(convs, "user_id").where(
+        (F.col("t_us") <= F.col("c_us"))
+        & (F.col("t_us") > F.col("c_us") - F.lit(horizon_us))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id")
+    credited = pairs.withColumn("n_touches", F.count("*").over(w)).withColumn(
+        "credit_u", F.expr("1000000 div n_touches").cast("bigint")
+    )
+    return credited.groupBy("touch_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_convs"),
+        F.sum("credit_u").cast("bigint").alias("credit_u"),
+    )

@@ -84,6 +84,17 @@ def main() -> None:
         "events_ewma",
         "pii_scrub",
         "pack_sequences",
+        # round 7: PPJoin prefix-filtered self-join (df agg + rank
+        # window + token equi-join + verify), SCD2 compile (stacked
+        # windows on one key shuffle), 8-shard export layout (ordered
+        # collect_list fold per shard)
+        "ppjoin_dup_pairs",
+        "events_scd2_history",
+        "training_shard_layout",
+        # round 7b: degree-oriented triangle counting (two wedge
+        # joins), horizon-bounded multi-touch interval join
+        "coorder_triangles",
+        "multitouch_attribution",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed

@@ -1,0 +1,80 @@
+"""Unit checks for the degree-oriented triangle counter and linear
+multi-touch attribution, each against an independent brute-force
+replay (itertools / pandas) rather than the SQL oracle."""
+
+from __future__ import annotations
+
+import itertools
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from avocado_spark.operators.components import coorder_edges, triangle_counts
+from avocado_spark.streaming.events import multitouch_attribution
+
+
+def _brute_triangles(edges: set[tuple[int, int]]) -> dict[int, int]:
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    counts: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # K4: every node in C(3,2)=3 triangles
+        {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)},
+        # triangle + pendant + disjoint edge
+        {(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)},
+        # hub star (no triangles) + one closed wedge
+        {(0, i) for i in range(1, 8)} | {(1, 2)},
+        # two triangles sharing an edge
+        {(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)},
+    ],
+)
+def test_triangle_counts_match_brute_force(spark, edges):
+    df = spark.createDataFrame(sorted(edges), ["u", "v"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_coorder_edges_canonical(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10), (3, 30)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r.u, r.v) for r in coorder_edges(li).collect()}
+    assert got == {(10, 20)}
+
+
+def test_multitouch_credit_is_exact_and_conserved(spark):
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: 3 views then a purchase -> each view gets 333333 micro
+    for i in range(3):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "view", 0.0, ""))
+    rows.append((10, t0 + timedelta(hours=1), 1, "purchase", 9.99, ""))
+    # user 2: view outside the 6h horizon -> no credit
+    rows.append((20, t0 - timedelta(hours=7), 2, "view", 0.0, ""))
+    rows.append((21, t0, 2, "purchase", 1.0, ""))
+    # user 3: one view, two purchases -> view credited twice, 2e6 total
+    rows.append((30, t0, 3, "view", 0.0, ""))
+    rows.append((31, t0 + timedelta(minutes=5), 3, "purchase", 1.0, ""))
+    rows.append((32, t0 + timedelta(minutes=10), 3, "purchase", 1.0, ""))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r.touch_id: (r.n_convs, r.credit_u) for r in multitouch_attribution(ev).collect()}
+    assert got == {0: (1, 333333), 1: (1, 333333), 2: (1, 333333), 30: (2, 2000000)}
+    # integer division truncates: 3 * 333333 = 999999 — credit is
+    # conserved to within n_touches-1 micro-units per conversion
+    assert sum(c for _, c in got.values()) == 999999 + 2000000
