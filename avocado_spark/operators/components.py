@@ -169,8 +169,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Scale shape: one degree agg, two equi-joins (wedge-build on the
     shared source, wedge-close on the canonical pair), one final
     explode+agg. All shuffles are on node/pair keys; AQE splits any
-    residual skew. No driver state, no iteration.
+    residual skew. No driver state, no iteration. ``edges`` is read
+    three times (degree count, orientation, wedge close) and
+    ``oriented`` twice (both wedge sides) — Spark re-plans each
+    DataFrame reference from scratch, so both are persisted; at
+    cluster scale the edge table is written out bucketed on (u, v)
+    instead.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -187,7 +195,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.select(F.col("s"), F.col("t").alias("x"))
     e2 = oriented.select(F.col("s"), F.col("t").alias("y"))
     # wedge (s, x, y) with x < y by id — close against the canonical
