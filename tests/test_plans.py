@@ -435,3 +435,59 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ppjoin_no_nlj_broadcast_dfreq(spark):
+    """Prefix-filter pairs: every join is an equi join (the token
+    self-join and the verify re-joins), the document-frequency dim
+    rides a broadcast, and nothing degenerates to a nested loop."""
+    plan = final_plan(plan_of(spark, "ppjoin_dup_pairs"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangles_no_cartesian_reuses_cached_edges(spark):
+    """Triangle counting: wedge build and close are equi joins; the
+    edge table is built once and re-read from cache, not re-planned
+    per reference."""
+    plan = final_plan(plan_of(spark, "coorder_triangles"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+
+
+def test_scd2_single_key_shuffle(spark):
+    """SCD2 compile: the lag window, the version window, the grouped
+    min and the lead window all share ONE hashpartitioning(user_id)
+    exchange — history depth adds zero extra shuffles."""
+    plan = final_plan(plan_of(spark, "events_scd2_history"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_multitouch_equi_join_bounded_window(spark):
+    """Multi-touch attribution: touch×conversion pairing is a
+    user_id equi join with the horizon as a post-join range filter —
+    not a nested loop — and credit fan-out is a window + hash agg."""
+    plan = final_plan(plan_of(spark, "multitouch_attribution"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_shard_layout_single_shuffle(spark):
+    """Shard export layout: one hashpartitioning(shard_id) exchange;
+    fingerprints fold inside the aggregation, no join, no second pass."""
+    plan = final_plan(plan_of(spark, "training_shard_layout"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_charset_census_no_shuffle(spark):
+    """The charset census is a pure scan-side projection: zero
+    exchanges, zero joins, no Python in the plan."""
+    plan = final_plan(plan_of(spark, "charset_census"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
