@@ -574,3 +574,73 @@ def prefix_filter_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     return _verify_jaccard(cand, sets, threshold, shingle_col="th")
+
+
+def kgram_hashes(text: Column, k: int = 10) -> Column:
+    """Distinct rolling hashes of token k-grams for arbitrary k —
+    the long-window generalization of :func:`shingle_hashes` (k ≤ 3)
+    used by substring-overlap screening (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    50-token-overlap family, scaled down to token k-grams).
+
+    gram_i = fold over token hashes th[i..i+k-1]:
+    acc = (acc * 1009 + h) % P, acc0 = 0 — O(n·k) per row, all JVM
+    higher-order functions, replayable verbatim in SQL."""
+    th = F.transform(tokens(text), token_hash)
+    n = F.size(th)
+    m = n - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.aggregate(
+            F.slice(th, i, k),
+            F.lit(0).cast("long"),
+            lambda a, h: (a * 1009 + h) % P,
+        ),
+    )
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def longgram_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    min_shared: int = 1,
+    max_gram_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Long-n-gram overlap screen: document pairs sharing at least
+    ``min_shared`` distinct token ``k``-grams, with the shared-gram
+    count — the cheap relational proxy for substring duplication
+    (a shared 10-gram IS a 10-token verbatim overlap; boilerplate,
+    licenses, and copied passages light up here long before full-doc
+    similarity fires).
+
+    Scale shape: explode distinct k-grams (long grams are near-unique,
+    so the join key space is huge and buckets tiny — the opposite skew
+    profile of single tokens), drop the residual hot grams by cap
+    (telemetry pattern), one equi self-join, one pair-count agg."""
+    g = docs.select(
+        "doc_id", F.explode(kgram_hashes(F.col(text_col), k)).alias("g")
+    )
+    if max_gram_bucket is not None:
+        w = Window.partitionBy("g")
+        g = (
+            g.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_gram_bucket)
+            .drop("_bsz")
+        )
+    # persist AFTER the cap so the gram explode + bucket window run
+    # once, not once per self-join side
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    return (
+        pairs.groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= min_shared)
+    )

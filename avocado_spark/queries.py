@@ -737,6 +737,7 @@ _GATE_PRIORITY = [
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
+    "semantic_dedup_killlist", "longgram_overlap_pairs",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",

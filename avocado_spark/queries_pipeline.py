@@ -1838,3 +1838,84 @@ def ppjoin_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
     out = D.prefix_filter_pairs(docs, threshold=0.6)
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "semantic_dedup_killlist",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_EMB}),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_cos("a.v", "b.v")} >= 0.95
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+             AS cluster_size,
+           vec_id <> cluster_id AS kill
+    FROM cc
+    """,
+)
+def semantic_dedup_killlist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): embedding-
+    cosine near-dup pairs within coarse clusters → connected
+    components → kill-list keeping one representative (min id) per
+    semantic cluster. Pure composition of the blocked cosine pair
+    operator and the large/small-star component solver; the oracle
+    recomputes components with a recursive closure."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    emb = _aug_embeddings(load_table(spark, sf_dir, "embeddings"))
+    e = emb.withColumnRenamed("v", "embedding")
+    pairs = D.embedding_dup_pairs(e, threshold=0.95)
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") != F.col("cluster_id")).alias("kill"),
+    )
+
+
+@query(
+    "longgram_overlap_pairs",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    th AS (SELECT doc_id, {_th(_TOKS)} AS h FROM aug),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(h) < 10 THEN []
+               ELSE [list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 9)),
+                       (a, x) -> (a * 1009 + x) % 1000000007)
+                     for i in generate_series(1, len(h) - 9)] END) AS gs
+      FROM th
+    ),
+    g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS bsz FROM g
+      ) WHERE bsz <= 200
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def longgram_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-overlap screen: pairs sharing token 10-grams with the
+    shared-gram count — a 10-token shared window is literal copied
+    text (the substring-dedup signal), caught relationally with
+    near-unique join keys."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    return D.longgram_overlap_pairs(docs, k=10)

@@ -95,6 +95,7 @@ def main() -> None:
         # joins), horizon-bounded multi-touch interval join
         "coorder_triangles",
         "multitouch_attribution",
+        "longgram_overlap_pairs",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
