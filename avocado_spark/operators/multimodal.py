@@ -86,3 +86,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest((F.col("meta.duration_ms") / every_ms).cast("int") - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+# content-defined chunking: boundary after byte i iff the rolling hash
+# of the 4-byte window ending at i satisfies h % CDC_MODULUS == 0.
+# Window-local hashing is what makes chunk boundaries shift-resistant
+# (insert a byte early in the stream and later boundaries re-align) —
+# the storage/backup dedup property fixed-size blocks lack.
+CDC_MODULUS = 64
+_CDC_P = 1_000_000_007
+
+
+def _cdc_batches(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            if n == 0:
+                continue
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            ends = []
+            if n >= 4:
+                h = a[3:] + 31 * a[2:-1] + 961 * a[1:-2] + 29791 * a[:-3]
+                # i is the 1-based position of the window's LAST byte
+                ends = (np.nonzero(h % CDC_MODULUS == 0)[0] + 4).tolist()
+            if not ends or ends[-1] != n:
+                ends.append(n)
+            start = 1
+            for idx, e in enumerate(ends):
+                chunk = a[start - 1 : e]
+                fp = 0
+                for byte in chunk.tolist():
+                    fp = (fp * 131 + byte) % _CDC_P
+                out.append((int(mid), idx, start, e - start + 1, fp))
+                start = e + 1
+        yield pd.DataFrame(
+            out, columns=["media_id", "chunk_idx", "offset", "length", "fp"]
+        )
+
+
+def cdc_chunks(media: DataFrame) -> DataFrame:
+    """Content-defined chunking of opaque binary payloads (the
+    rolling-hash boundary scheme behind storage dedup and media
+    near-dup): split each payload where the 4-byte window hash hits the
+    modulus, emit (chunk_idx, offset, length, fingerprint) per chunk.
+
+    Runs as Arrow-batched ``mapInPandas`` with a vectorized window
+    hash — binary byte-level work is the one place Python earns its
+    slot, and the batch amortizes the exchange. Zero shuffles: chunking
+    is embarrassingly parallel over rows; downstream dedup groups on
+    the fingerprint."""
+    return media.select("media_id", "payload").mapInPandas(
+        _cdc_batches,
+        schema="media_id long, chunk_idx int, offset int, length int, fp long",
+    )

@@ -738,6 +738,7 @@ _GATE_PRIORITY = [
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
     "semantic_dedup_killlist", "longgram_overlap_pairs",
+    "cdc_chunking", "cdc_dedup_stats",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",

@@ -1919,3 +1919,100 @@ def longgram_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-unique join keys."""
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
     return D.longgram_overlap_pairs(docs, k=10)
+
+
+_CDC_CHAIN = """
+    b AS (
+      SELECT doc_id,
+             [ascii(substring(text, i, 1))
+              for i in generate_series(1, length(text))] AS a
+      FROM {src} WHERE length(text) > 0
+    ),
+    bounds AS (
+      SELECT doc_id, a,
+        [i for i in generate_series(4, len(a))
+         if (29791*a[i-3] + 961*a[i-2] + 31*a[i-1] + a[i]) % 64 = 0] AS bs
+      FROM b
+    ),
+    ends AS (
+      SELECT doc_id, a,
+        CASE WHEN len(bs) = 0 OR bs[len(bs)] <> len(a)
+             THEN list_append(bs, len(a)) ELSE bs END AS es
+      FROM bounds
+    ),
+    ch AS (
+      SELECT doc_id, a,
+             unnest(generate_series(1, len(es))) AS ob_idx,
+             unnest(es) AS e,
+             unnest(list_prepend(0, list_slice(es, 1, len(es) - 1))) AS prev
+      FROM ends
+    ),
+    chunks AS (
+      SELECT doc_id AS media_id,
+             CAST(ob_idx - 1 AS INT) AS chunk_idx,
+             CAST(prev + 1 AS INT) AS "offset",
+             CAST(e - prev AS INT) AS length,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_slice(a, prev + 1, e)),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+      FROM ch
+    )
+"""
+
+
+@query(
+    "cdc_chunking",
+    f"""
+    WITH {_CDC_CHAIN.format(src="documents")}
+    SELECT media_id, chunk_idx, "offset", length, fp FROM chunks
+    """,
+)
+def cdc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of binary payloads: rolling 4-byte
+    window hash picks boundaries, so chunk edges re-align after
+    insertions (the storage-dedup property). Arrow mapInPandas with a
+    vectorized window hash; the oracle replays byte arithmetic over
+    the ASCII corpus."""
+    from avocado_spark.operators.multimodal import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return cdc_chunks(media)
+
+
+@query(
+    "cdc_dedup_stats",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    {_CDC_CHAIN.format(src="aug")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(length) AS BIGINT) AS bytes_total,
+           CAST((SELECT SUM(mlen) FROM (
+                   SELECT MIN(length) AS mlen FROM chunks GROUP BY fp))
+                AS BIGINT) AS bytes_unique
+    FROM chunks
+    """,
+)
+def cdc_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store dedup ratio over the near-dup-augmented corpus:
+    copied documents share most CDC chunks, so bytes_unique <<
+    bytes_total measures the shift-resistant dedup win. One fp
+    group-agg + one global rollup."""
+    from avocado_spark.operators.multimodal import cdc_chunks
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    ch = cdc_chunks(media).persist()
+    uniq = ch.groupBy("fp").agg(F.min("length").alias("mlen"))
+    totals = ch.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_distinct("fp").cast("bigint").alias("n_unique_chunks"),
+        F.sum("length").cast("bigint").alias("bytes_total"),
+    )
+    u = uniq.agg(F.sum("mlen").cast("bigint").alias("bytes_unique"))
+    return totals.crossJoin(u)

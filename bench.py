@@ -96,6 +96,7 @@ def main() -> None:
         "coorder_triangles",
         "multitouch_attribution",
         "longgram_overlap_pairs",
+        "cdc_dedup_stats",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
