@@ -907,3 +907,116 @@ def percentile_normalize(
         F.col(value_col),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: full-outer join two table versions on
+    the key and classify every row as added / removed / changed /
+    unchanged — the audit primitive behind CDC validation, backfill
+    verification, and "what did this rerun touch" diffs.
+
+    One co-partitioned shuffle pair on the key; comparison is
+    null-safe (`eqNullSafe`) so NULL→value transitions classify as
+    changed, not unchanged. At 100 TB both snapshots are written
+    bucketed on the key and the join is exchange-free.
+    """
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    j = o.join(n, keys, "full_outer")
+    in_old = F.coalesce(*[F.col(f"_o_{c}").isNotNull() for c in compare_cols[:1]], F.lit(False))
+    in_new = F.coalesce(*[F.col(f"_n_{c}").isNotNull() for c in compare_cols[:1]], F.lit(False))
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    cls = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("change_type", cls)
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group equal-frequency (equi-depth) histogram via ntile —
+    the bin edges the optimizer statistics and drift monitors want
+    (equal-width bins collapse under skew; equi-depth bins carry the
+    same evidence everywhere). Tie-broken by id so the binning is a
+    total order and engine-exact.
+
+    One window shuffle on the group, then a (group, bin) hash agg on
+    the same partitioning."""
+    c = F.round(F.col(value_col) * 100).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("v_c").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, c.alias("v_c"), F.col(id_col))
+        .withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v_c").alias("lo_c"),
+            F.max("v_c").alias("hi_c"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation outlier census per group — the robust
+    counterpart of z-scores (one wild value wrecks mean/stddev but
+    moves the median not at all). Medians are EXACT lower medians by
+    rank (value at position ceil(n/2) in (value, id) order), so both
+    engines agree without interpolation-rule drift.
+
+    Scale shape: two rank windows + a broadcast of the |groups|-row
+    median tables; all three shuffles hash on the group key."""
+    c = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(group_col, c.alias("v_c"), F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(F.col("v_c").asc(), F.col(id_col).asc())
+    ranked = base.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(group_col))
+    )
+    med = (
+        ranked.where(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .select(group_col, F.col("v_c").alias("med_c"))
+    )
+    dev = base.join(F.broadcast(med), group_col).withColumn(
+        "d_c", F.abs(F.col("v_c") - F.col("med_c"))
+    )
+    wd = Window.partitionBy(group_col).orderBy(F.col("d_c").asc(), F.col(id_col).asc())
+    devr = dev.withColumn("_rk", F.row_number().over(wd)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(group_col))
+    )
+    mad = (
+        devr.where(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .select(group_col, F.col("d_c").alias("mad_c"))
+    )
+    flagged = dev.join(F.broadcast(mad), group_col)
+    return flagged.groupBy(group_col).agg(
+        F.first("med_c").cast("bigint").alias("med_c"),
+        F.first("mad_c").cast("bigint").alias("mad_c"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("d_c").cast("double") > F.lit(k) * F.col("mad_c").cast("double"))
+            .cast("int")
+        ).cast("bigint").alias("n_outliers"),
+    )

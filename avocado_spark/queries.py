@@ -739,6 +739,7 @@ _GATE_PRIORITY = [
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
     "semantic_dedup_killlist", "longgram_overlap_pairs",
     "cdc_chunking", "cdc_dedup_stats",
+    "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",
@@ -1289,3 +1290,134 @@ def small_qty_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_c"),
     )
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 150 ELSE 0 END AS price_c,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT o.price_c AS op, o.status AS os, n.price_c AS np, n.status AS ns
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT CASE WHEN op IS NULL THEN 'added'
+                WHEN np IS NULL THEN 'removed'
+                WHEN op = np AND os = ns THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(op, 0)) AS BIGINT) AS old_price_c,
+           CAST(SUM(COALESCE(np, 0)) AS BIGINT) AS new_price_c
+    FROM j GROUP BY 1
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer diff of two deterministic
+    order-table versions (drops + price edits), classified
+    added/removed/changed/unchanged and rolled up with exact cent
+    sums — the backfill/CDC audit primitive."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", cents.alias("price_c"), F.col("o_orderstatus").alias("status")
+    )
+    new = o.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        (cents + F.when(F.col("o_orderkey") % 5 == 0, 150).otherwise(0)).alias(
+            "price_c"
+        ),
+        F.col("o_orderstatus").alias("status"),
+    )
+    d = R.snapshot_diff(old, new, ["o_orderkey"], ["price_c", "status"])
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.coalesce("_o_price_c", F.lit(0))).cast("bigint").alias("old_price_c"),
+        F.sum(F.coalesce("_n_price_c", F.lit(0))).cast("bigint").alias("new_price_c"),
+    )
+
+
+@query(
+    "events_equidepth_hist",
+    """
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v_c) AS BIGINT) AS lo_c,
+           CAST(MAX(v_c) AS BIGINT) AS hi_c
+    FROM (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                                      event_id) AS bin
+      FROM events
+    ) GROUP BY event_type, bin
+    """,
+)
+def events_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equal-frequency histogram (optimizer-statistics /
+    drift-monitor bins) via one ntile window + same-key agg;
+    id tie-break makes the binning a total order."""
+    ev = _t(spark, sf_dir, "events")
+    return R.equidepth_histogram(ev, "event_type", "value", "event_id", 10)
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY v_c, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    med AS (
+      SELECT event_type, v_c AS med_c FROM r
+      WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT)
+    ),
+    d AS (
+      SELECT b.event_type, b.event_id, b.v_c, m.med_c,
+             abs(b.v_c - m.med_c) AS d_c
+      FROM b JOIN med m USING (event_type)
+    ),
+    dr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY d_c, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, d_c AS mad_c FROM dr
+      WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type,
+           CAST(MIN(d.med_c) AS BIGINT) AS med_c,
+           CAST(MIN(m.mad_c) AS BIGINT) AS mad_c,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(d.d_c AS DOUBLE)
+                              > 3.0 * CAST(m.mad_c AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census: exact rank-based lower medians (no
+    interpolation-rule drift) give per-type median and MAD; values
+    beyond 3 MAD count as outliers. Complements the z-score arm —
+    one wild value can't move this gate."""
+    ev = _t(spark, sf_dir, "events")
+    return R.mad_outliers(ev, "event_type", "value", "event_id")
