@@ -223,3 +223,64 @@ def coorder_edges(lineitem: DataFrame) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+
+
+PAGERANK_SCALE = 1_000_000
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_u: int = 850_000,
+) -> DataFrame:
+    """PageRank over an undirected edge set in EXACT fixed-point
+    arithmetic: ranks are integer micro-units, each push is
+    ``floor(d * rank / (deg * SCALE))`` — integer floor division, so
+    every engine and every accumulation order produces bit-identical
+    ranks (float PageRank diverges across engines by summation order).
+
+    The canonical iterative-dataflow workload: each of ``n_iter``
+    rounds is one join (ranks onto edges) + one hash agg (sum
+    contributions per destination), with ``localCheckpoint`` per round
+    to keep the plan from growing linearly with iterations — the same
+    lineage discipline as :func:`connected_components`. At cluster
+    scale both sides are pre-partitioned on the node key so the join
+    is exchange-free after round one.
+
+    Returns (node, rank_u) with sum-preserving teleport: rank_u starts
+    at SCALE per node; the per-round floor loss stays lost (exactly as
+    the oracle replays it).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+    adj = und.join(deg, "u").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = deg.select("u", F.lit(PAGERANK_SCALE).cast("long").alias("rank_u"))
+    base_u = PAGERANK_SCALE - damping_u
+    for _ in range(n_iter):
+        # true integer division (`div`), NOT floor(double /): for large
+        # operands a double quotient can round up across an integer
+        # boundary and silently disagree with the oracle's `//`
+        contribs = (
+            adj.join(ranks, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(damping_u) * F.col("rank_u")).alias("_num"),
+                (F.col("deg") * F.lit(PAGERANK_SCALE)).cast("long").alias("_den"),
+            )
+            .select("node", F.expr("_num div _den").cast("long").alias("c_u"))
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c_u").cast("long").alias("in_u"))
+            .select(
+                F.col("node").alias("u"),
+                (F.lit(base_u) + F.col("in_u")).cast("long").alias("rank_u"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("u").alias("node"), "rank_u")

@@ -740,6 +740,7 @@ _GATE_PRIORITY = [
     "semantic_dedup_killlist", "longgram_overlap_pairs",
     "cdc_chunking", "cdc_dedup_stats",
     "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
+    "coorder_pagerank", "cohort_retention",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",
@@ -1421,3 +1422,42 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one wild value can't move this gate."""
     ev = _t(spark, sf_dir, "events")
     return R.mad_outliers(ev, "event_type", "value", "event_id")
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unrolled fixed-point PageRank (DuckDB disallows aggregation in
+    recursive CTE terms, and the iteration count is a fixed literal
+    anyway). `//` on positive BIGINTs = Spark's `div` exactly."""
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+    adj AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg ON deg.u = und.u),
+    pr0 AS (SELECT u, CAST(1000000 AS BIGINT) AS rank_u FROM deg)"""
+    for i in range(n_iter):
+        sql += f""",
+    pr{i + 1} AS (
+      SELECT a.v AS u,
+             CAST(150000 + SUM((850000 * p.rank_u) // (a.deg * 1000000))
+                  AS BIGINT) AS rank_u
+      FROM adj a JOIN pr{i} p ON p.u = a.u
+      GROUP BY a.v
+    )"""
+    return sql + f"\n    SELECT u AS node, rank_u FROM pr{n_iter}"
+
+
+@query("coorder_pagerank", _pagerank_oracle(5))
+def coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank (5 rounds, damping 0.85) on the
+    co-order part graph — the canonical iterative-dataflow workload,
+    in integer micro-units with `div` pushes so every engine and
+    accumulation order agrees bit-for-bit. Per-round join + agg with
+    localCheckpoint lineage truncation."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.pagerank_exact(C.coorder_edges(li), n_iter=5)

@@ -605,3 +605,53 @@ def multitouch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     views in the window — exact bigint credit per touch, no float
     summation-order drift."""
     return EV.multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH u AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    f AS (
+      SELECT user_id, MIN(us) // 604800000000 AS cw
+      FROM u GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT u.user_id, f.cw,
+             (u.us // 604800000000) - f.cw AS off
+      FROM u JOIN f USING (user_id)
+    )
+    SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(off AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted once per (cohort, week-offset) they were active — the
+    product-analytics staple. First-seen min, the activity join, and
+    both aggs all hash on user_id/cohort keys; week arithmetic is
+    integer `div` on epoch micros, engine-exact."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    week = 604_800_000_000
+    u = ev.select("user_id", ts_us("ts").alias("us"))
+    f = (
+        u.groupBy("user_id")
+        .agg(F.min("us").alias("first_us"))
+        .select("user_id", F.expr(f"first_us div {week}").alias("cw"))
+    )
+    a = (
+        u.join(f, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            (F.expr(f"us div {week}") - F.col("cw")).alias("off"),
+        )
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cw").cast("bigint").alias("cohort_week"),
+        F.col("off").cast("bigint").alias("week_offset"),
+    ).agg(F.count("*").cast("bigint").alias("n_users"))

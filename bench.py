@@ -97,6 +97,7 @@ def main() -> None:
         "multitouch_attribution",
         "longgram_overlap_pairs",
         "cdc_dedup_stats",
+        "coorder_pagerank",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed

@@ -78,3 +78,27 @@ def test_multitouch_credit_is_exact_and_conserved(spark):
     # integer division truncates: 3 * 333333 = 999999 — credit is
     # conserved to within n_touches-1 micro-units per conversion
     assert sum(c for _, c in got.values()) == 999999 + 2000000
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    from avocado_spark.operators.components import PAGERANK_SCALE, pagerank_exact
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 9)], ["u", "v"])
+    got = {r.node: r.rank_u for r in pagerank_exact(edges, n_iter=5).collect()}
+    assert set(got) == set(range(9))
+    center, leaves = got[0], [got[i] for i in range(1, 9)]
+    assert all(center > v for v in leaves)
+    assert len(set(leaves)) == 1  # symmetry -> identical leaf ranks
+    # teleport floor: every rank >= base share
+    assert all(v >= PAGERANK_SCALE - 850_000 for v in got.values())
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from avocado_spark.operators.components import pagerank_exact
+
+    rows = [(i, (i * 7 + 3) % 50) for i in range(50) if i != (i * 7 + 3) % 50]
+    e1 = spark.createDataFrame(rows, ["u", "v"])
+    e2 = spark.createDataFrame(rows, ["u", "v"]).repartition(13)
+    r1 = {r.node: r.rank_u for r in pagerank_exact(e1, n_iter=4).collect()}
+    r2 = {r.node: r.rank_u for r in pagerank_exact(e2, n_iter=4).collect()}
+    assert r1 == r2  # integer pushes: no accumulation-order drift
