@@ -42,6 +42,20 @@ MAX_BAND_BUCKET = 200
 MAX_BLOCK_ROWS = 10_000
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the doc table across all cores before a CPU-heavy
+    per-row hash stage (shingles / signatures / gram folds).
+
+    Why: the local fixtures are single-row-group parquet files, so the
+    scan is ONE split and every interpreted-HOF hash pass serializes on
+    one core — measured 3-7 s single-threaded for the sf0.1 dedup
+    family. The repartition ships only raw doc rows (trivial next to
+    the hash CPU it unlocks) and AQE coalesces it away on a real
+    cluster where the scan already has thousands of splits."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def exact_dedup(docs: DataFrame, key_cols: list[str]) -> DataFrame:
     """Exact dedup: keep the lowest doc_id per identical content key."""
     return (
@@ -215,7 +229,8 @@ def minhash_lsh_pairs(
     # joins); persist so the tokenize/hash pass runs once — at cluster
     # scale this is the table you'd write out / bucket by doc_id
     sh = (
-        docs.select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
+        _spread(docs)
+        .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
         .where(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -256,7 +271,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select("doc_id", sig.alias("simhash"))
+    return _spread(docs).select("doc_id", sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -276,7 +291,8 @@ def ngram_jaccard_pairs(
     like lang='en' would otherwise make one block most of the corpus.
     ``max_block_rows=None`` restores unconditional exact semantics."""
     sh = (
-        docs.select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=k).alias("sh"))
+        _spread(docs)
+        .select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=k).alias("sh"))
         .where(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -364,7 +380,7 @@ def embedding_dup_pairs(
     v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
     # hoist the norm to a per-row column: the O(n²/blocks) pair stage
     # then pays one dot product per pair instead of three folds
-    e = embeddings.select("vec_id", block_col, v).withColumn("nrm", norm(F.col("v")))
+    e = _spread(embeddings).select("vec_id", block_col, v).withColumn("nrm", norm(F.col("v")))
     if max_block_rows is not None:
         w = Window.partitionBy(block_col)
         # persist: both pairwise sides re-read the normed+sized table
@@ -428,7 +444,8 @@ def dedup_cap_stats(
     excluded volume is observable, alarmable, and attributable before
     anyone trusts the pair counts downstream."""
     sh3 = (
-        docs.select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
+        _spread(docs)
+        .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
         .where(F.size("shingles") > 0)
     )
     bsz = _band_table(sh3).groupBy("band", "key").agg(F.count("*").alias("n"))
@@ -544,7 +561,8 @@ def prefix_filter_pairs(
     """
     th = F.array_sort(F.array_distinct(F.transform(tokens(F.col(text_col)), token_hash)))
     sets = (
-        docs.select("doc_id", th.alias("th"))
+        _spread(docs)
+        .select("doc_id", th.alias("th"))
         .where(F.size("th") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -584,21 +602,22 @@ def kgram_hashes(text: Column, k: int = 10) -> Column:
     50-token-overlap family, scaled down to token k-grams).
 
     gram_i = fold over token hashes th[i..i+k-1]:
-    acc = (acc * 1009 + h) % P, acc0 = 0 — O(n·k) per row, all JVM
-    higher-order functions, replayable verbatim in SQL."""
+    acc = (acc * 1009 + h) % P, acc0 = 0.
+
+    Single-pass shape (same trap shingle_hashes documents): an
+    ``aggregate(slice(th, i, k))`` inside a per-gram ``transform``
+    re-evaluates the WHOLE token-hash subtree once per gram — O(n²·k)
+    per row (measured 26 s at sf0.1 for k=10). Chaining k ``zip_with``
+    steps over shifted slices references ``th`` O(k) times total, so
+    the row cost is the O(n·k) the algorithm actually needs."""
     th = F.transform(tokens(text), token_hash)
     n = F.size(th)
-    m = n - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.aggregate(
-            F.slice(th, i, k),
-            F.lit(0).cast("long"),
-            lambda a, h: (a * 1009 + h) % P,
-        ),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(th, 1, m)  # acc after the window's first token
+    for j in range(1, k):
+        g = F.zip_with(g, F.slice(th, j + 1, m), lambda a, b: (a * 1009 + b) % P)
     return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
-        F.array_distinct(grams)
+        F.array_distinct(g)
     )
 
 
@@ -620,7 +639,7 @@ def longgram_overlap_pairs(
     so the join key space is huge and buckets tiny — the opposite skew
     profile of single tokens), drop the residual hot grams by cap
     (telemetry pattern), one equi self-join, one pair-count agg."""
-    g = docs.select(
+    g = _spread(docs).select(
         "doc_id", F.explode(kgram_hashes(F.col(text_col), k)).alias("g")
     )
     if max_gram_bucket is not None:

@@ -89,3 +89,34 @@ def test_ppjoin_prefix_is_smaller_than_doc(spark):
     # 2<->3 (two diffs) but 8/9... compute directly
     want = _brute_force_pairs(CORPUS[:3], 0.8)
     assert rows == set(want)
+
+
+def test_ppjoin_lossless_on_random_corpora(spark):
+    """Hypothesis-style randomized check (fixed LCG seeds for
+    reproducibility): on corpora of random small-vocab docs — the
+    worst case for prefix filtering, since tiny vocabularies make
+    every token frequent — candidate generation must still be
+    lossless at every threshold when the hot cap is disabled."""
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 1103515245 + 12345) % 2147483648
+            yield x
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in (7, 99, 4242):
+        g = lcg(seed)
+        rows = [
+            (i, " ".join(vocab[next(g) % len(vocab)] for _ in range(next(g) % 9 + 1)))
+            for i in range(24)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        for threshold in (0.4, 0.7):
+            got = {
+                (r.a_id, r.b_id)
+                for r in prefix_filter_pairs(
+                    docs, threshold=threshold, max_token_bucket=None
+                ).collect()
+            }
+            want = set(_brute_force_pairs(rows, threshold))
+            assert got == want, (seed, threshold, got ^ want)
