@@ -53,7 +53,12 @@ def discover_variants(
     support count-filter (A1) which doubles as the broadcast-size guard
     for the downstream interval join (P5)."""
     cols = ["contig", "start", "sequence", "qual", "cigar", "md"]
-    candidates = reads.select(cols).mapInPandas(
+    # spread the single-split local scan so the Arrow kernel
+    # parallelizes (AQE-coalesced on a real multi-split cluster scan)
+    spread = reads.select(cols).repartition(
+        reads.sparkSession.sparkContext.defaultParallelism
+    )
+    candidates = spread.mapInPandas(
         lambda it: _extract_batches(it, phred_threshold), schema=_OUT_SCHEMA
     )
     keys = ["contig", "start", "end", "ref_allele", "alt_allele"]

@@ -155,7 +155,12 @@ def read_site_events(
     keep_bc = None
     if keep is not None:
         keep_bc = reads.sparkSession.sparkContext.broadcast(keep)
-    return reads.select(cols).mapInPandas(
+    # spread the single-split local scan before the Arrow pass —
+    # the one Python stage must not serialize on one core
+    spread = reads.select(cols).repartition(
+        reads.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
         _emit_event_batches(has_fwd, keep_bc), schema=_EVENT_SCHEMA
     )
 

@@ -60,4 +60,8 @@ def realign_reads(
             pdf["was_realigned"] = flags
             yield pdf
 
+    # the local fixture scan is one split; round-robin so the Arrow
+    # kernel uses every core (no-op semantically, AQE-coalesced on a
+    # cluster where the scan has real splits)
+    reads = reads.repartition(reads.sparkSession.sparkContext.defaultParallelism)
     return reads.mapInPandas(run, schema=out_schema)
