@@ -1020,3 +1020,41 @@ def mad_outliers(
             .cast("int")
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+def incremental_agg_merge(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for distributive
+    aggregates: merge a pre-aggregated base with a freshly aggregated
+    delta via full-outer join + coalesced sums, instead of
+    recomputing over the whole history — the 100 TB daily-rollup
+    pattern where the delta is 0.1% of the base.
+
+    Correctness contract (what the oracle checks): merge(agg(base_rows),
+    agg(delta_rows)) == agg(all_rows) for sums/counts — exactly the
+    distributivity that makes the maintenance sound. Keys present only
+    in the delta appear with base side null-coalesced, and vice versa.
+    """
+    d_agg = delta.groupBy(*keys).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+        F.count("*").cast("bigint").alias(count_col),
+    )
+    b = base_agg.select(
+        *keys, *[F.col(c).alias(f"_b_{c}") for c in [*sum_cols, count_col]]
+    )
+    d = d_agg.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in [*sum_cols, count_col]]
+    )
+    merged = b.join(d, keys, "full_outer")
+    out_cols = [
+        (F.coalesce(F.col(f"_b_{c}"), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0)))
+        .cast("bigint")
+        .alias(c)
+        for c in [*sum_cols, count_col]
+    ]
+    return merged.select(*keys, *out_cols)

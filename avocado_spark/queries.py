@@ -741,6 +741,7 @@ _GATE_PRIORITY = [
     "cdc_chunking", "cdc_dedup_stats",
     "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
     "coorder_pagerank", "cohort_retention",
+    "incremental_agg_maintenance", "lineitem_unpivot",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",
@@ -1461,3 +1462,73 @@ def coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return C.pagerank_exact(C.coorder_edges(li), n_iter=5)
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the base partition (~93% of
+    lineitem) is pre-aggregated, the delta (l_orderkey % 14 == 0) is
+    aggregated alone, and the two MERGE via full-outer + coalesced
+    sums. The oracle aggregates the WHOLE table directly — a
+    hash-match proves the maintenance path is exactly equivalent to
+    recomputation (the distributivity contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("bigint")
+    price = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    prep = li.select(
+        "l_returnflag", "l_linestatus", "l_orderkey",
+        qty.alias("qty_c"), price.alias("price_c"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    base_rows = prep.where(F.col("l_orderkey") % 14 != 0)
+    delta_rows = prep.where(F.col("l_orderkey") % 14 == 0)
+    base_agg = base_rows.groupBy(*keys).agg(
+        F.sum("qty_c").cast("bigint").alias("qty_c"),
+        F.sum("price_c").cast("bigint").alias("price_c"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return R.incremental_agg_merge(
+        base_agg, delta_rows.drop("l_orderkey"), keys, ["qty_c", "price_c"]
+    )
+
+
+@query(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(ROUND(val * 100) AS BIGINT) AS val_c
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 19 = 0
+    )
+    UNPIVOT (val FOR measure IN (
+      l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot) via the native unpivot —
+    per-measure rows for ML feature tables and metric stores; a pure
+    narrow Expand, zero shuffles."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 19 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round(F.col("val") * 100).cast("bigint").alias("val_c"),
+    )

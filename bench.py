@@ -97,7 +97,11 @@ def main() -> None:
         "multitouch_attribution",
         "longgram_overlap_pairs",
         "cdc_dedup_stats",
-        "coorder_pagerank",
+        # coorder_pagerank stays OUT of the headline set: 5 iterative
+        # rounds ≈ 46 s at sf0.1 (measured) and best-of-3 would spend
+        # ~2.5 min re-measuring a loop whose per-round plan is already
+        # covered by dedup_clusters; the correctness gate still runs it
+        # at sf0.01 every round.
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
