@@ -655,3 +655,30 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cw").cast("bigint").alias("cohort_week"),
         F.col("off").cast("bigint").alias("week_offset"),
     ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+@query(
+    "stream_attribution_outer",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           epoch_us(l.ts) AS l_ts_us,
+           epoch_us(r.ts) AS r_ts_us,
+           CAST(ROUND(r.value * 100) AS BIGINT) AS r_value_c
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_attribution_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: unconverted views emit
+    with null purchase columns. In streaming the null row is emitted
+    only after the watermark proves no in-horizon match can still
+    arrive (state held until then); the batch shadow here is the plain
+    left interval join both engines agree on."""
+    return EV.attribution_join(
+        load_table(spark, sf_dir, "events"), how="left_outer"
+    )

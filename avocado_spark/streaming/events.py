@@ -249,13 +249,21 @@ def attribution_join(
     right_type: str = "purchase",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with a time-range condition — the
+    """Stream-stream join with a time-range condition — the
     attribution primitive (view → purchase by the same user within
     ``within``). The one streaming join shape whose state Spark can
     bound: both sides watermarked + an event-time range predicate lets
     the engine evict matched/expired rows instead of buffering both
     streams forever (state ≈ rows inside the watermark horizon).
+
+    ``how='left_outer'`` is the unconverted-impression variant: a view
+    with no purchase in the horizon emits once with null purchase
+    columns — in streaming, only AFTER the watermark proves no match
+    can still arrive (Spark holds the row in state until then), which
+    is why the outer side REQUIRES both watermarks and the range
+    conjunct; without them the engine cannot know when to give up.
 
     Works identically on batch inputs (the oracle path): the same plan
     is a pure interval equi-join on user_id with a range conjunct."""
@@ -280,7 +288,7 @@ def attribution_join(
         & (right["r_ts"] >= left["l_ts"])
         & (right["r_ts"] <= left["l_ts"] + F.expr(f"INTERVAL {within}"))
     )
-    return left.join(right, cond, "inner").select(
+    return left.join(right, cond, how).select(
         "user_id",
         "l_event_id",
         "r_event_id",

@@ -263,3 +263,41 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     _run()  # restart from the same checkpoint: must process ONLY file b
     final = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert final == [1, 2, 3, 4, 5]
+
+
+def test_streaming_attribution_outer_matches_batch(spark, events_stream):
+    # LEFT OUTER stream-stream join: unconverted views emit exactly
+    # once with null purchase columns — released only when the
+    # watermark proves no in-horizon match can still arrive. Views
+    # whose horizon the FINAL watermark never passes (the last
+    # watermark-delay + horizon of event time) stay held in state —
+    # that is the documented Structured Streaming semantic, so the
+    # convergence claim is: stream ⊆ batch, with exact equality on
+    # the provably-closed region.
+    stream = EV.attribution_join(
+        events_stream, trigger_events=events_stream, how="left_outer"
+    )
+    assert stream.isStreaming
+    out = _run_stream(spark, stream, "t_attrib_outer", "append")
+    batch = EV.attribution_join(
+        load_table(spark, SF_SMOKE, "events"), how="left_outer"
+    )
+    assert set(_rows(out)) <= set(_rows(batch))
+    from pyspark.sql import functions as F
+
+    max_us = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.max(EV.ts_us("ts")))
+        .first()[0]
+    )
+    # final watermark = max_ts - 1h delay; a view's horizon is closed
+    # once l_ts + 30min < watermark
+    closed = max_us - 3_600_000_000 - 1_800_000_000
+    out_closed = [r for r in _rows(out) if r[3] <= closed]
+    batch_closed = [r for r in _rows(batch) if r[3] <= closed]
+    assert out_closed == batch_closed and len(out_closed) > 0
+    # the outer rows are the delta vs the inner join, all null-purchase
+    inner = EV.attribution_join(load_table(spark, SF_SMOKE, "events"))
+    n_outer_only = batch.count() - inner.count()
+    assert n_outer_only > 0
+    assert batch.where("r_event_id IS NULL").count() == n_outer_only
