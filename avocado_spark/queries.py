@@ -742,7 +742,7 @@ _GATE_PRIORITY = [
     "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
     "coorder_pagerank", "cohort_retention",
     "incremental_agg_maintenance", "lineitem_unpivot",
-    "stream_attribution_outer",
+    "stream_attribution_outer", "events_dow_hour_profile",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",

@@ -682,3 +682,46 @@ def stream_attribution_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.attribution_join(
         load_table(spark, sf_dir, "events"), how="left_outer"
     )
+
+
+@query(
+    "events_dow_hour_profile",
+    """
+    SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: (day-of-week, hour-of-day) rollup.
+    Calendar arithmetic is done directly on epoch micros with integer
+    div/mod (epoch day 0 was a Thursday, hence the +4), NOT the
+    engines' dayofweek() functions, whose 0-vs-1-based Sunday
+    conventions differ — the profile is engine-exact by construction.
+    One hash agg, map-side combined."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us("ts")
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+    return (
+        ev.select(
+            us.alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        )
+        .select(
+            (
+                (F.expr(f"us div {day_us}") + 4) % 7
+            ).cast("bigint").alias("dow"),
+            F.expr(f"(us % {day_us}) div {hour_us}").cast("bigint").alias("hour"),
+            "v_c",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("v_c").cast("bigint").alias("sum_value_c"),
+        )
+    )
