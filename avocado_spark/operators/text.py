@@ -371,8 +371,11 @@ def ngram_corpus_topk(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+    # single-split local scans serialize the gram build on one core;
+    # round-robin first (AQE-coalesced under real multi-split scans)
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        spread.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram").asc())

@@ -743,6 +743,7 @@ _GATE_PRIORITY = [
     "coorder_pagerank", "cohort_retention",
     "incremental_agg_maintenance", "lineitem_unpivot",
     "stream_attribution_outer", "events_dow_hour_profile",
+    "events_partition_gaps", "part_association_lift",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",
@@ -1532,4 +1533,71 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "measure",
         F.round(F.col("val") * 100).cast("bigint").alias("val_c"),
+    )
+
+
+@query(
+    "part_association_lift",
+    """
+    WITH edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS ok
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    pair_support AS (
+      SELECT u, v, COUNT(DISTINCT ok) AS n_ab FROM edges GROUP BY u, v
+    ),
+    item_support AS (
+      SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_i
+      FROM lineitem GROUP BY l_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders)
+    SELECT u, v, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * n
+                 / (CAST(ia.n_i AS DOUBLE) * ib.n_i), 6) AS lift
+    FROM pair_support
+    JOIN item_support ia ON ia.l_partkey = u
+    JOIN item_support ib ON ib.l_partkey = v
+    CROSS JOIN n_orders
+    WHERE n_ab >= 3
+    """,
+)
+def part_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association strength: co-ordered part pairs with
+    support >= 3 and their lift P(ab)/(P(a)P(b)) — the recommender /
+    affinity primitive. Pair supports ride the bounded per-order
+    self-join; item supports and the order count are broadcast-sized
+    dims re-joined onto the pair table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("ok").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    item = li.groupBy("l_partkey").agg(F.count_distinct("l_orderkey").alias("n_i"))
+    n_orders = o.agg(F.count_distinct("o_orderkey").alias("n"))
+    j = (
+        pair.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("u"), F.col("n_i").alias("na"))), "u"
+        )
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("v"), F.col("n_i").alias("nb"))), "v"
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return j.select(
+        "u",
+        "v",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(
+            F.col("n_ab").cast("double")
+            * F.col("n")
+            / (F.col("na").cast("double") * F.col("nb")),
+            6,
+        ).alias("lift"),
     )

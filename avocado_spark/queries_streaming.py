@@ -725,3 +725,52 @@ def events_dow_hour_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_c").cast("bigint").alias("sum_value_c"),
         )
     )
+
+
+@query(
+    "events_partition_gaps",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    d AS (SELECT day FROM d0 WHERE day % 5 <> 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    expected AS (
+      SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    )
+    SELECT CAST(e.day AS BIGINT) AS missing_day,
+           CAST(e.day - (SELECT lo FROM bounds) AS BIGINT) AS offset_from_start
+    FROM expected e LEFT JOIN d ON d.day = e.day
+    WHERE d.day IS NULL
+    """,
+)
+def events_partition_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: expected daily partitions (the min..max day
+    lattice) anti-joined against days actually present — the missing-
+    partition report every scheduled-ingest pipeline runs before
+    declaring a dataset complete. The fixture is gapless, so days
+    ``day % 5 == 2`` are deterministically dropped from the present
+    set on BOTH engines (a 0-row oracle verifies nothing). The
+    expected lattice comes from a 1-row bounds aggregate, so nothing
+    scales with the gap count but the output."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    d = (
+        ev.select(ts_us("ts").alias("us"))
+        .select(F.expr(f"us div {day_us}").alias("day"))
+        .distinct()
+        .where(F.col("day") % 5 != 2)
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    expected = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"), "lo"
+    )
+    return (
+        expected.join(d, "day", "left_anti")
+        .select(
+            F.col("day").cast("bigint").alias("missing_day"),
+            (F.col("day") - F.col("lo")).cast("bigint").alias("offset_from_start"),
+        )
+    )
