@@ -774,3 +774,50 @@ def events_partition_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("day") - F.col("lo")).cast("bigint").alias("offset_from_start"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM t
+    """,
+)
+def events_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    per-user LEAD pairs rolled into (from, to, count, row-normalized
+    probability) — the sequence-mining primitive behind next-action
+    prediction and funnel design. The lead window and the transition
+    agg share one user_id shuffle; the normalizing window runs over
+    the |types|² result."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wn = Window.partitionBy("event_type")
+    return t.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
