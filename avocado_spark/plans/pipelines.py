@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from avocado_spark.operators import relational as R
 from avocado_spark.operators.discovery import discover_variants
@@ -136,3 +137,65 @@ def reassemble(reads: DataFrame, kmer_length: int = 20) -> DataFrame:
     """`reassemble` (§3.3, avocado-cli/.../Reassemble.scala:67-88):
     shuffle-free per-read k-mer realignment (F7)."""
     return realign_reads(reads, kmer_length=kmer_length)
+
+
+def training_data_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_shards: int = 8,
+    pack_budget: int = 512,
+) -> dict[str, DataFrame]:
+    """The training-data capstone: the full curation flow composed
+    from the individually oracle-verified operators —
+
+      charset census → Gopher quality gate → exact dedup →
+      MinHash-LSH near-dup clusters → kill-list anti-join →
+      train/val/test hash split → per-source token packing →
+      deterministic shard layout
+
+    Each stage is a DataFrame → DataFrame plan, so Catalyst plans the
+    WHOLE flow as one DAG when the outputs are consumed together; at
+    100 TB each arrow is also a natural persistence point (bucketed
+    parquet between jobs). Returns the intermediate surfaces a data
+    card needs: {"clean", "clusters", "deduped", "split", "packed",
+    "shards"}.
+    """
+    from avocado_spark.operators.components import dedup_clusters
+    from avocado_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from avocado_spark.operators.layout import shard_layout
+    from avocado_spark.operators.text import charset_census, gopher_quality, pack_sequences
+
+    census = charset_census(docs)
+    quality = gopher_quality(docs)
+    keep_ids = (
+        census.where(F.col("n_replacement") == 0)
+        .select("doc_id")
+        .join(quality.where(F.col("passes")).select("doc_id"), "doc_id", "left_semi")
+    )
+    clean = docs.join(keep_ids, "doc_id", "left_semi")
+
+    exact_keep = exact_dedup(clean, ["text"]).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    exact_unique = clean.join(exact_keep, "doc_id", "left_semi")
+
+    pairs = minhash_lsh_pairs(exact_unique, jaccard_threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    kill = clusters.where(~F.col("is_canonical")).select("doc_id")
+    deduped = exact_unique.join(kill, "doc_id", "left_anti")
+
+    split = R.hash_split(deduped, "doc_id")
+    packed = pack_sequences(
+        split.where(F.col("split") == "train"), budget=pack_budget
+    )
+    shards = shard_layout(
+        split.where(F.col("split") == "train"), n_shards=n_shards
+    )
+    return {
+        "clean": clean,
+        "clusters": clusters,
+        "deduped": deduped,
+        "split": split,
+        "packed": packed,
+        "shards": shards,
+    }

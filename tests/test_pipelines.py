@@ -105,3 +105,38 @@ def test_sources_roundtrip(spark, tmp_path):
     assert len(files) == 1
     got = spark.read.parquet(p2).collect()
     assert got == sorted(got, key=lambda r: (r["contig"], r["start"]))
+
+
+def test_training_data_pipeline_end_to_end(spark):
+    """Capstone: the curation flow's stage invariants — monotone row
+    reduction through the gates, canonical-per-cluster dedup, split
+    partition, packed-token conservation, shard completeness."""
+    from avocado_spark.plans.pipelines import training_data_pipeline
+    from avocado_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = training_data_pipeline(spark, docs)
+    n_docs = docs.count()
+    n_clean = out["clean"].count()
+    n_dedup = out["deduped"].count()
+    assert 0 < n_clean <= n_docs
+    assert 0 < n_dedup <= n_clean
+    # every cluster keeps exactly one canonical doc
+    from pyspark.sql import functions as F
+
+    c = out["clusters"]
+    per = c.groupBy("cluster_id").agg(
+        F.sum(c.is_canonical.cast("int")).alias("n_canon")
+    )
+    assert per.where("n_canon <> 1").count() == 0
+    # split covers deduped exactly
+    s = out["split"]
+    assert s.count() == n_dedup
+    assert s.select("split").distinct().count() <= 3
+    # packing conserves tokens: sum of n_tokens equals the train side's
+    n_train = s.where("split = 'train'").count()
+    assert out["packed"].count() == n_train
+    # shards cover all train docs
+    sh = out["shards"]
+    assert sh.agg({"n_docs": "sum"}).first()[0] == n_train
