@@ -1058,3 +1058,60 @@ def incremental_agg_merge(
         for c in [*sum_cols, count_col]
     ]
     return merged.select(*keys, *out_cols)
+
+
+def expectation_check(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations shape): each rule is (name, boolean Column); the
+    result is one row per rule with total rows, violation count, and
+    pass flag — the ingest gate that blocks a bad batch before it
+    poisons downstream tables.
+
+    Scale shape: ALL rules evaluate in ONE scan — a single wide
+    aggregate of conditional sums (null counts as a violation: an
+    expectation you cannot evaluate is not satisfied), then one
+    explode of the rule×count struct array, same pattern as
+    table_profile. No per-rule passes, no driver loop.
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+            .cast("bigint")
+            .alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"_v_{name}").alias("n_violations")
+            )
+            for name, _ in rules
+        ]
+    )
+    return wide.select("n_rows", F.explode(entries).alias("e")).select(
+        F.col("e.rule").alias("rule"),
+        F.col("n_rows"),
+        F.col("e.n_violations").alias("n_violations"),
+        (F.col("e.n_violations") == 0).alias("passed"),
+    )
+
+
+def table_fingerprint(
+    df: DataFrame, row_hash: Column
+) -> DataFrame:
+    """Order-insensitive dataset fingerprint: SUM of per-row polynomial
+    hashes (each already reduced mod P, so the bigint sum is exact and
+    partitioning-independent) + the row count — the one-row "are these
+    two tables identical" certificate for cross-engine / cross-run
+    reconciliation, without shipping either table.
+
+    One scan, one 1-row aggregate; commutative by construction, so any
+    shuffle layout produces the same certificate.
+    """
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(row_hash).cast("bigint").alias("fp_sum"),
+    )

@@ -821,3 +821,93 @@ def events_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@query(
+    "events_expectations",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+        SUM(CASE WHEN COALESCE(value >= 0, FALSE) THEN 0 ELSE 1 END) AS v_nonneg,
+        SUM(CASE WHEN COALESCE(event_type IN
+              ('view','click','purchase','signup','error'), FALSE)
+            THEN 0 ELSE 1 END) AS v_types,
+        SUM(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS v_ts,
+        SUM(CASE WHEN COALESCE(user_id >= 0, FALSE) THEN 0 ELSE 1 END) AS v_uid,
+        SUM(CASE WHEN COALESCE(value <= 50, FALSE) THEN 0 ELSE 1 END) AS v_cap
+      FROM events
+    )
+    SELECT r.rule, CAST(agg.n_rows AS BIGINT) AS n_rows,
+           CAST(CASE r.rule
+             WHEN 'value_non_negative' THEN v_nonneg
+             WHEN 'known_event_type' THEN v_types
+             WHEN 'ts_not_null' THEN v_ts
+             WHEN 'user_id_non_negative' THEN v_uid
+             WHEN 'value_under_cap' THEN v_cap
+           END AS BIGINT) AS n_violations,
+           CASE r.rule
+             WHEN 'value_non_negative' THEN v_nonneg
+             WHEN 'known_event_type' THEN v_types
+             WHEN 'ts_not_null' THEN v_ts
+             WHEN 'user_id_non_negative' THEN v_uid
+             WHEN 'value_under_cap' THEN v_cap
+           END = 0 AS passed
+    FROM agg CROSS JOIN (SELECT UNNEST([
+      'value_non_negative', 'known_event_type', 'ts_not_null',
+      'user_id_non_negative', 'value_under_cap']) AS rule) r
+    """,
+)
+def events_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite over the event feed: five
+    declarative rules evaluated in ONE scan (conditional-sum wide agg
+    → rule explode), including an intentionally failable value cap so
+    the violation path is exercised, not just the happy path."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import expectation_check
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        ("value_non_negative", F.col("value") >= 0),
+        (
+            "known_event_type",
+            F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+        ),
+        ("ts_not_null", F.col("ts").isNotNull()),
+        ("user_id_non_negative", F.col("user_id") >= 0),
+        ("value_under_cap", F.col("value") <= 50),
+    ]
+    return expectation_check(ev, rules)
+
+
+@query(
+    "events_table_fingerprint",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(
+             ((((event_id * 131 + epoch_us(ts)) % 1000000007) * 131
+               + user_id) % 1000000007 * 131
+               + CAST(ROUND(value * 100) AS BIGINT)) % 1000000007
+           ) AS BIGINT) AS fp_sum
+    FROM events
+    """,
+)
+def events_table_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table certificate: per-row polynomial hash
+    (id, epoch micros, user, cent value) reduced mod P, summed exactly
+    as a bigint — identical under any partitioning, so two engines or
+    two runs can certify table equality with one row exchanged."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import table_fingerprint
+
+    ev = load_table(spark, sf_dir, "events")
+    P_ = 1_000_000_007
+    h = (
+        (
+            ((F.col("event_id") * 131 + ts_us("ts")) % P_) * 131
+            + F.col("user_id")
+        ) % P_ * 131
+        + F.round(F.col("value") * 100).cast("bigint")
+    ) % P_
+    return table_fingerprint(ev, h)
