@@ -491,3 +491,61 @@ def test_charset_census_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_expectations_single_scan_no_shuffle_no_python(spark):
+    """All rules must ride ONE conditional-sum aggregate over one
+    scan — no joins, no per-rule passes, no Python."""
+    plan = final_plan(plan_of(spark, "events_expectations"))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # single-partition final agg
+
+
+def test_table_fingerprint_one_aggregate(spark):
+    plan = final_plan(plan_of(spark, "events_table_fingerprint"))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") <= 2, plan  # partial + final
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """Melt must be a narrow Expand over the scan — zero exchanges."""
+    plan = final_plan(plan_of(spark, "lineitem_unpivot"))
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_incremental_merge_no_nested_loop(spark):
+    plan = final_plan(plan_of(spark, "incremental_agg_maintenance"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_snapshot_diff_full_outer_equi(spark):
+    plan = final_plan(plan_of(spark, "orders_snapshot_diff"))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_equidepth_single_window_shuffle(spark):
+    """ntile window and the (group, bin) agg share one group-key
+    partitioning plus the final agg exchange — nothing more."""
+    plan = final_plan(plan_of(spark, "events_equidepth_hist"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_transition_matrix_bounded_shuffles(spark):
+    """Lead window (user_id), transition agg, and the normalizing
+    window: three key partitionings, no joins."""
+    plan = final_plan(plan_of(spark, "events_transition_matrix"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_pagerank_no_cartesian_cached_adjacency(spark):
+    plan = final_plan(plan_of(spark, "coorder_pagerank"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
