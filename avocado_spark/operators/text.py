@@ -631,3 +631,42 @@ def charset_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("ascii_ratio"),
     )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-model quality proxy (the CCNet idea — score documents
+    by LM surprisal and filter the tail) with an integer-exact
+    formulation: the corpus unigram model assigns each token surprisal
+    ``floor(log2(N / count))`` BITS, computed as binary-string length
+    (``len(bin(N div cnt)) - 1``) so no libm log enters the
+    differential. Per doc: total and mean bits — high mean = improbable
+    tokens = gibberish or boilerplate-free rare text; low = common
+    filler.
+
+    Scale shape: one token explode feeding (a) the frequency agg and
+    (b) the scoring join on the token itself — the frequency table is
+    vocabulary-sized (Zipf: far smaller than the corpus, broadcastable
+    in practice; declared as a plain equi-join so Catalyst/AQE picks),
+    then one per-doc agg. Spread before the explode (single-split
+    local scan)."""
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    tok = spread.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n_total = tok.agg(F.count("*").alias("n")).select("n")
+    scored = (
+        tok.join(tf, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("n div cnt"))) - 1
+            ).cast("bigint").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("bits").cast("bigint").alias("surprisal_bits"),
+        F.round(
+            F.sum("bits").cast("double") / F.count("*"), 6
+        ).alias("mean_bits"),
+    )

@@ -745,7 +745,7 @@ _GATE_PRIORITY = [
     "stream_attribution_outer", "events_dow_hour_profile",
     "events_partition_gaps", "part_association_lift",
     "events_transition_matrix", "events_expectations",
-    "events_table_fingerprint",
+    "events_table_fingerprint", "unigram_surprisal",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",

@@ -2016,3 +2016,31 @@ def cdc_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = uniq.agg(F.sum("mlen").cast("bigint").alias("bytes_unique"))
     return totals.crossJoin(u)
+
+
+@query(
+    "unigram_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    n_total AS (SELECT COUNT(*) AS n FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(length(bin(n.n // f.cnt)) - 1 AS BIGINT) AS bits
+      FROM tok t JOIN tf f USING (tok) CROSS JOIN n_total n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+           ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality score in whole bits — integer
+    floor(log2(N/count)) via binary-string length, so the corpus LM
+    scoring is engine-exact with no libm log in the differential."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_surprisal(docs)

@@ -114,3 +114,68 @@ def test_sweep_limit_depth_bound(intervals, cap):
 
 def test_allele_domain():
     assert set(GENOTYPE_ALLELES) == {"REF", "ALT", "OTHER_ALT", "NO_CALL"}
+
+
+def test_scd2_history_matches_pandas_replay(spark):
+    """Property: SCD2 compile equals a direct sequential replay over
+    randomized per-user event streams (fixed LCG seeds)."""
+    from datetime import datetime, timedelta
+
+    from avocado_spark.operators.relational import scd2_history
+
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 1103515245 + 12345) % 2147483648
+            yield x
+
+    t0 = datetime(2026, 1, 1)
+    types = ["a", "b", "c"]
+    for seed in (3, 77):
+        g = lcg(seed)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            for _ in range(next(g) % 12 + 1):
+                rows.append(
+                    (
+                        eid,
+                        t0 + timedelta(minutes=next(g) % 10_000),
+                        uid,
+                        types[next(g) % 3],
+                        0.0,
+                        "",
+                    )
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        got = {
+            (r.user_id, r.version): (
+                r.event_type,
+                r.valid_from_us,
+                r.valid_to_us,
+                r.is_current,
+                r.n_events,
+            )
+            for r in scd2_history(ev).collect()
+        }
+        # sequential replay
+        want = {}
+        by_user: dict[int, list] = {}
+        for eid_, ts, uid, et, _v, _p in rows:
+            by_user.setdefault(uid, []).append((ts, eid_, et))
+        for uid, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for ts, _eid, et in evs:
+                us = int(ts.timestamp() * 1_000_000)
+                if runs and runs[-1][0] == et:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([et, us, 1])
+            for i, (et, us, n) in enumerate(runs):
+                nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+                want[(uid, i + 1)] = (et, us, nxt, nxt is None, n)
+        assert got == want, seed
