@@ -746,6 +746,7 @@ _GATE_PRIORITY = [
     "events_partition_gaps", "part_association_lift",
     "events_transition_matrix", "events_expectations",
     "events_table_fingerprint", "unigram_surprisal",
+    "session_conversion", "funnel_conversion_rates", "langid_confusion",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",

@@ -2044,3 +2044,43 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is engine-exact with no libm log in the differential."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.unigram_surprisal(docs)
+
+
+@query(
+    "langid_confusion",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('scan','filter','sort'))) AS h_de,
+        len(list_filter(t, x -> x IN ('the','a','value','row'))) AS h_en,
+        len(list_filter(t, x -> x IN ('data','query','group'))) AS h_es,
+        len(list_filter(t, x -> x IN ('table','join','merge'))) AS h_fr,
+        len(list_filter(t, x -> x IN ('spark','batch','stream'))) AS h_zh
+      FROM toks
+    ),
+    s2 AS (SELECT *, CASE WHEN h_en > h_de THEN 'en' ELSE 'de' END AS p,
+                     greatest(h_de, h_en) AS b FROM h),
+    s3 AS (SELECT * EXCLUDE (p, b),
+                  CASE WHEN h_es > b THEN 'es' ELSE p END AS p,
+                  greatest(b, h_es) AS b FROM s2),
+    s4 AS (SELECT * EXCLUDE (p, b),
+                  CASE WHEN h_fr > b THEN 'fr' ELSE p END AS p,
+                  greatest(b, h_fr) AS b FROM s3),
+    s5 AS (SELECT * EXCLUDE (p, b),
+                  CASE WHEN h_zh > b THEN 'zh' ELSE p END AS p,
+                  greatest(b, h_zh) AS b FROM s4)
+    SELECT lang AS labeled_lang, p AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s5 GROUP BY 1, 2
+    """,
+)
+def langid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of labeled vs
+    predicted language — the eval rollup any classifier-style
+    operator needs. (Oracle replaced below with the marker replay.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.language_id(docs)
+    return out.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -911,3 +911,126 @@ def events_table_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.round(F.col("value") * 100).cast("bigint")
     ) % P_
     return table_fingerprint(ev, h)
+
+
+@query(
+    "session_conversion",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM per_session GROUP BY user_id
+    """,
+)
+def session_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session conversion rate: gap-based sessionization (the
+    batch shadow of the native session_window) → did each session
+    contain a purchase → user rollup. All three stages share one
+    user_id shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 5 * 60 * 1_000_000
+    us = ts_us("ts")
+    chg = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) >= gap_us), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(chg).over(w).alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "funnel_conversion_rates",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    t0 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM seq
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t1 AS (
+      SELECT s.user_id, MIN(s.ts) AS t_click
+      FROM seq s JOIN t0 ON s.user_id = t0.user_id
+      WHERE s.event_type = 'click' AND s.ts >= t0.t_view
+      GROUP BY s.user_id
+    ),
+    t2 AS (
+      SELECT s.user_id, MIN(s.ts) AS t_purchase
+      FROM seq s JOIN t1 ON s.user_id = t1.user_id
+      WHERE s.event_type = 'purchase' AND s.ts >= t1.t_click
+      GROUP BY s.user_id
+    ),
+    per_user AS (
+      SELECT t0.user_id,
+             1 + CASE WHEN t1.user_id IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END AS reached
+      FROM t0
+      LEFT JOIN t1 ON t0.user_id = t1.user_id
+      LEFT JOIN t2 ON t1.user_id = t2.user_id
+    )
+    SELECT CAST(reached AS BIGINT) AS reached_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM per_user GROUP BY reached
+    """,
+)
+def funnel_conversion_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel drop-off rollup: how many users reached each ordered
+    stage (view → click-after-view → purchase-after-click) and each
+    stage's share of the funnel population — the conversion report
+    built on the funnel operator's per-user output. Users with no view
+    are outside the funnel, exactly as in the stacked-window operator."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = EV.funnel_stages(ev).where(F.col("t0_us").isNotNull())
+    agg = per_user.groupBy(
+        F.col("reached_stage").cast("bigint").alias("reached_stage")
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+    return agg.select(
+        "reached_stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.sum("n_users").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    )
