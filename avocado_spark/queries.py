@@ -747,6 +747,7 @@ _GATE_PRIORITY = [
     "events_transition_matrix", "events_expectations",
     "events_table_fingerprint", "unigram_surprisal",
     "session_conversion", "funnel_conversion_rates", "langid_confusion",
+    "embedding_health", "embedding_dim_variance", "dedup_threshold_sweep",
     # (5) remaining least-recently-verified §2 rows
     "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
     "count_filter_discovery", "merge_discovered_dedup",

@@ -2084,3 +2084,148 @@ def langid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("labeled_lang", "predicted_lang").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@query(
+    "embedding_health",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  for x in embedding]),
+               (a, b) -> a + b) AS ssq,
+             CAST(len(embedding) AS INT) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(dim) AS INT) AS min_dim,
+           CAST(MAX(dim) AS INT) AS max_dim,
+           CAST(SUM(CASE WHEN ssq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN ssq > 64000000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           CAST(MIN(ssq) AS BIGINT) AS min_ssq,
+           CAST(MAX(ssq) AS BIGINT) AS max_ssq
+    FROM q GROUP BY label
+    """,
+)
+def embedding_health_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health gate: per label, dimension consistency,
+    zero-norm (dead) vectors, and extreme-norm outliers — the checks
+    that catch a broken encoder run before ANN indexes are built.
+    Norms are exact integer sums of squared fixed-point components
+    (no sqrt, no float accumulation), so the gate is engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+    ssq = F.aggregate(
+        F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    base = emb.select(
+        "label", ssq.alias("ssq"), F.size("embedding").cast("int").alias("dim")
+    )
+    return base.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("dim").cast("int").alias("min_dim"),
+        F.max("dim").cast("int").alias("max_dim"),
+        F.sum((F.col("ssq") == 0).cast("int")).cast("bigint").alias("n_zero"),
+        F.sum((F.col("ssq") > 64_000_000_000_000).cast("int"))
+        .cast("bigint")
+        .alias("n_extreme"),
+        F.min("ssq").cast("bigint").alias("min_ssq"),
+        F.max("ssq").cast("bigint").alias("max_ssq"),
+    )
+
+
+@query(
+    "embedding_dim_variance",
+    """
+    WITH d AS (
+      SELECT unnest(generate_series(0, len(embedding) - 1)) AS idx,
+             unnest([CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     for x in embedding]) AS xq
+      FROM embeddings
+    )
+    SELECT idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((CAST(SUM(xq * xq) AS DOUBLE)
+                  - CAST(SUM(xq) AS DOUBLE) * SUM(xq) / COUNT(*))
+                 / (COUNT(*) - 1) / 1000000000000.0, 6) AS variance,
+           CAST(SUM(CASE WHEN xq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM d GROUP BY idx
+    """,
+)
+def embedding_dim_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-dimension detector: per embedding coordinate, the sample
+    variance from exact integer power sums (order-free) plus the
+    zero count — a near-zero-variance dimension carries no signal
+    and flags a truncated or collapsed encoder. One posexplode +
+    hash agg on the dimension index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+            )
+        ).alias("idx", "xq")
+    )
+    n = F.count("*")
+    s1 = F.sum("xq").cast("double")
+    s2 = F.sum(F.col("xq") * F.col("xq")).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1) / 1_000_000_000_000.0
+    return d.groupBy("idx").agg(
+        n.cast("bigint").alias("n"),
+        F.round(var, 6).alias("variance"),
+        F.sum((F.col("xq") == 0).cast("int")).cast("bigint").alias("n_zero"),
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    sh AS (
+      SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s FROM aug
+    ),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+    ),
+    banded AS (
+      SELECT CAST(FLOOR(j * 10) AS BIGINT) AS band FROM pairs WHERE j >= 0.3
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM banded GROUP BY band
+    """,
+)
+def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning telemetry: the Jaccard histogram of all
+    above-0.3 document pairs in 0.1 bands — the evidence for choosing
+    a dedup cutoff (where does the true-dup mass separate from the
+    topical-similarity tail?). Exact pairwise over the small augmented
+    corpus; at scale the same histogram rides the LSH candidate set."""
+    from avocado_spark.operators.dedup import shingle_hashes
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", shingle_hashes(F.col("text")).alias("s"))
+        .where(F.size("s") > 0)
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_s", "b_s"))
+    j = inter.cast("double") / (F.size("a_s") + F.size("b_s") - inter)
+    return (
+        pairs.select(j.alias("j"))
+        .where(F.col("j") >= 0.3)
+        .select(F.floor(F.col("j") * 10).cast("bigint").alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
