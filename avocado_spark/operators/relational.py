@@ -1115,3 +1115,78 @@ def table_fingerprint(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(row_hash).cast("bigint").alias("fp_sum"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame, max_col: str, min_col: str
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row, where a dominates b iff a.max_col ≥ b.max_col AND
+    a.min_col ≤ b.min_col with at least one strict inequality.
+    Duplicate (max, min) points are mutually non-dominating — all kept.
+
+    Shape: the naive skyline is a quadratic NOT-EXISTS self-join; the
+    sweep form here is linear — pre-aggregate min(min_col) per distinct
+    max_col value, take a running min over the pre-agg sorted by
+    max_col DESC (so the running window covers exactly the strictly
+    greater max values), and keep a row iff it achieves its group's min
+    AND beats every greater group's best. The global-order window runs
+    on the PRE-AGG (≤ one row per distinct max value), not the data;
+    at 100 TB with high-cardinality doubles, swap the single-partition
+    window for repartitionByRange + a two-phase running min.
+    """
+    per_x = df.groupBy(max_col).agg(F.min(min_col).alias("_m_eq"))
+    w = Window.orderBy(F.desc(max_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gt = per_x.withColumn("_m_gt", F.min("_m_eq").over(w))
+    joined = df.join(gt, max_col)
+    keep = (F.col(min_col) == F.col("_m_eq")) & (
+        F.col("_m_gt").isNull() | (F.col(min_col) < F.col("_m_gt"))
+    )
+    return joined.where(keep).drop("_m_eq", "_m_gt")
+
+
+def partition_fingerprint_diff(
+    old: DataFrame,
+    new: DataFrame,
+    part_col: str,
+    row_hash: Column,
+) -> DataFrame:
+    """Merkle-style incremental-sync planner: per-PARTITION
+    order-insensitive fingerprints (mod-P row-hash sums, the grouped
+    form of :func:`table_fingerprint`) for two snapshots, full-outer
+    joined on the partition key and classified
+    added / removed / changed / unchanged.
+
+    This is how a 100-TB replica finds WHICH daily partitions to
+    re-copy without shipping or row-diffing the data: two grouped
+    scans, one tiny join on the partition key — the exchange is
+    O(partitions), never O(rows). Row-level reconciliation of the
+    flagged partitions is snapshot_diff's job downstream.
+    """
+
+    def fp(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(part_col).agg(
+            F.count("*").cast("bigint").alias(f"{prefix}_n"),
+            F.sum(row_hash).cast("bigint").alias(f"{prefix}_fp"),
+        )
+
+    o, n = fp(old, "old"), fp(new, "new")
+    j = o.join(n, on=part_col, how="full_outer")
+    status = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_n") == F.col("new_n"))
+            & (F.col("old_fp") == F.col("new_fp")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        part_col,
+        status.alias("status"),
+        F.coalesce("old_n", F.lit(0)).cast("bigint").alias("old_n"),
+        F.coalesce("new_n", F.lit(0)).cast("bigint").alias("new_n"),
+    )

@@ -732,8 +732,11 @@ _GATE_PRIORITY = [
     "source_vocab_overlap", "sink_csv_roundtrip", "sink_json_roundtrip",
     "source_token_entropy", "events_mutual_info",
     # ---- 50-sample boundary (one overflow above rides rotation) ----
-    # (4) round-7 additions — verified locally by the same vanilla-
-    # session differential; first in line for the round-6 rotation
+    # (4) round-7/8 additions — verified locally by the same vanilla-
+    # session differential; first in line for the next rotation
+    "bloom_pruned_join", "events_cms_user_counts", "events_hll_daily_users",
+    "dedup_canonical_keep", "orders_pareto_frontier",
+    "events_partition_fingerprint_diff", "customer_er_clusters",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -793,6 +796,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_genomic,
         queries_pipeline,
         queries_sinks,
+        queries_sketch,
         queries_streaming,
     )
 
@@ -804,6 +808,7 @@ def get_oracles() -> dict[str, str]:
         queries_genomic,
         queries_pipeline,
         queries_sinks,
+        queries_sketch,
         queries_streaming,
     )
 
@@ -1604,4 +1609,44 @@ def part_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na").cast("double") * F.col("nb")),
             6,
         ).alias("lift"),
+    )
+
+
+@query(
+    "orders_pareto_frontier",
+    """
+    WITH win AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1995-07-01'
+    )
+    SELECT a.o_orderkey,
+           CAST(ROUND(a.o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(strftime(a.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS order_day
+    FROM win a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM win b
+      WHERE b.o_totalprice >= a.o_totalprice
+        AND b.o_orderdate <= a.o_orderdate
+        AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate)
+    )
+    """,
+)
+def orders_pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) — "earliest order at every price
+    level that no later-or-pricier order beats": maximize o_totalprice,
+    minimize o_orderdate over a six-month window. The engine runs the
+    LINEAR sweep (per-price pre-agg + running-min window over the
+    pre-agg, relational.pareto_frontier_2d); the oracle is the
+    quadratic NOT-EXISTS dominance definition — the differential proves
+    the sweep computes exactly the textbook skyline."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    front = R.pareto_frontier_2d(o, "o_totalprice", "o_orderdate")
+    return front.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
     )

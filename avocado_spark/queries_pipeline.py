@@ -304,6 +304,64 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_canonical_keep",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    quald AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM aug),
+    j AS (
+      SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id, q.n_tokens
+      FROM quald q LEFT JOIN cc ON q.doc_id = cc.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM j
+    )
+    SELECT doc_id, cluster_id, n_tokens, rk = 1 AS kept, cluster_size FROM ranked
+    """,
+)
+def dedup_canonical_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end canonical-keep dedup: MinHash-LSH pairs → connected
+    components → join a quality signal (token count) → keep the
+    highest-quality doc per cluster (ties → lowest id); docs in no
+    cluster are their own singletons and always kept. The keep decision
+    is one ``row_number`` window on the SAME cluster_id shuffle that
+    computes cluster_size — at 100 TB this is the step that turns a
+    dedup report into the actual curated corpus."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    qual = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    j = qual.join(cc, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ws = Window.partitionBy("cluster_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("kept"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("cluster_size"),
+    )
+
+
+@query(
     "simhash_signatures",
     f"""
     WITH th AS (SELECT doc_id, {_th(_TOKS)} AS h FROM documents)
@@ -2228,4 +2286,87 @@ def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.floor(F.col("j") * 10).cast("bigint").alias("band"))
         .groupBy("band")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+@query(
+    "customer_er_clusters",
+    """
+    WITH RECURSIVE aug AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey + 100000, c_name || 'x', c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+      FROM aug a JOIN aug b
+        ON a.c_nationkey = b.c_nationkey
+        AND CAST(ROUND(a.c_acctbal * 100) AS BIGINT) = CAST(ROUND(b.c_acctbal * 100) AS BIGINT)
+        AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS cust_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT cust_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc
+    """,
+)
+def customer_er_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over structured records: deterministic
+    near-duplicate customers are injected (every 10th, name + 'x'),
+    candidate pairs come from BLOCKING on (nation, balance-cents) — a
+    compound equi-join key, so the expensive fuzzy compare runs only
+    inside tiny blocks, never per nation — matching is a fuzzy
+    predicate (Levenshtein ≤ 1; same-cent balance is subsumed by the
+    block key, lossless for 2-decimal money), and matched pairs
+    collapse into entity clusters via the same alternating-star
+    connected components the dedup family uses. At 100 TB the block
+    key is the shuffle key and hot blocks split under AQE."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    cust = load_table(spark, sf_dir, "customer")
+    aug = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal").unionByName(
+        cust.where(F.col("c_custkey") % 10 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.concat(F.col("c_name"), F.lit("x")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    a = aug.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+        bal_c.alias("bal_c"),
+    )
+    b = aug.select(
+        F.col("c_custkey").alias("b_id"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("nk"),
+        bal_c.alias("bal_c"),
+    )
+    pairs = (
+        a.join(b, ["nk", "bal_c"])
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.levenshtein("a_name", "b_name") <= 1)
+        )
+        .select("a_id", "b_id")
+    )
+    cc = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("cust_id"), "cluster_id"
+    )
+    ws = Window.partitionBy("cluster_id")
+    return cc.select(
+        "cust_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("cluster_size"),
     )

@@ -1,0 +1,135 @@
+"""Sketch-family queries: Bloom-pruned joins, Count-Min heavy-hitter
+estimation, HyperLogLog cardinality rollups.
+
+Oracle strategy per family:
+  * Bloom — the OUTPUT is exact (the post-prune join removes false
+    positives), so the oracle is the plain equi-join the operator
+    accelerates.
+  * CMS — the hash family is deterministic and replayable, so the
+    oracle rebuilds the identical cell table in SQL and must match the
+    estimates VALUE-FOR-VALUE (including collision overcounts).
+  * HLL — estimates are engine-specific (DataSketches), so the output
+    carries an error-bound FLAG; the oracle computes the exact
+    cardinalities and asserts the flag is always true.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avocado_spark.operators import sketches as SK
+from avocado_spark.queries import query
+from avocado_spark.session import load_table
+
+_P = SK.P
+
+
+@query(
+    "bloom_pruned_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_pruned_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact join: build a Bloom filter on BUILDING-segment
+    customer keys (a distributed bit_or aggregation, no driver
+    collect), map-side-prune the orders scan to ~1/5 of its rows, then
+    join exactly. The oracle is the plain join — Bloom false positives
+    cannot survive it, so the differential proves exactness, and the
+    pruning-effectiveness property is asserted in tests/test_sketches_bloom.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = SK.bloom_pruned_join(
+        orders,
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_c"),
+    )
+
+
+@query(
+    "events_cms_user_counts",
+    f"""
+    WITH dd AS (SELECT UNNEST(generate_series(0, 3)) AS d),
+    cells AS (
+      SELECT d, ((user_id % {_P}) * (2*d+3) + (5*d+7)) % {_P} % 1024 AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, dd
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1
+    ),
+    probes AS (
+      SELECT c.user_id, c.exact_cnt, dd.d,
+             ((c.user_id % {_P}) * (2*dd.d+3) + (5*dd.d+7)) % {_P} % 1024 AS w
+      FROM cand c, dd
+    ),
+    est AS (
+      SELECT user_id, exact_cnt, MIN(COALESCE(cl.cnt, 0)) AS cms_est
+      FROM probes p LEFT JOIN cells cl USING (d, w)
+      GROUP BY 1, 2
+    )
+    SELECT user_id, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def events_cms_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: one bounded-shuffle sketch
+    build over the event log, then per-user point estimates vs exact
+    counts. Deterministic hash family → the oracle replays the sketch
+    cell-for-cell, so even collision overcounts must match exactly.
+    The CMS guarantee est ≥ exact is asserted as a property test."""
+    events = load_table(spark, sf_dir, "events")
+    cms = SK.cms_build(events, "user_id", depth=4, width=1024)
+    cand = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    est = SK.cms_estimate(cand.select("user_id"), cms, "user_id", depth=4, width=1024)
+    return cand.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+@query(
+    "events_hll_daily_users",
+    """
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_cnt,
+           TRUE AS est_within_bound
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__ALL__' AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_cnt,
+           TRUE AS est_within_bound
+    FROM events
+    """,
+)
+def events_hll_daily_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user rollup: per-day DataSketches HLL sketches, with
+    the __ALL__ row produced by MERGING the daily sketches
+    (hll_union_agg) rather than rescanning — the mergeable
+    pre-aggregation pattern for distinct counts over append-only logs.
+    The oracle asserts the 5% error-bound flag plus exact counts."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return SK.hll_group_cardinality(events, "day", "user_id", lg_k=12, rel_err_bound=0.05)

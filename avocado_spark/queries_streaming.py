@@ -1034,3 +1034,91 @@ def funnel_conversion_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@query(
+    "events_partition_fingerprint_diff",
+    """
+    WITH base AS (
+      SELECT event_id, ts, user_id, value,
+             CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day
+      FROM events
+    ),
+    new_t AS (
+      SELECT event_id, ts, user_id,
+             CASE WHEN day = '2024-01-05' THEN value + 1 ELSE value END AS value,
+             day
+      FROM base WHERE day <> '2024-01-03'
+      UNION ALL
+      SELECT event_id + 1000000, ts + INTERVAL 60 DAY, user_id, value,
+             CAST(strftime(ts + INTERVAL 60 DAY, '%Y-%m-%d') AS VARCHAR)
+      FROM base WHERE day = '2024-01-01'
+    ),
+    o AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS old_n,
+             CAST(SUM(((((event_id * 131 + epoch_us(ts)) % 1000000007) * 131
+               + user_id) % 1000000007 * 131
+               + CAST(ROUND(value * 100) AS BIGINT)) % 1000000007) AS BIGINT) AS old_fp
+      FROM base GROUP BY day
+    ),
+    n AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_n,
+             CAST(SUM(((((event_id * 131 + epoch_us(ts)) % 1000000007) * 131
+               + user_id) % 1000000007 * 131
+               + CAST(ROUND(value * 100) AS BIGINT)) % 1000000007) AS BIGINT) AS new_fp
+      FROM new_t GROUP BY day
+    )
+    SELECT COALESCE(o.day, n.day) AS day,
+           CASE WHEN o.old_n IS NULL THEN 'added'
+                WHEN n.new_n IS NULL THEN 'removed'
+                WHEN o.old_n = n.new_n AND o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COALESCE(o.old_n, 0) AS old_n,
+           COALESCE(n.new_n, 0) AS new_n
+    FROM o FULL OUTER JOIN n ON o.day = n.day
+    """,
+)
+def events_partition_fingerprint_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style partition diff: per-day fingerprints of two event
+    snapshots (one day dropped, one day's values touched, one day
+    time-shifted in as new), full-outer joined and classified. The
+    exchange is O(days); the deterministic fixture mutations make all
+    four statuses non-empty in the differential."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import partition_fingerprint_diff
+
+    P_ = 1_000_000_007
+    base = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    shifted = (
+        base.where(F.col("day") == "2024-01-01")
+        .select(
+            (F.col("event_id") + 1000000).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+            "user_id",
+            "value",
+        )
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    new = (
+        base.where(F.col("day") != "2024-01-03")
+        .withColumn(
+            "value",
+            F.when(F.col("day") == "2024-01-05", F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .select("event_id", "ts", "user_id", "value", "day")
+        .unionByName(shifted)
+    )
+    h = (
+        (
+            ((F.col("event_id") * 131 + ts_us("ts")) % P_) * 131 + F.col("user_id")
+        ) % P_ * 131
+        + F.round(F.col("value") * 100).cast("bigint")
+    ) % P_
+    return partition_fingerprint_diff(
+        base.select("event_id", "ts", "user_id", "value", "day"), new, "day", h
+    )

@@ -97,6 +97,12 @@ def main() -> None:
         "multitouch_attribution",
         "longgram_overlap_pairs",
         "cdc_dedup_stats",
+        # round 8: Bloom-pruned shuffle join (build + map-side probe +
+        # exact join), canonical-keep dedup (LSH + CC + quality window),
+        # blocked entity resolution (block join + Levenshtein + CC)
+        "bloom_pruned_join",
+        "dedup_canonical_keep",
+        "customer_er_clusters",
         # coorder_pagerank stays OUT of the headline set: 5 iterative
         # rounds ≈ 46 s at sf0.1 (measured) and best-of-3 would spend
         # ~2.5 min re-measuring a loop whose per-round plan is already
