@@ -166,19 +166,24 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     ``edges``: canonical undirected edges (u < v, distinct). Returns
     (node, n_triangles) for every node in at least one triangle.
 
-    Scale shape: one degree agg, two equi-joins (wedge-build on the
-    shared source, wedge-close on the canonical pair), one final
-    explode+agg. All shuffles are on node/pair keys; AQE splits any
-    residual skew. No driver state, no iteration. ``edges`` is read
-    three times (degree count, orientation, wedge close) and
-    ``oriented`` twice (both wedge sides) — Spark re-plans each
-    DataFrame reference from scratch, so both are persisted; at
-    cluster scale the edge table is written out bucketed on (u, v)
-    instead.
+    Scale shape — the O(m^1.5) wedge space is never SHUFFLED, only
+    streamed: one degree agg, an orientation join (degree table is
+    node-sized, broadcast), ONE groupBy building each source's sorted
+    out-adjacency, then wedge pairs are generated MAP-SIDE by chained
+    explodes over the adjacency array and immediately filtered by the
+    closing-edge hash join. When the edge set fits a broadcast
+    (≤ ``broadcast_max_edges``), the closure is map-side too, so the
+    only post-adjacency exchange is the final per-node count of actual
+    TRIANGLES (≪ wedges); beyond that the closure falls back to a
+    shuffle join on the (x, y) pair key and AQE splits residual skew.
+    The adjacency-array groupBy is safe on any power-law graph because
+    orientation bounds every out-list at O(sqrt(m)).
     """
     from pyspark.storagelevel import StorageLevel
 
+    broadcast_max_edges = 5_000_000
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()  # bounded driver scalar; also warms the cache
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -195,15 +200,24 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    e1 = oriented.select(F.col("s"), F.col("t").alias("x"))
-    e2 = oriented.select(F.col("s"), F.col("t").alias("y"))
-    # wedge (s, x, y) with x < y by id — close against the canonical
-    # (u < v) edge set, so the closing edge's own orientation is moot
-    wedges = e1.join(e2, "s").where(F.col("x") < F.col("y"))
-    tri = wedges.join(
-        edges.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
     )
+    # one shuffle on s builds the sorted out-adjacency; wedge pairs
+    # (x, y) with x < y then come straight off the array (chained
+    # explodes, no self-join, nothing materialized)
+    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    wedges = adj.select(
+        "s", "ts", F.posexplode("ts").alias("i", "x")
+    ).select(
+        "s",
+        "x",
+        F.explode(F.expr("slice(ts, i + 2, size(ts))")).alias("y"),
+    )
+    close = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    if n_edges <= broadcast_max_edges:
+        close = F.broadcast(close)
+    # close the wedge against the canonical (u < v) edge set, so the
+    # closing edge's own orientation is moot
+    tri = wedges.join(close, ["x", "y"])
     nodes = tri.select(
         F.explode(F.array("s", "x", "y")).alias("node")
     )
@@ -213,14 +227,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def coorder_edges(lineitem: DataFrame) -> DataFrame:
     """Canonical co-order part pairs: distinct (u < v) part pairs that
     appear in the same order — the co-occurrence graph construction.
-    The per-order self-join is bounded by order width (≤ 7 lines in
-    TPC-H-shaped data), so the pair space is linear in orders."""
-    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    One groupBy on the order key builds each order's sorted item array
+    (bounded by order width, ≤ 7 lines in TPC-H-shaped data); the pair
+    space then explodes MAP-SIDE off the array instead of a self-join,
+    so the only shuffles are the group-by-order and the final distinct
+    — the self-join's second full shuffle of lineitem is gone."""
+    basket = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     return (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
+        basket.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
         .distinct()
     )
 

@@ -663,3 +663,76 @@ def longgram_overlap_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
         .where(F.col("n_shared_grams") >= min_shared)
     )
+
+
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Index-reuse dedup: match a NEW batch against an EXISTING corpus
+    without re-pairing the corpus against itself — the steady-state
+    shape of a 100-TB ingest pipeline, where the corpus band table is a
+    persisted artifact (bucketed by (band, key)) and each arriving
+    batch pays only |batch| signature work plus a candidate join that
+    touches the corpus index, never the corpus text.
+
+    Both sides get the hot-bucket cap (a batch bucket of b rows hitting
+    a corpus bucket of c rows yields b·c candidates). Returns
+    (batch_id, corpus_id, jaccard) for verified matches ≥ threshold.
+    Doc-id spaces of the two inputs must be disjoint.
+    """
+
+    def sh_table(docs: DataFrame) -> DataFrame:
+        return (
+            _spread(docs)
+            .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
+            .where(F.size("shingles") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def capped_bands(sh: DataFrame) -> DataFrame:
+        bands = _band_table(sh)
+        if max_band_bucket is not None:
+            w = Window.partitionBy("band", "key")
+            bands = (
+                bands.withColumn("_bsz", F.count("*").over(w))
+                .where(F.col("_bsz") <= max_band_bucket)
+                .drop("_bsz")
+            )
+        return bands
+
+    sh_b, sh_c = sh_table(batch), sh_table(corpus)
+    cand = (
+        capped_bands(sh_b)
+        .select(F.col("doc_id").alias("batch_id"), "band", "key")
+        .join(
+            capped_bands(sh_c).select(
+                F.col("doc_id").alias("corpus_id"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    verified = cand.join(
+        sh_b.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("a_sh")),
+        "batch_id",
+    ).join(
+        sh_c.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("b_sh")),
+        "corpus_id",
+    )
+    ratio_ok = (
+        F.least(F.size("a_sh"), F.size("b_sh")).cast("double")
+        >= jaccard_threshold * F.greatest(F.size("a_sh"), F.size("b_sh"))
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        verified.where(ratio_ok)
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

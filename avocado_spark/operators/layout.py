@@ -12,7 +12,7 @@ DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -145,4 +145,42 @@ def shard_layout(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("_n_tokens").cast("bigint").alias("n_tokens"),
         order_fp.alias("order_fp"),
+    )
+
+
+def compaction_plan(
+    file_stats: DataFrame,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    rows_col: str = "n_rows",
+    target_rows: int = 100_000,
+) -> DataFrame:
+    """Small-file compaction planner: given per-file stats within each
+    partition, assign files to merge bins by next-fit over a running
+    total (largest files first, id tie-break), so every bin reaches
+    ``target_rows`` before the next opens. Output adds ``bin_id`` plus
+    the file's position; downstream a compactor rewrites each bin as
+    one file.
+
+    The 100-TB small-files problem is planned, not solved, per row of
+    DATA — this operator only ever touches per-file STATS (from the
+    ``_metadata`` hidden columns or the catalog), so the plan costs
+    O(files), and the one window shuffle partitions by the table
+    partition key. Bin assignment is a prefix-sum expression —
+    deterministic and engine-replayable, so the plan itself is
+    oracle-checkable.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.desc(rows_col), F.asc(file_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(rows_col).over(w)
+    return file_stats.select(
+        part_col,
+        file_col,
+        F.col(rows_col).cast("bigint").alias(rows_col),
+        F.floor((cum - F.col(rows_col)) / F.lit(target_rows))
+        .cast("bigint")
+        .alias("bin_id"),
     )

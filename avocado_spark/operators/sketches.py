@@ -239,3 +239,27 @@ def hll_group_cardinality(
             <= F.lit(rel_err_bound) * F.col("exact_cnt")
         ).alias("est_within_bound"),
     )
+
+
+def cms_join_size_estimate(
+    a: DataFrame, b: DataFrame, key: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches: for
+    each depth row, the cell-wise inner product Σ_w cnt_a·cnt_b
+    overestimates |a ⋈ b|; the MIN over depths is the classic CMS
+    inner-product estimator. Returns one row ``(cms_est)``.
+
+    This is sketch algebra for query planning: both sketches are
+    bounded-shuffle artifacts (possibly maintained incrementally), so a
+    planner can price a 100-TB join — pick broadcast vs shuffle vs
+    skew-salt — from two depth×width cell tables without touching the
+    data. The estimate is an upper bound; hash collisions only inflate
+    it (asserted in tests)."""
+    ca = cms_build(a, key, depth, width).withColumnRenamed("cnt", "cnt_a")
+    cb = cms_build(b, key, depth, width).withColumnRenamed("cnt", "cnt_b")
+    per_depth = (
+        ca.join(cb, ["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_depth.agg(F.min("ip").cast("bigint").alias("cms_est"))

@@ -737,6 +737,7 @@ _GATE_PRIORITY = [
     "bloom_pruned_join", "events_cms_user_counts", "events_hll_daily_users",
     "dedup_canonical_keep", "orders_pareto_frontier",
     "events_partition_fingerprint_diff", "customer_er_clusters",
+    "incremental_dedup_pairs", "cms_join_size_estimate", "compaction_plan",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

@@ -2370,3 +2370,76 @@ def customer_er_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(ws).cast("bigint").alias("cluster_size"),
     )
+
+
+def _minhash_side(src: str, p: str) -> str:
+    """Parametrized per-table minhash chain (mirrors _MINHASH_CHAIN but
+    prefixed, so the incremental oracle can carry a batch side and a
+    corpus side in one WITH list)."""
+    return f"""{p}shn AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s FROM {src}
+      ) WHERE len(s) > 0
+    ),
+    {p}sig AS (
+      SELECT doc_id, s,
+             [list_min(list_transform(s, x -> ((2*(i-1)+3) * x + (5*(i-1)+7)) % 1000000007))
+              for i in generate_series(1, 16)] AS sg
+      FROM {p}shn
+    ),
+    {p}bands AS (
+      SELECT doc_id, b.b AS band, list_slice(sg, b.b*4 + 1, b.b*4 + 4) AS key
+      FROM {p}sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    ),
+    {p}capped AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM {p}bands
+      ) WHERE bsz <= 200
+    )"""
+
+
+@query(
+    "incremental_dedup_pairs",
+    f"""
+    WITH corpus AS ({_AUG_DOCS}),
+    batch AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(list_slice({_TOKS}, 1, len({_TOKS}) - 1), ' ') AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    {_minhash_side("batch", "b")},
+    {_minhash_side("corpus", "c")},
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bcapped b JOIN ccapped c ON b.band = c.band AND b.key = c.key
+    ),
+    verified AS (
+      SELECT cand.batch_id, cand.corpus_id,
+             CAST(len(list_intersect(sb.s, sc.s)) AS DOUBLE)
+             / (len(sb.s) + len(sc.s) - len(list_intersect(sb.s, sc.s))) AS jaccard
+      FROM cand
+      JOIN bshn sb ON sb.doc_id = cand.batch_id
+      JOIN cshn sc ON sc.doc_id = cand.corpus_id
+    )
+    SELECT batch_id, corpus_id, ROUND(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def incremental_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash dedup: an arriving batch
+    (every 3rd doc, last token dropped, fresh id space) matches against
+    the existing corpus through the banded index WITHOUT re-pairing the
+    corpus with itself — the steady-state ingest shape where the corpus
+    band table is a persisted artifact and per-batch cost is
+    |batch|-proportional."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _aug_docs(docs)
+    toks = TX.tokens(F.col("text"))
+    batch = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    out = D.minhash_incremental_pairs(batch, corpus, jaccard_threshold=0.5)
+    return out.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )

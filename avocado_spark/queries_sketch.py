@@ -133,3 +133,87 @@ def events_hll_daily_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     return SK.hll_group_cardinality(events, "day", "user_id", lg_k=12, rel_err_bound=0.05)
+
+
+@query(
+    "cms_join_size_estimate",
+    f"""
+    WITH dd AS (SELECT UNNEST(generate_series(0, 3)) AS d),
+    ca AS (
+      SELECT d, ((user_id % {_P}) * (2*d+3) + (5*d+7)) % {_P} % 1024 AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt_a
+      FROM events, dd GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT d, ((user_id % {_P}) * (2*d+3) + (5*d+7)) % {_P} % 1024 AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt_b
+      FROM events, dd WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT ca.d, SUM(ca.cnt_a * cb.cnt_b) AS ip
+      FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w
+      GROUP BY ca.d
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM ip),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND b.event_type = 'purchase'
+    )
+    SELECT exact_n, cms_est, cms_est >= exact_n AS overestimates
+    FROM exact, est
+    """,
+)
+def cms_join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches (cell
+    inner product, min over depths) vs the exact join count — sketch
+    algebra for pricing a join before running it. The oracle replays
+    both sketches cell-for-cell, so the estimate must match exactly,
+    and the CMS inner-product upper-bound property ships as a column."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    est = SK.cms_join_size_estimate(events, purchases, "user_id", depth=4, width=1024)
+    exact = (
+        events.select("user_id")
+        .join(purchases.select("user_id"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
+    )
+
+
+@query(
+    "compaction_plan",
+    """
+    WITH file_stats AS (
+      SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS part,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2
+    )
+    SELECT part, file_id, n_rows,
+           CAST(FLOOR(CAST(SUM(n_rows) OVER (PARTITION BY part
+                              ORDER BY n_rows DESC, file_id ASC
+                              ROWS UNBOUNDED PRECEDING) - n_rows AS DOUBLE)
+                      / 100) AS BIGINT) AS bin_id
+    FROM file_stats
+    """,
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning over per-file stats (here:
+    hour-of-day slices stand in for files; tests/test_compaction.py
+    drives the same operator on REAL parquet fragments via the
+    _metadata hidden columns): next-fit bin packing by running row
+    total inside each partition — the plan is O(files) and
+    oracle-replayable as a prefix-sum."""
+    from avocado_spark.operators.layout import compaction_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+        F.hour("ts").cast("bigint").alias("file_id"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return compaction_plan(stats, "part", "file_id", "n_rows", target_rows=100)
