@@ -1190,3 +1190,43 @@ def partition_fingerprint_diff(
         F.coalesce("old_n", F.lit(0)).cast("bigint").alias("old_n"),
         F.coalesce("new_n", F.lit(0)).cast("bigint").alias("new_n"),
     )
+
+
+def join_skew_report(
+    df: DataFrame, key: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew telemetry: per-key frequencies → one report row
+    per heavy key (the top_k most frequent) plus an ``__ALL__`` row
+    carrying the global skew factor max/avg — the number that predicts
+    whether a shuffle join on this key needs salting or AQE skew
+    splitting BEFORE the join runs.
+
+    Same telemetry-first posture as dedup_cap_stats: one groupBy on the
+    join key (the shuffle the join would pay anyway), a tiny top-k
+    TakeOrdered, and a single-row global agg. At 100 TB this runs on a
+    sample or rides the previous job's shuffle statistics; the report
+    is O(top_k) rows either way.
+    """
+    freq = df.groupBy(F.col(key).cast("string").alias("key_val")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    heavy = (
+        freq.orderBy(F.desc("n"), F.asc("key_val"))
+        .limit(top_k)
+        .select(
+            "key_val",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.lit(None).cast("bigint").alias("skew_x1000"),
+        )
+    )
+    overall = freq.agg(
+        F.max("n").alias("mx"),
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("ndv"),
+    ).select(
+        F.lit("__ALL__").alias("key_val"),
+        F.lit(0).cast("bigint").alias("n_rows"),
+        # skew = max/avg = max·ndv/total, in exact integer thousandths
+        F.expr("mx * 1000 * ndv div tot").cast("bigint").alias("skew_x1000"),
+    )
+    return heavy.unionByName(overall)

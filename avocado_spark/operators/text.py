@@ -670,3 +670,16 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("bits").cast("double") / F.count("*"), 6
         ).alias("mean_bits"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text-normalization kernel: lowercase → non-alnum to
+    space → whitespace collapse → trim. Pure JVM regexp expressions
+    inside the scan's project (no shuffle, stays in codegen); the form
+    every normalized-dedup / fingerprint pass shares, so two documents
+    differing only in case, punctuation, or spacing collapse to one
+    canonical string."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)

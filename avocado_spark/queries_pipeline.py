@@ -2443,3 +2443,48 @@ def incremental_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@query(
+    "normalize_dedup_impact",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             upper(text) || ' !!' AS text
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm_text
+      FROM aug
+    )
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM norm GROUP BY norm_text HAVING COUNT(*) > 1
+    """,
+)
+def normalize_dedup_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: injected copies that differ
+    only by case, punctuation, and spacing (invisible to raw exact
+    dedup) collapse onto their originals after the canonicalization
+    kernel — the report lists every normalized-text group with >1
+    member. One scan-side normalization + one hash groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+    )
+    norm = aug.select("doc_id", TX.normalize_text(F.col("text")).alias("norm_text"))
+    return (
+        norm.groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("keep_doc_id", "n_copies")
+    )

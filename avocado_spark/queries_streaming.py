@@ -1122,3 +1122,101 @@ def events_partition_fingerprint_diff_q(spark: SparkSession, sf_dir: str) -> Dat
     return partition_fingerprint_diff(
         base.select("event_id", "ts", "user_id", "value", "day"), new, "day", h
     )
+
+
+@query(
+    "session_paths",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path HAVING COUNT(*) >= 5
+    """,
+)
+def session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: gap-sessionize the event stream (same
+    5-minute rule as session_conversion), fold each session's ordered
+    event types into a path string, and count the recurring paths —
+    the navigation-pattern rollup. Ordering inside the fold is made
+    deterministic by sorting structs on (ts, event_id), not by
+    trusting collect_list order; the heavy lifting is the one user_id
+    window shuffle plus a path groupBy."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn(
+            "is_start",
+            F.when(gap.isNull() | (gap >= 300), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
+
+
+@query(
+    "events_join_skew_report",
+    """
+    WITH freq AS (
+      SELECT CAST(event_type AS VARCHAR) AS key_val, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    heavy AS (
+      SELECT key_val, CAST(n AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS skew_x1000
+      FROM freq ORDER BY n DESC, key_val ASC LIMIT 10
+    ),
+    overall AS (
+      SELECT '__ALL__' AS key_val, CAST(0 AS BIGINT) AS n_rows,
+             CAST(MAX(n) * 1000 * COUNT(*) // SUM(n) AS BIGINT) AS skew_x1000
+      FROM freq
+    )
+    SELECT * FROM heavy UNION ALL SELECT * FROM overall
+    """,
+)
+def events_join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew telemetry on a candidate join key: the top heavy
+    keys plus an exact integer skew factor (max/avg in thousandths) —
+    the number that decides salting / AQE skew-split BEFORE paying the
+    join. One groupBy on the key the join would shuffle on anyway."""
+    from avocado_spark.operators.relational import join_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return join_skew_report(ev, "event_type", top_k=10)
