@@ -549,3 +549,69 @@ def test_pagerank_no_cartesian_cached_adjacency(spark):
     plan = final_plan(plan_of(spark, "coorder_pagerank"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_compaction_plan_single_window_shuffle(spark):
+    """Planning is O(files): one partition-key window over the file
+    stats plus the stats agg itself — no joins anywhere."""
+    plan = final_plan(plan_of(spark, "compaction_plan"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pareto_window_on_preagg_only(spark):
+    """The global-order window must run on the per-price PRE-AGG, not
+    the data: exactly one single-partition exchange, one equi-join
+    back, no nested loops."""
+    plan = final_plan(plan_of(spark, "orders_pareto_frontier"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_partition_diff_no_row_exchange(spark):
+    """The diff exchanges O(partitions) fingerprint rows: grouped aggs
+    then a full-outer equi-join on the partition key — no row-level
+    join, no nested loop."""
+    plan = final_plan(plan_of(spark, "events_partition_fingerprint_diff"))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cms_build_partial_agg(spark):
+    """The sketch build must partial-aggregate map-side (shuffle bounded
+    by cells × partitions, not rows) and the probe side must broadcast
+    the cell table."""
+    plan = final_plan(plan_of(spark, "events_cms_user_counts"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_skew_report_no_join(spark):
+    plan = final_plan(plan_of(spark, "events_join_skew_report"))
+    assert "Join" not in plan, plan
+
+
+def test_session_paths_two_key_shuffles(spark):
+    """Sessionize window (user_id) + path groupBy + final path agg —
+    bounded exchanges, no joins."""
+    plan = final_plan(plan_of(spark, "session_paths"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_er_blocking_equi_join_only(spark):
+    """Entity resolution must pair via the compound block key equi-join
+    — never a cartesian / nested-loop over customers."""
+    plan = final_plan(plan_of(spark, "customer_er_clusters"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_no_corpus_self_join(spark):
+    """Batch-vs-corpus candidates come from ONE band equi-join; no
+    cartesian anywhere."""
+    plan = final_plan(plan_of(spark, "incremental_dedup_pairs"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
