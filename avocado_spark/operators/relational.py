@@ -1230,3 +1230,46 @@ def join_skew_report(
         F.expr("mx * 1000 * ndv div tot").cast("bigint").alias("skew_x1000"),
     )
     return heavy.unionByName(overall)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group: str,
+    value: str,
+    tie_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each row's value
+    with the GLOBAL value at the same relative rank, so every group's
+    distribution maps onto the pooled one (the batch-effect correction
+    standard from bioinformatics, equally useful for calibrating
+    heterogeneous quality scores across corpus sources before a global
+    threshold).
+
+    Exact integer arithmetic end to end: within-group rank r of n maps
+    to global index 1 + (r−1)·(N−1) div (n−1) (midpoint for singleton
+    groups), then an equi-join picks the global order statistic — no
+    float interpolation, so the mapping is engine-replayable. Shape:
+    one window per side + one join on the rank index; the global sort
+    window is the scale bottleneck and becomes a repartitionByRange
+    two-phase rank beyond memory."""
+    wg = Window.partitionBy(group).orderBy(value, tie_col)
+    ranked = df.withColumn("_r", F.row_number().over(wg)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(group))
+    )
+    wo = Window.orderBy(value, tie_col)
+    glob = df.select(value, tie_col).withColumn(
+        "_gi", F.row_number().over(wo)
+    )
+    n_total = df.count()  # bounded driver scalar (row count)
+    idx = F.when(
+        F.col("_n") > 1,
+        1 + F.expr(f"(_r - 1) * ({n_total} - 1) div (_n - 1)"),
+    ).otherwise(F.lit((n_total + 1) // 2))
+    return (
+        ranked.withColumn("_gi", idx)
+        .join(
+            glob.select("_gi", F.col(value).alias("norm_value")),
+            "_gi",
+        )
+        .drop("_r", "_n", "_gi")
+    )

@@ -217,3 +217,58 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("file_id"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     return compaction_plan(stats, "part", "file_id", "n_rows", target_rows=100)
+
+
+@query(
+    "events_hll_rolling_users",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(strftime(days.d, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_cnt,
+           TRUE AS est_within_bound
+    FROM days JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def events_hll_rolling_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users WITHOUT rescanning: one HLL sketch
+    per day, then ``hll_union_agg`` as a RANGE-frame window function —
+    each day's rolling estimate merges seven daily sketches instead of
+    re-reading a week of raw events. This is the payoff of mergeable
+    sketches at 100 TB: the window runs over O(days) sketch rows, while
+    the exact differential (and any rescan-based implementation) pays a
+    7× read amplification. The oracle asserts exact counts + the 5%
+    error-bound flag, matching the hll_group_cardinality contract."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = ev.groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    from pyspark.sql import Window
+
+    day_idx = F.datediff(F.col("d"), F.lit("2020-01-01").cast("date"))
+    w = Window.orderBy(day_idx).rangeBetween(-6, 0)
+    est = daily.select(
+        "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
+    )
+    days = daily.select("d")
+    exact = (
+        F.broadcast(days.withColumnRenamed("d", "d0"))
+        .join(
+            ev.select(F.col("d").alias("de"), "user_id"),
+            (F.col("de") >= F.date_sub(F.col("d0"), 6)) & (F.col("de") <= F.col("d0")),
+        )
+        .groupBy("d0")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, est["d"] == exact["d0"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_cnt",
+            (
+                F.abs(F.col("est") - F.col("exact_cnt"))
+                <= F.lit(0.05) * F.col("exact_cnt")
+            ).alias("est_within_bound"),
+        )
+    )

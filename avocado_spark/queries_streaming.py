@@ -1220,3 +1220,47 @@ def events_join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return join_skew_report(ev, "event_type", top_k=10)
+
+
+@query(
+    "events_quantile_normalize",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    gpool AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS gi
+      FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS nt FROM events),
+    mapped AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN n > 1 THEN 1 + (r - 1) * (nt - 1) // (n - 1)
+                  ELSE (nt + 1) // 2 END AS gi
+      FROM ranked, tot
+    )
+    SELECT m.event_id, m.event_type,
+           CAST(ROUND(m.value * 100) AS BIGINT) AS value_c,
+           CAST(ROUND(g.value * 100) AS BIGINT) AS norm_value_c
+    FROM mapped m JOIN gpool g USING (gi)
+    """,
+)
+def events_quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-event-type value distributions
+    onto the pooled distribution — exact integer rank mapping (no float
+    interpolation), one window per side + a rank-index equi-join."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import quantile_normalize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = quantile_normalize(ev, "event_type", "value", "event_id")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+        F.round(F.col("norm_value") * 100).cast("bigint").alias("norm_value_c"),
+    )
