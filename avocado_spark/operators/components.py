@@ -301,3 +301,39 @@ def pagerank_exact(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("u").alias("node"), "rank_u")
+
+
+def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 6) -> DataFrame:
+    """k-core membership via ``n_rounds`` of synchronous peeling:
+    each round drops every node whose degree within the surviving
+    subgraph is < k, exactly like the textbook decomposition but with a
+    FIXED round count so the oracle can unroll the same rounds in SQL
+    (the pagerank_exact pattern: determinism over adaptivity; a pytest
+    asserts the fixture reaches the fixpoint inside the budget, at
+    which point the result IS the true k-core).
+
+    Returns (node, deg) for surviving nodes with their final in-core
+    degree. Per round: one degree agg + two semi-joins, with
+    ``localCheckpoint`` pruning the growing lineage — the same
+    iterative-dataflow discipline as connected_components. At 100 TB
+    each round's exchange is on the node key; rounds are data-dependent
+    in the true algorithm, so production uses a convergence check (the
+    star-forest trick) and this fixed-budget form for replayability.
+    """
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    live = und.localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        live = (
+            live.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .where(F.col("deg") >= k)
+    )

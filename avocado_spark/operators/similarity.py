@@ -421,3 +421,35 @@ def embedding_centroids(
             ),
         )
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    n_items: DataFrame,
+    k: int = 4,
+    anchor: str = "a_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every anchor in ``positives``, draw ``k`` pseudo-random item
+    ids from the universe ``[0, n_items)`` via a replayable LCG
+    (sampling WITH replacement, as in-batch negatives are), excluding
+    the anchor itself. ``n_items`` is a ONE-ROW DataFrame ``(n)`` so
+    the universe size rides a broadcast, never a driver round-trip.
+
+    Shape: anchors × sequence explode (map-side), one broadcast cross
+    join for the count — zero shuffles beyond what the caller adds.
+    Collision filtering against the positive set is the caller's
+    anti-join (kept separate so the exclusion policy — same-pair only,
+    same-cluster, same-source — stays explicit)."""
+    anchors = positives.select(anchor).distinct()
+    j = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    drawn = anchors.select(anchor, j).crossJoin(F.broadcast(n_items))
+    neg = F.pmod(
+        (F.col(anchor) * F.lit(2654435761) + F.col("j") * F.lit(40503))
+        % F.lit(1_000_000_007),
+        F.col("n"),
+    ).cast("bigint")
+    return (
+        drawn.select(anchor, "j", neg.alias("neg_id"))
+        .where(F.col("neg_id") != F.col(anchor))
+    )

@@ -740,6 +740,7 @@ _GATE_PRIORITY = [
     "incremental_dedup_pairs", "cms_join_size_estimate", "compaction_plan",
     "normalize_dedup_impact", "session_paths", "events_join_skew_report",
     "events_hll_rolling_users", "events_quantile_normalize",
+    "coorder_kcore", "negative_sample_pairs",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -1653,3 +1654,54 @@ def orders_pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
     )
+
+
+def _kcore_oracle(k: int, n_rounds: int) -> str:
+    """Unrolled peeling oracle (the pagerank_exact pattern: fixed round
+    budget for replayability; pytest asserts the fixture hits the
+    fixpoint inside it, making the result the true k-core)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT u, v FROM coedges UNION ALL SELECT v, u FROM coedges
+    )"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+      SELECT u FROM (SELECT u, COUNT(*) AS deg FROM e{i} GROUP BY u)
+      WHERE deg >= {k}
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u
+    )"""
+        )
+    return (
+        """
+    WITH coedges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{n_rounds} GROUP BY u HAVING COUNT(*) >= {k}
+    """
+    )
+
+
+@query("coorder_kcore", _kcore_oracle(k=80, n_rounds=6))
+def coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the co-order part graph via 6 synchronous peeling
+    rounds — the dense-subgraph extraction that separates structurally
+    embedded items from peripheral ones. Completes the iterative graph
+    family (components, PageRank, triangles, k-core); the fixture
+    reaches the true fixpoint at round 5 (asserted in
+    tests/test_graph_attribution.py), so the budgeted result IS the
+    k-core."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.k_core(C.coorder_edges(li), k=80, n_rounds=6)

@@ -2488,3 +2488,45 @@ def normalize_dedup_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .select("keep_doc_id", "n_copies")
     )
+
+
+@query(
+    "negative_sample_pairs",
+    """
+    WITH pos AS (
+      SELECT doc_id AS a_id, doc_id + 1000000 AS b_id
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    drawn AS (
+      SELECT a_id, j.j AS j,
+             (a_id * 2654435761 + j.j * 40503) % 1000000007 % nn.n AS neg_id
+      FROM (SELECT DISTINCT a_id FROM pos), (SELECT UNNEST(generate_series(1, 4)) AS j) j, nn
+    )
+    SELECT d.a_id, d.j, CAST(d.neg_id AS BIGINT) AS neg_id
+    FROM drawn d
+    LEFT JOIN pos p ON d.a_id = p.a_id AND d.neg_id = p.b_id
+    WHERE d.neg_id <> d.a_id AND p.b_id IS NULL
+    """,
+)
+def negative_sample_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: anchors are the known
+    near-dup positives (original ↔ dropped-token copy), negatives are
+    k=4 LCG draws per anchor from the document universe, excluding the
+    anchor and any true positive partner (anti-join) — the deterministic
+    replacement for `rand()`-based samplers that can never be
+    oracle-checked or reproduced across retries."""
+    from avocado_spark.operators.similarity import negative_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 1000000).alias("b_id"),
+    )
+    n_items = docs.agg(F.count(F.lit(1)).alias("n"))
+    drawn = negative_sample(pos, n_items, k=4)
+    return drawn.join(
+        pos.select("a_id", F.col("b_id").alias("neg_id")),
+        ["a_id", "neg_id"],
+        "left_anti",
+    ).select("a_id", "j", F.col("neg_id").cast("bigint").alias("neg_id"))

@@ -102,3 +102,30 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = {r.node: r.rank_u for r in pagerank_exact(e1, n_iter=4).collect()}
     r2 = {r.node: r.rank_u for r in pagerank_exact(e2, n_iter=4).collect()}
     assert r1 == r2  # integer pushes: no accumulation-order drift
+
+
+def test_kcore_toy_graph(spark):
+    """2-core of a triangle with a pendant tail = exactly the triangle."""
+    from avocado_spark.operators.components import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    out = {r["node"]: r["deg"] for r in k_core(edges, k=2, n_rounds=5).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixture_reaches_fixpoint(spark):
+    """The 6-round budget the coorder_kcore oracle unrolls must reach
+    the true fixpoint at sf0.01 — round 5 and round 6 must agree, so
+    the budgeted result IS the k-core."""
+    from avocado_spark.operators.components import coorder_edges, k_core
+    from avocado_spark.session import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    edges = coorder_edges(li).persist()
+    a = k_core(edges, k=80, n_rounds=5)
+    b = k_core(edges, k=80, n_rounds=6)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
