@@ -683,3 +683,29 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
     t = F.regexp_replace(t, " +", " ")
     return F.trim(t)
+
+
+def chunk_sliding_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 30,
+    stride: int = 20,
+) -> DataFrame:
+    """RAG-prep chunking: split each document into overlapping token
+    windows (``window`` tokens every ``stride``), emitting
+    (doc_id, chunk_no, chunk_tokens, chunk_text). Pure HOF expressions
+    — tokenize once, explode the window starts, slice — so chunking a
+    100-TB corpus is map-side codegen with zero shuffles and the
+    output is replayable in any engine (no tokenizer state)."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    return (
+        docs.select("doc_id", toks.alias("_t"), F.explode(starts).alias("start"))
+        .where(F.size("_t") > 0)
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_no"),
+            F.size(F.slice("_t", F.col("start"), window)).cast("bigint").alias("chunk_tokens"),
+            F.array_join(F.slice("_t", F.col("start"), window), " ").alias("chunk_text"),
+        )
+    )

@@ -2530,3 +2530,26 @@ def negative_sample_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a_id", "neg_id"],
         "left_anti",
     ).select("a_id", "j", F.col("neg_id").cast("bigint").alias("neg_id"))
+
+
+@query(
+    "chunk_sliding_windows",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, s.s AS start
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, GREATEST(len(t), 1), 20)) AS s) s
+      WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 20 AS BIGINT) AS chunk_no,
+           CAST(len(list_slice(t, start, start + 29)) AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(t, start, start + 29), ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def chunk_sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking: 30-token windows at stride 20 over
+    every document — one tokenize pass, map-side explode, zero
+    shuffles (plan-gated)."""
+    return TX.chunk_sliding_windows(load_table(spark, sf_dir, "documents"))

@@ -615,3 +615,12 @@ def test_incremental_dedup_no_corpus_self_join(spark):
     plan = final_plan(plan_of(spark, "incremental_dedup_pairs"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_chunking_zero_shuffle(spark):
+    """RAG chunking is tokenize + explode + slice in the scan's
+    project: no exchanges, no joins, no Python."""
+    plan = final_plan(plan_of(spark, "chunk_sliding_windows"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
