@@ -103,6 +103,10 @@ def main() -> None:
         "bloom_pruned_join",
         "dedup_canonical_keep",
         "customer_er_clusters",
+        # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
+        # edge sf0.1 co-order graph are another iterative loop (~60 s)
+        # whose per-round plan dedup_clusters/pagerank already cover;
+        # the sf0.01 correctness gate runs it every round.
         # coorder_pagerank stays OUT of the headline set: 5 iterative
         # rounds ≈ 46 s at sf0.1 (measured) and best-of-3 would spend
         # ~2.5 min re-measuring a loop whose per-round plan is already
