@@ -1264,3 +1264,32 @@ def events_quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
         F.round(F.col("norm_value") * 100).cast("bigint").alias("norm_value_c"),
     )
+
+
+@query(
+    "events_burst_alerts",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch_us(ts) AS u
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT c.user_id, c.event_id, c.u, COUNT(*) AS n_in_window
+      FROM clicks c JOIN clicks p ON p.user_id = c.user_id
+        AND p.u >= c.u - 21600000000
+        AND (p.u < c.u OR (p.u = c.u AND p.event_id <= c.event_id))
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_id, CAST(u AS BIGINT) AS ts_us,
+           CAST(n_in_window AS BIGINT) AS n_in_window
+    FROM j WHERE n_in_window >= 3
+    """,
+)
+def events_burst_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (≥3 clicks in a trailing 6-hour window), batch
+    form: horizon-bounded self-join + count. The streaming twin
+    (burst_alerts_stream, transformWithStateInPandas ListState) carries
+    O(horizon) state per user instead of the self-join — convergence
+    asserted in tests/test_streaming.py across MULTIPLE time-split
+    micro-batches."""
+    return EV.burst_alerts_batch(load_table(spark, sf_dir, "events"))

@@ -433,3 +433,117 @@ def multitouch_attribution(
         F.count("*").cast("bigint").alias("n_convs"),
         F.sum("credit_u").cast("bigint").alias("credit_u"),
     )
+
+
+BURST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("n_in_window", LongType()),
+    ]
+)
+
+_BURST_HORIZON_US = 21_600 * 1_000_000  # 6 hours
+_BURST_THRESHOLD = 3
+
+
+def burst_alerts_batch(
+    events: DataFrame,
+    threshold: int = _BURST_THRESHOLD,
+    horizon_us: int = _BURST_HORIZON_US,
+) -> DataFrame:
+    """Burst detection, batch form: alert for every click whose
+    trailing 6-hour window (counting itself and predecessors by the
+    (ts, event_id) total order) holds ≥ ``threshold`` clicks from the
+    same user. Expressed as a horizon-bounded self-join + count — the
+    O(n·w) shape the STREAMING form replaces with O(1) per-user list
+    state (burst_alerts_stream); the differential between the two is
+    the point."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", ts_us("ts").alias("u")
+    )
+    cur = clicks.select(
+        "user_id", F.col("event_id").alias("cur_eid"), F.col("u").alias("cur_u")
+    )
+    prior = clicks.select(
+        "user_id", F.col("event_id").alias("p_eid"), F.col("u").alias("p_u")
+    )
+    j = cur.join(prior, "user_id").where(
+        (F.col("p_u") >= F.col("cur_u") - F.lit(horizon_us))
+        & (
+            (F.col("p_u") < F.col("cur_u"))
+            | ((F.col("p_u") == F.col("cur_u")) & (F.col("p_eid") <= F.col("cur_eid")))
+        )
+    )
+    n = j.groupBy("user_id", "cur_eid", "cur_u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_window")
+    )
+    return n.where(F.col("n_in_window") >= threshold).select(
+        "user_id",
+        F.col("cur_eid").alias("event_id"),
+        F.col("cur_u").alias("ts_us"),
+        "n_in_window",
+    )
+
+
+def burst_alerts_stream(
+    events: DataFrame,
+    threshold: int = _BURST_THRESHOLD,
+    horizon_us: int = _BURST_HORIZON_US,
+) -> DataFrame:
+    """Burst detection, streaming form: per-user state holds ONLY the
+    clicks inside the trailing horizon (two parallel long arrays), so
+    each user costs O(clicks-in-horizon) state and one pass — where the
+    batch shadow pays a horizon self-join. Implemented with
+    applyInPandasWithState; the Spark-4 successor
+    (transformWithStateInPandas + ListState) is the same shape but its
+    Python runner needs protobuf, absent from this container, so the
+    GA API carries the operator here. Rows are processed in
+    (u, event_id) order inside each micro-batch; with a time-split
+    source the alerts converge exactly to burst_alerts_batch
+    (tests/test_streaming.py, multi-batch case)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType
+
+    state_schema = StructType(
+        [
+            StructField("us", ArrayType(LongType())),
+            StructField("eids", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            us, eids = state.get
+            hist = list(zip(list(us), list(eids)))
+        else:
+            hist = []
+        incoming = []
+        for pdf in pdfs:
+            clicks = pdf[pdf["event_type"] == "click"]
+            for _, r in clicks.iterrows():
+                incoming.append((int(r["u"]), int(r["event_id"])))
+        out = []
+        for u, eid in sorted(incoming):
+            hist = [(hu, he) for (hu, he) in hist if hu >= u - horizon_us]
+            hist.append((u, eid))
+            if len(hist) >= threshold:
+                out.append((int(key[0]), eid, u, len(hist)))
+        state.update(([h[0] for h in hist], [h[1] for h in hist]))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts_us", "n_in_window"]
+        )
+
+    prepped = events.select(
+        "user_id", "event_id", "event_type", ts_us("ts").alias("u")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -301,3 +301,43 @@ def test_streaming_attribution_outer_matches_batch(spark, events_stream):
     n_outer_only = batch.count() - inner.count()
     assert n_outer_only > 0
     assert batch.where("r_event_id IS NULL").count() == n_outer_only
+
+
+def test_streaming_burst_alerts_multibatch_converges(spark, tmp_path):
+    """transformWithStateInPandas burst detector across MULTIPLE
+    micro-batches: the source is split into two time-ordered files and
+    fed one file per trigger, so per-user ListState genuinely carries
+    clicks across batch boundaries; the emitted alerts must equal the
+    batch self-join shadow over the full input."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.parquet(src + "/p1")
+    ev.where(F.col("ts") > cut).coalesce(1).write.parquet(src + "/p2")
+    # stage the two part files into one source dir, time-ordered names
+    import glob as g
+    import shutil
+
+    srcdir = str(tmp_path / "stream_in")
+    import os
+
+    os.makedirs(srcdir)
+    for i, part in enumerate(["p1", "p2"]):
+        [f] = g.glob(f"{src}/{part}/part-*.parquet")
+        shutil.copy(f, f"{srcdir}/{i:02d}.parquet")
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(srcdir)
+    )
+    out = _run_stream(
+        spark, EV.burst_alerts_stream(stream), "t_burst", "append"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in EV.burst_alerts_batch(ev).collect())
+    assert got == want and len(want) > 0
