@@ -741,7 +741,7 @@ _GATE_PRIORITY = [
     "normalize_dedup_impact", "session_paths", "events_join_skew_report",
     "events_hll_rolling_users", "events_quantile_normalize",
     "coorder_kcore", "negative_sample_pairs", "chunk_sliding_windows",
-    "events_burst_alerts",
+    "events_burst_alerts", "scd2_point_in_time_join",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

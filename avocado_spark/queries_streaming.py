@@ -1293,3 +1293,83 @@ def events_burst_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py across MULTIPLE time-split
     micro-batches."""
     return EV.burst_alerts_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH feed AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+    runs AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM feed
+      )
+    ),
+    hist AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+             CAST(MIN(us) AS BIGINT) AS valid_from_us
+      FROM runs GROUP BY user_id, version
+    ),
+    dim AS (
+      SELECT user_id, version, state, valid_from_us,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY version) AS valid_to_us
+      FROM hist
+    ),
+    facts AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, CAST(f.ts_us AS BIGINT) AS ts_us,
+           d.state, CAST(d.version AS BIGINT) AS version
+    FROM facts f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+      AND f.ts_us >= d.valid_from_us
+      AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+    """,
+)
+def scd2_point_in_time_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join — the feature-store
+    pattern: compile a type-2 SCD dimension from the non-purchase feed
+    (what state was the user in), then join every purchase fact to the
+    version VALID AT ITS TIMESTAMP (validity-interval predicate, never
+    the current row — the classic leakage bug this operator exists to
+    prevent). The interval predicate rides the user_id equi-join;
+    intervals tile the timeline so each fact matches at most one
+    version, left-outer keeps purchases before any state."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(ev.where(F.col("event_type") != "purchase")).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us")
+    )
+    j = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (facts["ts_us"] >= dim["valid_from_us"])
+        & (dim["valid_to_us"].isNull() | (facts["ts_us"] < dim["valid_to_us"])),
+        "left",
+    )
+    return j.select(
+        facts["event_id"],
+        facts["user_id"],
+        facts["ts_us"],
+        dim["state"],
+        dim["version"].cast("bigint").alias("version"),
+    )
