@@ -314,6 +314,8 @@ def recall_eval(
     fan in through one (q_id, n_id) equi-join + per-query count."""
     if method == "srp":
         ann = srp_lsh_topk(embeddings, queries, k=k, **method_kwargs)
+    elif method == "srp_multi":
+        ann = srp_multiprobe_topk(embeddings, queries, k=k, **method_kwargs)
     elif method == "ivf":
         ann = ivf_topk(embeddings, queries, k=k, **method_kwargs)
     elif method == "ivf_kmeans":
@@ -453,3 +455,60 @@ def negative_sample(
         drawn.select(anchor, "j", neg.alias("neg_id"))
         .where(F.col("neg_id") != F.col(anchor))
     )
+
+
+def srp_multiprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_flip: int | None = None,
+) -> DataFrame:
+    """Multi-probe SRP ANN: each query searches its own bucket PLUS the
+    ``n_flip`` single-bit-flip neighbor buckets — the Lv et al. (VLDB
+    2007) multi-probe idea: near-misses on one hyperplane are the
+    dominant recall loss, and probing the flip costs far less than
+    doubling the table or shrinking H. Candidate volume grows
+    ~(n_flip+1)×; recall typically jumps well above the single-bucket
+    run at equal index size (asserted against the single-probe run in
+    tests). Same scale shape as srp_lsh_topk — the probe explode is
+    map-side, the join stays a bucket equi-join."""
+    if n_flip is None:
+        n_flip = n_planes
+    base = (
+        embeddings.select(F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v"))
+        .withColumn("bucket", srp_bucket(F.col("n_v"), n_planes))
+        .withColumn("n_n", norm(F.col("n_v")))
+    )
+    q0 = (
+        embeddings.join(queries.select("vec_id"), "vec_id")
+        .select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v"))
+        .withColumn("bucket", srp_bucket(F.col("q_v"), n_planes))
+        .withColumn("q_n", norm(F.col("q_v")))
+    )
+    flips = F.transform(
+        F.sequence(F.lit(0), F.lit(n_flip - 1)),
+        lambda h: F.col("bucket").bitwiseXOR(
+            F.pow(F.lit(2.0), h.cast("double")).cast("long")
+        ),
+    )
+    probes = q0.select(
+        "q_id",
+        "q_v",
+        "q_n",
+        F.explode(F.concat(F.array(F.col("bucket")), flips)).alias("bucket"),
+    )
+    pairs = (
+        probes.join(base, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(F.col("q_v"), F.col("n_v"), F.col("q_n"), F.col("n_n")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -458,7 +458,7 @@ def ann_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                [CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       [v[d] * CAST(((h * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
+                       [v[d] * CAST((((h-1) * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
                         for d in generate_series(1, len(v))]), (x, y) -> x + y) >= 0
                      THEN (CAST(1 AS BIGINT) << (h-1)) ELSE CAST(0 AS BIGINT) END
                 for h in generate_series(1, 8)]),
@@ -502,7 +502,7 @@ def ann_srp_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                [CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       [v[d] * CAST(((h * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
+                       [v[d] * CAST((((h-1) * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
                         for d in generate_series(1, len(v))]), (x, y) -> x + y) >= 0
                      THEN (CAST(1 AS BIGINT) << (h-1)) ELSE CAST(0 AS BIGINT) END
                 for h in generate_series(1, 8)]),
@@ -2553,3 +2553,65 @@ def chunk_sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document — one tokenize pass, map-side explode, zero
     shuffles (plan-gated)."""
     return TX.chunk_sliding_windows(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_srp_multiprobe_recall",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 25),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e.v")}, 9) DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+      ) WHERE rank <= 5
+    ),
+    bucketed AS (
+      SELECT vec_id, v,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [v[d] * CAST((((h-1) * 131 + (d-1) * 31) % 7) - 3 AS DOUBLE)
+                        for d in generate_series(1, len(v))]), (x, y) -> x + y) >= 0
+                     THEN (CAST(1 AS BIGINT) << (h-1)) ELSE CAST(0 AS BIGINT) END
+                for h in generate_series(1, 8)]),
+               (x, y) -> x + y) AS bucket
+      FROM e
+    ),
+    qprobes AS (
+      SELECT vec_id, v, UNNEST(list_prepend(bucket,
+               [xor(bucket, CAST(1 AS BIGINT) << (h-1)) for h in generate_series(1, 8)]
+             )) AS pb
+      FROM bucketed WHERE vec_id < 25
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id, q.v AS qv, b.v AS nv
+      FROM qprobes q JOIN bucketed b ON b.bucket = q.pb AND q.vec_id <> b.vec_id
+    ),
+    ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY ROUND({_cos("qv", "nv")}, 9) DESC, n_id) AS rank
+        FROM cand
+      ) WHERE rank <= 5
+    )
+    SELECT x.q_id,
+           CAST(COUNT(*) AS INTEGER) AS n_exact,
+           CAST(COUNT(a.n_id) AS INTEGER) AS n_hits,
+           ROUND(CAST(COUNT(a.n_id) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact x LEFT JOIN ann a ON x.q_id = a.q_id AND x.n_id = a.n_id
+    GROUP BY x.q_id
+    """,
+)
+def ann_srp_multiprobe_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of MULTI-PROBE SRP ANN (own bucket + all 8 single-bit
+    flips) vs exact brute force on the same 25-query sample — the
+    recall-vs-candidates upgrade over ann_recall_eval's single-bucket
+    run at identical index size; the improvement itself is asserted in
+    tests/test_similarity_kmeans.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.recall_eval(
+        emb, emb.where(F.col("vec_id") < 25), k=5, method="srp_multi"
+    )

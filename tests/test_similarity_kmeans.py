@@ -34,3 +34,28 @@ def test_train_centroids_deterministic(spark):
     }
     moved = sum(1 for c in a if list(a[c]) != [float(x) for x in init[c]])
     assert moved >= 1
+
+
+def test_multiprobe_beats_single_probe_recall(spark):
+    """Multi-probe (bucket + 8 bit-flips) must dominate single-bucket
+    SRP recall at equal index size — the point of probing."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators import similarity as SIM
+    from avocado_spark.session import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.where(F.col("vec_id") < 25)
+    single = SIM.recall_eval(emb, q, k=5, method="srp").agg(
+        F.sum("n_hits"), F.sum("n_exact")
+    ).first()
+    multi = SIM.recall_eval(emb, q, k=5, method="srp_multi").agg(
+        F.sum("n_hits"), F.sum("n_exact")
+    ).first()
+    r_single = single[0] / single[1]
+    r_multi = multi[0] / multi[1]
+    assert r_multi >= r_single
+    # random near-orthogonal embeddings are LSH's worst case (single-
+    # probe lands ~0.02 here); the probes must still lift recall hard
+    assert r_multi >= 0.1
