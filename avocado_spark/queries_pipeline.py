@@ -2615,3 +2615,63 @@ def ann_srp_multiprobe_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_eval(
         emb, emb.where(F.col("vec_id") < 25), k=5, method="srp_multi"
     )
+
+
+@query(
+    "budget_fill_sample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761 + 17) % 1000000007 AS pick
+      FROM documents
+    ),
+    budgets AS (
+      SELECT source,
+             CAST(CASE source WHEN 'web' THEN 4000 WHEN 'books' THEN 3000
+                              ELSE 1500 END AS BIGINT) AS source_budget
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    ordered AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.source_budget,
+             SUM(t.n_tokens) OVER (PARTITION BY t.source
+                                   ORDER BY t.pick, t.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks t JOIN budgets b ON t.source = b.source
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ordered WHERE cum_tokens <= source_budget
+    """,
+)
+def budget_fill_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill — the step that turns mixing WEIGHTS
+    into an actual training set: each source gets a token budget,
+    documents are ordered by a deterministic hash (an unbiased
+    replayable shuffle), and the running token total fills the budget
+    exactly once per source in one window pass. No rand(), no
+    rejection loop — rerunning the pipeline yields the identical mix."""
+    from pyspark.sql import Window as W  # noqa: N814
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761 + 17) % 1_000_000_007).alias("pick"),
+    )
+    budget = (
+        F.when(F.col("source") == "web", 4000)
+        .when(F.col("source") == "books", 3000)
+        .otherwise(1500)
+        .cast("bigint")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("pick", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ordered = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "source_budget", budget
+    )
+    return ordered.where(F.col("cum_tokens") <= F.col("source_budget")).select(
+        "doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    )

@@ -1373,3 +1373,55 @@ def scd2_point_in_time_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim["state"],
         dim["version"].cast("bigint").alias("version"),
     )
+
+
+@query(
+    "events_key_uniqueness_audit",
+    """
+    SELECT 'event_id' AS candidate_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           COUNT(*) = COUNT(DISTINCT event_id) AS is_unique
+    FROM events
+    UNION ALL
+    SELECT 'user_id+ts' AS candidate_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT (user_id, ts)) AS BIGINT) AS n_distinct,
+           COUNT(*) = COUNT(DISTINCT (user_id, ts)) AS is_unique
+    FROM events
+    UNION ALL
+    SELECT 'user_id' AS candidate_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           COUNT(*) = COUNT(DISTINCT user_id) AS is_unique
+    FROM events
+    """,
+)
+def events_key_uniqueness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit: for each proposed key, exact distinct count
+    vs row count and a uniqueness verdict — the constraint-inference
+    pass that decides whether an upsert/merge key is actually safe.
+    Three candidate keys share one cached scan; each check is one
+    distinct-agg (at 100 TB: approx_count_distinct first, exact only
+    on keys that pass the sketch screen)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(name: str, cols: list[str]):
+        return ev.agg(
+            F.lit(name).alias("candidate_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(*[F.col(c) for c in cols]).cast("bigint").alias("n_distinct"),
+        ).select(
+            "candidate_key",
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+        )
+
+    return (
+        audit("event_id", ["event_id"])
+        .unionByName(audit("user_id+ts", ["user_id", "ts"]))
+        .unionByName(audit("user_id", ["user_id"]))
+    )
