@@ -743,7 +743,7 @@ _GATE_PRIORITY = [
     "coorder_kcore", "negative_sample_pairs", "chunk_sliding_windows",
     "events_burst_alerts", "scd2_point_in_time_join",
     "ann_srp_multiprobe_recall", "budget_fill_sample",
-    "events_key_uniqueness_audit",
+    "events_key_uniqueness_audit", "events_encoding_advisor",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

@@ -1425,3 +1425,83 @@ def events_key_uniqueness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(audit("user_id+ts", ["user_id", "ts"]))
         .unionByName(audit("user_id", ["user_id"]))
     )
+
+
+@query(
+    "events_encoding_advisor",
+    """
+    WITH ordered AS (
+      SELECT event_type, user_id,
+             LAG(event_type) OVER (ORDER BY event_id) AS prev_et,
+             LAG(user_id) OVER (ORDER BY event_id) AS prev_uid
+      FROM events
+    ),
+    stats AS (
+      SELECT 'event_type' AS column_name,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN prev_et IS NULL OR prev_et <> event_type
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM ordered
+      UNION ALL
+      SELECT 'user_id',
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN prev_uid IS NULL OR prev_uid <> user_id
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ordered
+    )
+    SELECT column_name, ndv, n_rows, n_runs,
+           CASE WHEN ndv * 20 <= n_rows AND n_runs * 4 <= n_rows THEN 'dict+rle'
+                WHEN ndv * 20 <= n_rows THEN 'dict'
+                ELSE 'plain' END AS suggested_encoding
+    FROM stats
+    """,
+)
+def events_encoding_advisor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: per column, exact cardinality and
+    run count in the table's physical order → dictionary / RLE /
+    plain suggestion — the storage-layout scorecard that tells you
+    whether a sort (or Z-order) before write would make the parquet
+    pages collapse. One window pass + one wide agg."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id")
+    ordered = ev.select(
+        "event_type",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_et"),
+        F.lag("user_id").over(w).alias("prev_uid"),
+    )
+
+    def stat(name: str, col: str, prev: str):
+        return ordered.agg(
+            F.lit(name).alias("column_name"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("ndv"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col(prev).isNull() | (F.col(prev) != F.col(col)), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+        )
+
+    stats = stat("event_type", "event_type", "prev_et").unionByName(
+        stat("user_id", "user_id", "prev_uid")
+    )
+    suggestion = (
+        F.when(
+            (F.col("ndv") * 20 <= F.col("n_rows"))
+            & (F.col("n_runs") * 4 <= F.col("n_rows")),
+            F.lit("dict+rle"),
+        )
+        .when(F.col("ndv") * 20 <= F.col("n_rows"), F.lit("dict"))
+        .otherwise(F.lit("plain"))
+    )
+    return stats.select(
+        "column_name", "ndv", "n_rows", "n_runs", suggestion.alias("suggested_encoding")
+    )
