@@ -1273,3 +1273,70 @@ def quantile_normalize(
         )
         .drop("_r", "_n", "_gi")
     )
+
+
+def ols_two_features(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group TWO-feature OLS (y = b0 + b1·x1 + b2·x2) solved in
+    closed form by Cramer's rule on the normal equations — the
+    multivariate extension of :func:`corr_regression` with the same
+    engine-exactness contract: inputs are INTEGER-domain, the nine
+    moment sums accumulate as exact BIGINTs (associative, so the fit
+    incrementalizes over partitions/days/streams), and the
+    moments→coefficients projection is one identical double expression
+    on both engines, so results replay bit-for-bit.
+
+    This is distributed least squares without MLlib, an iterative
+    solver, or a single float accumulation-order hazard: ONE
+    partial+final hash aggregation over the fact table, scalar math
+    after. Groups with a singular normal matrix return null betas.
+    """
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    m = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x1).cast("bigint").alias("s1"),
+        F.sum(x2).cast("bigint").alias("s2"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x1 * x1).cast("bigint").alias("s11"),
+        F.sum(x1 * x2).cast("bigint").alias("s12"),
+        F.sum(x2 * x2).cast("bigint").alias("s22"),
+        F.sum(x1 * y).cast("bigint").alias("s1y"),
+        F.sum(x2 * y).cast("bigint").alias("s2y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # normal matrix A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs
+    # b = [sy,s1y,s2y]; dets written in ONE fixed operation order so
+    # IEEE rounding is identical in any engine that replays the text
+    det = (
+        d("n") * (d("s11") * d("s22") - d("s12") * d("s12"))
+        - d("s1") * (d("s1") * d("s22") - d("s12") * d("s2"))
+        + d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    )
+    det0 = (
+        d("sy") * (d("s11") * d("s22") - d("s12") * d("s12"))
+        - d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+        + d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    )
+    det1 = (
+        d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+        - d("sy") * (d("s1") * d("s22") - d("s12") * d("s2"))
+        + d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    )
+    det2 = (
+        d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12"))
+        - d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+        + d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    )
+    safe = F.abs(det) > 1e-9
+    return m.select(
+        group_col,
+        "n",
+        F.when(safe, F.round(det0 / det, 6)).alias("b0"),
+        F.when(safe, F.round(det1 / det, 6)).alias("b1"),
+        F.when(safe, F.round(det2 / det, 6)).alias("b2"),
+    )

@@ -744,6 +744,7 @@ _GATE_PRIORITY = [
     "events_burst_alerts", "scd2_point_in_time_join",
     "ann_srp_multiprobe_recall", "budget_fill_sample",
     "events_key_uniqueness_audit", "events_encoding_advisor",
+    "lineitem_ols_two_features",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -1708,3 +1709,62 @@ def coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return C.k_core(C.coorder_edges(li), k=80, n_rounds=6)
+
+
+@query(
+    "lineitem_ols_two_features",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+             CAST(SUM(x2*x2) AS BIGINT) AS s22,
+             CAST(SUM(x1*y) AS BIGINT) AS s1y, CAST(SUM(x2*y) AS BIGINT) AS s2y
+      FROM base GROUP BY grp
+    ),
+    dets AS (
+      SELECT grp, n,
+        CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det,
+        CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)) AS det0,
+        CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det1,
+        CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det2
+      FROM m
+    )
+    SELECT grp, n,
+           CASE WHEN ABS(det) > 1e-9 THEN ROUND(det0 / det, 6) END AS b0,
+           CASE WHEN ABS(det) > 1e-9 THEN ROUND(det1 / det, 6) END AS b1,
+           CASE WHEN ABS(det) > 1e-9 THEN ROUND(det2 / det, 6) END AS b2
+    FROM dets
+    """,
+)
+def lineitem_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-feature least squares (price ~ quantity +
+    discount, per return flag) solved in closed form from exact
+    integer moment sums via Cramer's rule — multivariate regression
+    with zero float accumulation-order hazard and no iterative solver;
+    the nine moments merge associatively, so the same fit
+    incrementalizes across partitions or days."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    return R.ols_two_features(base, "grp", "x1", "x2", "y")

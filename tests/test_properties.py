@@ -179,3 +179,26 @@ def test_scd2_history_matches_pandas_replay(spark):
                 nxt = runs[i + 1][1] if i + 1 < len(runs) else None
                 want[(uid, i + 1)] = (et, us, nxt, nxt is None, n)
         assert got == want, seed
+
+
+def test_ols_two_features_matches_numpy(spark):
+    """Cramer-on-exact-moments must agree with numpy lstsq on a
+    deterministic synthetic fit (y = 7 + 3*x1 - 2*x2 + LCG noise)."""
+    import numpy as np
+
+    from avocado_spark.operators.relational import ols_two_features
+
+    rows = []
+    for i in range(500):
+        x1 = (i * 7919) % 40
+        x2 = (i * 104729) % 15
+        noise = ((i * 2654435761) % 11) - 5
+        rows.append(("g", x1, x2, 7 + 3 * x1 - 2 * x2 + noise))
+    df = spark.createDataFrame(rows, ["grp", "x1", "x2", "y"])
+    [got] = ols_two_features(df, "grp", "x1", "x2", "y").collect()
+    a = np.array([[1.0, r[1], r[2]] for r in rows])
+    b = np.array([float(r[3]) for r in rows])
+    beta, *_ = np.linalg.lstsq(a, b, rcond=None)
+    assert abs(got["b0"] - beta[0]) < 1e-4
+    assert abs(got["b1"] - beta[1]) < 1e-4
+    assert abs(got["b2"] - beta[2]) < 1e-4
