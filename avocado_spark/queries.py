@@ -744,7 +744,7 @@ _GATE_PRIORITY = [
     "events_burst_alerts", "scd2_point_in_time_join",
     "ann_srp_multiprobe_recall", "budget_fill_sample",
     "events_key_uniqueness_audit", "events_encoding_advisor",
-    "lineitem_ols_two_features",
+    "lineitem_ols_two_features", "knn_label_consistency",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -1712,7 +1712,7 @@ def coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lineitem_ols_two_features",
+    "lineitem_ols_two_features", "knn_label_consistency",
     """
     WITH base AS (
       SELECT l_returnflag AS grp,

@@ -2675,3 +2675,60 @@ def budget_fill_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.where(F.col("cum_tokens") <= F.col("source_budget")).select(
         "doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     )
+
+
+@query(
+    "knn_label_consistency",
+    f"""
+    WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 50),
+    nn AS (
+      SELECT q_id, q_label, n_label FROM (
+        SELECT q.vec_id AS q_id, q.label AS q_label, e.label AS n_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e.v")}, 9) DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+      ) WHERE rank <= 5
+    )
+    SELECT q_id, MIN(q_label) AS label,
+           CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 2 < COUNT(*) AS suspect
+    FROM nn GROUP BY q_id
+    """,
+)
+def knn_label_consistency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label screening (confident-learning-lite): for each vector
+    in the query sample, how many of its 5 nearest neighbors share its
+    label; a majority disagreement flags the row as a labeling suspect.
+    The exact-kNN arm deliberately runs on a bounded sample (the same
+    statistical-estimate stance as recall_eval); at 100 TB the
+    neighbor search swaps to the IVF/SRP index with identical
+    downstream voting."""
+    from pyspark.sql import Window as W  # noqa: N814
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    nn = SIM.brute_force_topk(emb, q, k=5)
+    labels = emb.select("vec_id", "label")
+    j = (
+        nn.join(labels.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")), "q_id")
+        .join(labels.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")), "n_id")
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.min("q_label").alias("label"),
+            F.sum((F.col("n_label") == F.col("q_label")).cast("int"))
+            .cast("bigint")
+            .alias("n_agree"),
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        )
+        .select(
+            "q_id",
+            "label",
+            "n_agree",
+            "n_neighbors",
+            (F.col("n_agree") * 2 < F.col("n_neighbors")).alias("suspect"),
+        )
+    )
