@@ -1712,7 +1712,7 @@ def coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lineitem_ols_two_features", "knn_label_consistency",
+    "lineitem_ols_two_features",
     """
     WITH base AS (
       SELECT l_returnflag AS grp,
