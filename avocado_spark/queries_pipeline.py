@@ -2732,3 +2732,124 @@ def knn_label_consistency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_agree") * 2 < F.col("n_neighbors")).alias("suspect"),
         )
     )
+
+
+@query(
+    "quality_reliability_table",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS score,
+             CASE WHEN len({_TOKS}) BETWEEN 15 AND 5000
+                   AND CAST(length(text) AS DOUBLE) / len({_TOKS}) BETWEEN 3 AND 12
+                  THEN 1 ELSE 0 END AS passed
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    ranked AS (
+      SELECT *, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(passed) AS BIGINT) AS n_passed,
+           ROUND(CAST(SUM(passed) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+    FROM ranked GROUP BY decile
+    """,
+)
+def quality_reliability_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for a quality score: lexical-diversity deciles
+    vs the rate of passing an independent length/shape gate — the
+    calibration check that tells whether a cheap score can stand in
+    for the expensive gate (and at which threshold). One window + one
+    rollup."""
+    from pyspark.sql import Window as W  # noqa: N814
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
+        F.when(
+            F.size(toks).between(15, 5000)
+            & (F.length("text").cast("double") / F.size(toks)).between(3, 12),
+            1,
+        )
+        .otherwise(0)
+        .alias("passed"),
+    ).where(F.size(toks) > 0)
+    ranked = scored.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("score", "doc_id"))
+    )
+    return ranked.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("passed").cast("bigint").alias("n_passed"),
+        F.round(
+            F.sum("passed").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pass_rate"),
+    )
+
+
+@query(
+    "embedding_source_drift",
+    """
+    WITH x AS (
+      SELECT label, ii.i AS i,
+             CAST(FLOOR(CAST(embedding[ii.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) ii
+    ),
+    c AS (SELECT label, i, CAST(SUM(q) AS DOUBLE) AS s FROM x GROUP BY label, i),
+    cv AS (SELECT label, list(s ORDER BY i) AS sv FROM c GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [a.sv[i] * b.sv[i] for i in generate_series(1, len(a.sv))]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  [a.sv[i] * a.sv[i] for i in generate_series(1, len(a.sv))]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  [b.sv[i] * b.sv[i] for i in generate_series(1, len(b.sv))]), (x, y) -> x + y))),
+             6) AS centroid_cos
+    FROM cv a JOIN cv b ON a.label < b.label
+    """,
+)
+def embedding_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift matrix: exact fixed-point centroid sums
+    per label (the embedding_centroids trick — micro-unit bigints, no
+    float accumulation order), then pairwise cosine between centroids —
+    the monitor that catches one source's embedding distribution
+    drifting away from the rest. The pair join runs on the tiny
+    centroid table, never the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sums = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.floor(F.col("embedding")[i].cast("double") * 1_000_000).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                for i in range(dim)
+            ]
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = sums.select(F.col("label").alias("label_a"), F.col("sv").alias("av"))
+    b = sums.select(F.col("label").alias("label_b"), F.col("sv").alias("bv"))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                dot(F.col("av"), F.col("bv"))
+                / (
+                    F.sqrt(dot(F.col("av"), F.col("av")))
+                    * F.sqrt(dot(F.col("bv"), F.col("bv")))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
