@@ -1505,3 +1505,148 @@ def events_encoding_advisor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "column_name", "ndv", "n_rows", "n_runs", suggestion.alias("suggested_encoding")
     )
+
+
+@query(
+    "ab_test_analysis",
+    """
+    WITH assigned AS (
+      SELECT user_id, (user_id * 2654435761 % 1000000007) % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) >= 59000
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assigned GROUP BY arm
+    ),
+    tot AS (
+      SELECT SUM(n_users) AS n, SUM(n_converted) AS c FROM arms
+    )
+    SELECT arm, n_users, n_converted,
+           ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) AS conv_rate,
+           ROUND(
+             POW(n_converted - n_users * (CAST(c AS DOUBLE) / n), 2)
+               / (n_users * (CAST(c AS DOUBLE) / n))
+             + POW((n_users - n_converted) - n_users * (1 - CAST(c AS DOUBLE) / n), 2)
+               / (n_users * (1 - CAST(c AS DOUBLE) / n)),
+             6) AS chisq_contrib
+    FROM arms, tot
+    """,
+)
+def ab_test_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users land in arms by a deterministic
+    hash (the replayable substitute for random assignment — stable
+    across reruns and engines), "converted" = lifetime purchase cents
+    over a mid-distribution threshold (a rate near 0.5, so both
+    chi-square cells are populated), per-arm conversion is one rollup, and
+    each arm's chi-square contribution against the pooled rate gives
+    the independence test the experiment decision reads. The pooled
+    totals ride a broadcast 1-row aggregate."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            >= 59000
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        ((F.col("user_id") * 2654435761 % 1_000_000_007) % 2).alias("arm"),
+        "converted",
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    tot = arms.agg(
+        F.sum("n_users").alias("n"), F.sum("n_converted").alias("c")
+    )
+    j = arms.crossJoin(F.broadcast(tot))
+    p = F.col("c").cast("double") / F.col("n")
+    exp_c = F.col("n_users") * p
+    exp_nc = F.col("n_users") * (1 - p)
+    return j.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+        F.round(
+            F.pow(F.col("n_converted") - exp_c, 2) / exp_c
+            + F.pow((F.col("n_users") - F.col("n_converted")) - exp_nc, 2) / exp_nc,
+            6,
+        ).alias("chisq_contrib"),
+    )
+
+
+@query(
+    "events_value_psi",
+    """
+    WITH bucketed AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(CAST(FLOOR(value / 5) AS BIGINT), 9) AS bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts)
+    SELECT bucket, n_ref, n_cur,
+           ROUND((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+                 * LN((CAST(n_cur AS DOUBLE) / tc) / (CAST(n_ref AS DOUBLE) / tr)),
+                 6) AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def events_value_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between the first half-month and the
+    rest: value deciles (fixed-width buckets, capped), per-bucket
+    share shift times the log-ratio — the standard drift alarm for a
+    scored feature between a reference and a current period. One scan,
+    one conditional rollup, a broadcast totals row."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 5).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bucket"
+        ),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    j = counts.crossJoin(F.broadcast(tot))
+    pr = F.col("n_ref").cast("double") / F.col("tr")
+    pc = F.col("n_cur").cast("double") / F.col("tc")
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_contrib"),
+    )
