@@ -24,7 +24,7 @@ import heapq
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,3 +75,48 @@ def coverage_cap_exact(
     if bin_width is not None:
         out = out.drop("_cap_bin")
     return out
+
+
+def interval_union_length(
+    intervals: DataFrame,
+    group_col: str = "contig",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Total genome covered per contig: merge overlapping [start, end)
+    intervals into islands with the classic sweep — per group, order by
+    (start, end), an interval starts a new island iff its start exceeds
+    the running max of all previous ends — then sum island extents.
+    Ref: the reference's coverage observer walks per-position depth
+    (avocado-core/.../observer/Observer.scala); the island sweep
+    answers the "how many bases are covered at all" question in
+    O(n log n) without materializing positions.
+
+    Shape: two stacked windows (running max + island running sum) on
+    ONE (group) shuffle partitioning, then a grouped sum — no joins,
+    no explode to base pairs, so 100 TB of reads never becomes 100 TB
+    × read-length of positions.
+    """
+    w = Window.partitionBy(group_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = intervals.select(
+        group_col,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("_new_island"),
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_s", "_e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = flagged.withColumn("_island", F.sum("_new_island").over(w2))
+    per_island = islands.groupBy(group_col, "_island").agg(
+        F.min("_s").alias("i_start"), F.max("_e").alias("i_end")
+    )
+    return per_island.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_len"),
+    )

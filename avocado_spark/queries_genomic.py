@@ -1685,3 +1685,44 @@ def biallelic_multiallelic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "other_read_depth",
         F.round("rms_mapq", 6).alias("rms_mapq"),
     )
+
+
+@query(
+    "interval_union_length",
+    f"""
+    WITH reads_rel AS ({tables.oracle_cte("reads_rel")}),
+    flagged AS (
+      SELECT contig, start, "end",
+             CASE WHEN MAX("end") OVER (PARTITION BY contig ORDER BY start, "end"
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                   OR start > MAX("end") OVER (PARTITION BY contig ORDER BY start, "end"
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM reads_rel
+    ),
+    islands AS (
+      SELECT contig, start, "end",
+             SUM(new_island) OVER (PARTITION BY contig ORDER BY start, "end"
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT contig, island, MIN(start) AS i_start, MAX("end") AS i_end
+      FROM islands GROUP BY contig, island
+    )
+    SELECT contig, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_len
+    FROM per_island GROUP BY contig
+    """,
+)
+def interval_union_length_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covered-bases rollup: merge overlapping read intervals into
+    islands (running-max sweep, one contig shuffle, no per-position
+    explode) and total the union length per contig — the coverage
+    summary the reference derives by walking positions, at O(reads)
+    instead of O(reads x read length)."""
+    from avocado_spark.operators.coverage import interval_union_length
+
+    reads = tables.derived(spark, sf_dir, "reads_rel")
+    return interval_union_length(reads)

@@ -266,3 +266,51 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value_c bigint"
     ).json(root)
+
+
+_EXPECTED_SCHEMAS = {
+    "events": [
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"), ("embedding", "array<float>"), ("label", "int"),
+    ],
+}
+
+
+@query(
+    "table_schema_contract",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{t}', '{c}', '{d}')"
+        for t, cols in sorted(_EXPECTED_SCHEMAS.items())
+        for c, d in cols
+    )
+    + ") AS v(table_name, column_name, dtype)",
+)
+def table_schema_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract canary: the NORMALIZED schema of every core
+    driver table (post load_table timestamp canonicalization) must
+    equal the declared contract, column for column, type for type.
+    This is the loud-in-pytest guard the round-4 regression called for
+    — the driver has silently re-encoded fixtures across rounds
+    (TIMESTAMP(NANOS) → long nanos → TIMESTAMP_NTZ), and this
+    differential turns the next such change into a red row instead of
+    nine downstream failures. Pure metadata: no data is scanned."""
+    from avocado_spark.session import load_table
+
+    rows = []
+    for t in sorted(_EXPECTED_SCHEMAS):
+        for c, d in load_table(spark, sf_dir, t).dtypes:
+            rows.append((t, c, d))
+    return spark.createDataFrame(rows, ["table_name", "column_name", "dtype"])
