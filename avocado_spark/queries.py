@@ -748,6 +748,7 @@ _GATE_PRIORITY = [
     "quality_reliability_table", "embedding_source_drift",
     "ab_test_analysis", "events_value_psi",
     "interval_union_length", "table_schema_contract",
+    "dataset_card",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

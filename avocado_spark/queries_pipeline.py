@@ -2853,3 +2853,56 @@ def embedding_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+@query(
+    "dataset_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, text, CAST(len({_TOKS}) AS BIGINT) AS nt
+      FROM documents
+    ),
+    dups AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups
+      FROM (SELECT text FROM t GROUP BY text HAVING COUNT(*) > 1)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(MIN(nt) AS BIGINT) AS min_tokens,
+             CAST(MAX(nt) AS BIGINT) AS max_tokens,
+             ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+      FROM t
+    )
+    SELECT a.*, d.dup_groups FROM agg a, dups d
+    """,
+)
+def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, token volume, source/language
+    coverage, token-length envelope, and exact-duplicate group count —
+    the summary a data release ships. Two aggregations (a wide scan
+    rollup + the text-group dup count) fanned into one broadcast-joined
+    row; every number is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "lang", "text",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("nt"),
+    )
+    dups = (
+        t.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_groups"))
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.min("nt").cast("bigint").alias("min_tokens"),
+        F.max("nt").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("nt").cast("double") / F.count(F.lit(1)), 6).alias("mean_tokens"),
+    )
+    return agg.crossJoin(F.broadcast(dups))
