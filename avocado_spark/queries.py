@@ -1815,16 +1815,17 @@ def orders_per_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFr
            CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_c
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     GROUP BY c.c_nationkey
     """,
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — above-average balance (scalar aggregate rides
     a broadcast 1-row cross join, never a re-scan per row) and no
-    orders (anti join): the promotion-targeting query whose plan quality
-    hinges on the anti join staying a hash join and the average staying
-    a broadcast."""
+    big-ticket order (anti join against the filtered order subset):
+    the promotion-targeting query whose plan quality hinges on the
+    anti join staying a hash join and the average staying a broadcast."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
@@ -1834,7 +1835,11 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal") > F.col("ab")
     )
     idle = rich.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        o.where(F.col("o_totalprice") > 300000).select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
     )
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
