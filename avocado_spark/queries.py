@@ -750,6 +750,7 @@ _GATE_PRIORITY = [
     "interval_union_length", "table_schema_contract",
     "dataset_card",
     "orders_per_customer_distribution", "idle_rich_customers",
+    "events_volume_anomaly_days",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

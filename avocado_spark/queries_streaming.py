@@ -1650,3 +1650,82 @@ def events_value_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "events_volume_anomaly_days",
+    """
+    WITH feed AS (
+      SELECT * FROM events
+      WHERE NOT (CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) = '2024-01-20'
+                 AND event_id % 2 = 0)
+    ),
+    d AS (
+      SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM feed GROUP BY 1
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_events, day) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM d
+    ),
+    med AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS med2
+      FROM r WHERE rk IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    ),
+    dev AS (
+      SELECT d.day, d.n_events, ABS(2 * d.n_events - m.med2) AS dev2
+      FROM d, med m
+    ),
+    rd AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY dev2, day) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM dev
+    ),
+    mad AS (
+      SELECT CAST(SUM(dev2) AS BIGINT) AS mad4
+      FROM rd WHERE rk IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    )
+    SELECT dv.day, dv.n_events, 4 * dv.dev2 > 3 * 2 * md.mad4 AS flagged
+    FROM dev dv, mad md
+    """,
+)
+def events_volume_anomaly_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection with integer-exact robust stats:
+    median and MAD of the per-day event counts via exact rank positions
+    (scaled-integer arithmetic throughout — no float median, so the
+    flag is engine-replayable), flagging days beyond 3 MADs. A
+    deterministic half-volume drop is injected on one day so the alarm
+    path is exercised, mirroring the backfill planner's gap-injection
+    convention."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    feed = ev.where(
+        ~((F.col("day") == "2024-01-20") & (F.col("event_id") % 2 == 0))
+    )
+    d = feed.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+    def two_middle(df, val):
+        r = df.withColumn(
+            "rk", F.row_number().over(W.orderBy(val, "day"))
+        ).withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy()))
+        return r.where(
+            (F.col("rk") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rk") == F.expr("(cnt + 2) div 2"))
+        ).agg(F.sum(val).cast("bigint").alias("m"))
+
+    med2 = two_middle(d, "n_events").withColumnRenamed("m", "med2")
+    dev = d.crossJoin(F.broadcast(med2)).withColumn(
+        "dev2", F.abs(2 * F.col("n_events") - F.col("med2"))
+    )
+    mad4 = two_middle(dev, "dev2").withColumnRenamed("m", "mad4")
+    return dev.crossJoin(F.broadcast(mad4)).select(
+        "day",
+        "n_events",
+        (4 * F.col("dev2") > 3 * 2 * F.col("mad4")).alias("flagged"),
+    )
