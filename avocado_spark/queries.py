@@ -751,6 +751,7 @@ _GATE_PRIORITY = [
     "dataset_card",
     "orders_per_customer_distribution", "idle_rich_customers",
     "events_volume_anomaly_days",
+    "supplier_region_hhi",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -1847,4 +1848,75 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
         .cast("bigint")
         .alias("total_bal_c"),
+    )
+
+
+@query(
+    "supplier_region_hhi",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, s.s_suppkey,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    byreg AS (
+      SELECT region, list(rev_c ORDER BY rev_c, s_suppkey) AS revs,
+             SUM(rev_c) AS t, COUNT(*) AS n_suppliers
+      FROM rev GROUP BY region
+    )
+    SELECT region, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  [POW(CAST(x AS DOUBLE) / t, 2) for x in revs]),
+                  (a, b) -> a + b) * 1000000) AS BIGINT) AS hhi_x1m
+    FROM byreg
+    """,
+)
+def supplier_region_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per region (Herfindahl index over
+    exact integer revenue-cent shares, emitted in floored millionths):
+    the fact table joins the supplier→nation→region dimension chain —
+    all three dims broadcast, so the only fact shuffle is the
+    (region, supplier) rollup. Exercises every remaining driver
+    dimension table (supplier, nation, region) in one plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(r["r_name"].alias("region"), s["s_suppkey"])
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    # the share-square sum folds a SORTED array so the FP accumulation
+    # order is pinned — a bare SUM would drift with partitioning and
+    # could flip the floored millionths across runs/engines. Array size
+    # = suppliers per region (bounded dim); at larger fan-in switch to
+    # exact decimal sums of rev_c^2.
+    byreg = rev.groupBy("region").agg(
+        F.sort_array(F.collect_list(F.struct("rev_c", "s_suppkey"))).alias("revs"),
+        F.sum("rev_c").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    hhi = F.aggregate(
+        F.col("revs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x["rev_c"].cast("double") / F.col("t"), F.lit(2.0)),
+    )
+    return byreg.select(
+        "region",
+        "n_suppliers",
+        F.floor(hhi * 1_000_000).cast("bigint").alias("hhi_x1m"),
     )
