@@ -624,3 +624,49 @@ def test_chunking_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q13_left_join_hash_not_nlj(spark):
+    """The zero-preserving left join must stay a hash/sort-merge equi
+    join — never a nested loop."""
+    plan = final_plan(plan_of(spark, "orders_per_customer_distribution"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22 shape: the scalar average rides a broadcast; the no-big-order
+    check is a hash ANTI join."""
+    plan = final_plan(plan_of(spark, "idle_rich_customers"))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hhi_dims_broadcast(spark):
+    """supplier→nation→region all broadcast; the fact table shuffles
+    only for the (region, supplier) rollup."""
+    plan = final_plan(plan_of(spark, "supplier_region_hhi"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_interval_union_one_partitioning_no_join(spark):
+    """The island sweep stacks its windows on ONE contig partitioning
+    and never joins."""
+    plan = final_plan(plan_of(spark, "interval_union_length"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_quantile_normalize_rank_equi_join(spark):
+    plan = final_plan(plan_of(spark, "events_quantile_normalize"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_burst_batch_equi_join_only(spark):
+    """The horizon self-join must pair on the user_id equi key with the
+    range as a post-filter — no nested loop."""
+    plan = final_plan(plan_of(spark, "events_burst_alerts"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
