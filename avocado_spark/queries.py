@@ -1920,3 +1920,91 @@ def supplier_region_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         F.floor(hhi * 1_000_000).cast("bigint").alias("hhi_x1m"),
     )
+
+
+@query(
+    "customer_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(rev_c) OVER () AS tot_c
+      FROM rev
+    ),
+    classed AS (
+      SELECT o_custkey, rev_c,
+             CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS class_rev_c
+    FROM classed GROUP BY abc_class
+    """,
+)
+def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification: customers ranked by exact
+    cent revenue, cumulative share thresholds at 80/95% evaluated in
+    INTEGER cross-multiplication (cum*100 <= tot*80 — no float share,
+    so the class boundary can never flip on rounding). The global-order
+    window runs over the per-customer pre-agg, not the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W  # noqa: N814
+
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = W.orderBy(F.desc("rev_c"), F.asc("o_custkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.withColumn("cum_c", F.sum("rev_c").over(w)).withColumn(
+        "tot_c", F.sum("rev_c").over(W.partitionBy())
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("class_rev_c"),
+    )
+
+
+@query(
+    "shipping_lead_time_stats",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS min_days,
+           CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_days,
+           CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS total_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def shipping_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per priority: exact integer day deltas
+    (datediff) rolled up as count/min/max/total — the fulfillment SLA
+    report; the mean is total/n downstream, kept as exact integers
+    here so the differential can never drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min(dd).cast("bigint").alias("min_days"),
+        F.max(dd).cast("bigint").alias("max_days"),
+        F.sum(dd).cast("bigint").alias("total_days"),
+    )
