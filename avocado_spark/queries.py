@@ -752,6 +752,7 @@ _GATE_PRIORITY = [
     "orders_per_customer_distribution", "idle_rich_customers",
     "events_volume_anomaly_days",
     "supplier_region_hhi",
+    "customer_abc_analysis", "shipping_lead_time_stats",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
