@@ -753,6 +753,7 @@ _GATE_PRIORITY = [
     "events_volume_anomaly_days",
     "supplier_region_hhi",
     "customer_abc_analysis", "shipping_lead_time_stats",
+    "events_daily_ohlc", "contamination_kwic",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

@@ -2906,3 +2906,61 @@ def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("nt").cast("double") / F.count(F.lit(1)), 6).alias("mean_tokens"),
     )
     return agg.crossJoin(F.broadcast(dups))
+
+
+@query(
+    "contamination_kwic",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, toks, i AS hit_pos
+      FROM grams, LATERAL (
+        SELECT UNNEST(generate_series(1, GREATEST(len(toks) - 2, 0))) AS i
+      ) s
+      WHERE toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch'
+    ),
+    first_hit AS (
+      SELECT doc_id, toks, MIN(hit_pos) AS pos FROM hits GROUP BY doc_id, toks
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS hit_pos,
+           array_to_string(list_slice(toks, GREATEST(pos - 3, 1), pos + 5), ' ') AS context
+    FROM first_hit
+    """,
+)
+def contamination_kwic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context span extraction: for every document containing
+    the probe trigram, emit the ±3-token window around its FIRST
+    occurrence — the provenance snippet a contamination-review queue
+    shows a human, token-aligned rather than byte-offset so it survives
+    normalization. Map-side explode over window starts with an
+    immediate position filter; only hit docs reach the min-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    g = docs.select("doc_id", toks.alias("toks"))
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    ).alias("i")
+    hits = (
+        g.select("doc_id", "toks", starts)
+        .where(
+            (F.element_at("toks", F.col("i")) == "slow")
+            & (F.element_at("toks", F.col("i") + 1) == "hash")
+            & (F.element_at("toks", F.col("i") + 2) == "batch")
+        )
+        .groupBy("doc_id", "toks")
+        .agg(F.min("i").alias("pos"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("hit_pos"),
+        F.array_join(
+            F.slice(
+                "toks",
+                F.greatest(F.col("pos") - 3, F.lit(1)),
+                F.col("pos") + 5 - F.greatest(F.col("pos") - 3, F.lit(1)) + 1,
+            ),
+            " ",
+        ).alias("context"),
+    )

@@ -1729,3 +1729,57 @@ def events_volume_anomaly_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (4 * F.col("dev2") > 3 * 2 * F.col("mad4")).alias("flagged"),
     )
+
+
+@query(
+    "events_daily_ohlc",
+    """
+    WITH ranked AS (
+      SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR)
+                                ORDER BY ts, event_id) AS rk_open,
+             ROW_NUMBER() OVER (PARTITION BY CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR)
+                                ORDER BY ts DESC, event_id DESC) AS rk_close
+      FROM events
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN rk_open = 1 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS open_c,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS high_c,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS low_c,
+           CAST(SUM(CASE WHEN rk_close = 1 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY day
+    """,
+)
+def events_daily_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC rollup of the value stream: open/close picked by
+    deterministic (ts, event_id) rank windows (no engine-specific
+    arg_min tie semantics), high/low/count as plain aggregates — the
+    candlestick shape every time-series store needs, on ONE day
+    partitioning shared by both rank windows and the final rollup."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wo = W.partitionBy("day").orderBy("ts", "event_id")
+    wc = W.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(
+        "day",
+        cents.alias("v_c"),
+        F.row_number().over(wo).alias("rk_open"),
+        F.row_number().over(wc).alias("rk_close"),
+    )
+    return ranked.groupBy("day").agg(
+        F.sum(F.when(F.col("rk_open") == 1, F.col("v_c")).otherwise(0))
+        .cast("bigint")
+        .alias("open_c"),
+        F.max("v_c").cast("bigint").alias("high_c"),
+        F.min("v_c").cast("bigint").alias("low_c"),
+        F.sum(F.when(F.col("rk_close") == 1, F.col("v_c")).otherwise(0))
+        .cast("bigint")
+        .alias("close_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

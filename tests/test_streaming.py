@@ -341,3 +341,46 @@ def test_streaming_burst_alerts_multibatch_converges(spark, tmp_path):
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in EV.burst_alerts_batch(ev).collect())
     assert got == want and len(want) > 0
+
+
+def test_native_session_window_equals_manual_gap_sessionization(spark):
+    """Two independent sessionization implementations must produce the
+    same sessions: Spark's native session_window (merging keyed state)
+    vs the manual lag/cumsum gap rule the batch analytics use — same
+    boundaries (end = last event + gap), same counts, same cent sums."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from avocado_spark.functions.time_fns import ts_us
+    from tests.conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    native = EV.session_agg(ev, gap="5 minutes", watermark=None)
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = 300
+    lag_us = F.lag(ts_us("ts")).over(w)
+    sess = (
+        ev.withColumn(
+            "is_start",
+            F.when(
+                lag_us.isNull() | (ts_us("ts") - lag_us >= gap_s * 1_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    manual = sess.groupBy("user_id", "session_no").agg(
+        F.min(ts_us("ts")).alias("session_start_us"),
+        (F.max(ts_us("ts")) + gap_s * 1_000_000).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_c"),
+    ).drop("session_no")
+
+    a = {tuple(r) for r in native.collect()}
+    b = {tuple(r) for r in manual.collect()}
+    assert a == b and len(a) > 100
