@@ -754,6 +754,7 @@ _GATE_PRIORITY = [
     "supplier_region_hhi",
     "customer_abc_analysis", "shipping_lead_time_stats",
     "events_daily_ohlc", "contamination_kwic",
+    "conversion_latency_quantiles", "dedup_cluster_size_histogram",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

@@ -2964,3 +2964,42 @@ def contamination_kwic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("context"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the shape report
+    that tells whether duplication is pairwise noise (sizes ≈ 2) or
+    boilerplate blow-ups (heavy tail, the capacity hazard for any
+    per-cluster processing). Count-of-counts over the CC output."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    sizes = (
+        dedup_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy(F.col("cluster_size").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )

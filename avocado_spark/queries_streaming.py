@@ -1783,3 +1783,70 @@ def events_daily_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("close_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "conversion_latency_quantiles",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT user_id,
+             (first_purchase_us - first_view_us) // 60000000 AS latency_min
+      FROM firsts
+      WHERE first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+        AND first_purchase_us >= first_view_us
+    ),
+    ranked AS (
+      SELECT latency_min,
+             ROW_NUMBER() OVER (ORDER BY latency_min, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lat
+    )
+    SELECT q.q AS quantile_pct, CAST(r.latency_min AS BIGINT) AS latency_min
+    FROM (SELECT UNNEST([25, 50, 75, 90, 99]) AS q) q
+    JOIN ranked r ON r.rk = GREATEST(1, CAST(CEIL(q.q * r.n / 100.0) AS BIGINT))
+    """,
+)
+def conversion_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view to first-purchase latency distribution: one
+    conditional-min rollup per user, integer minute deltas, exact
+    rank-position quantiles (ceil(q·n/100), the same exact-order-
+    statistic convention as exact_group_quantiles — no interpolation,
+    so the report is engine-replayable). The funnel-latency metric a
+    growth dashboard reads."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts_us("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_us("ts"))).alias("fp"),
+    )
+    lat = firsts.where(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select(
+        "user_id", F.expr("(fp - fv) div 60000000").alias("latency_min")
+    )
+    ranked = lat.select(
+        "latency_min",
+        F.row_number().over(W.orderBy("latency_min", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 90, 99)])).alias(
+            "quantile_pct"
+        )
+    )
+    return qs.join(
+        ranked,
+        ranked["rk"]
+        == F.greatest(
+            F.lit(1),
+            F.ceil(F.col("quantile_pct") * F.col("n") / 100.0).cast("bigint"),
+        ),
+    ).select("quantile_pct", F.col("latency_min").cast("bigint").alias("latency_min"))
