@@ -755,6 +755,7 @@ _GATE_PRIORITY = [
     "customer_abc_analysis", "shipping_lead_time_stats",
     "events_daily_ohlc", "contamination_kwic",
     "conversion_latency_quantiles", "dedup_cluster_size_histogram",
+    "part_price_band_rollup",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -2010,4 +2011,64 @@ def shipping_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dd).cast("bigint").alias("min_days"),
         F.max(dd).cast("bigint").alias("max_days"),
         F.sum(dd).cast("bigint").alias("total_days"),
+    )
+
+
+@query(
+    "part_price_band_rollup",
+    """
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        (0, 'budget',   900.0,  925.0),
+        (1, 'standard', 925.0,  950.0),
+        (2, 'premium',  950.0,  975.0),
+        (3, 'luxury',   975.0, 1000.0)
+      ) AS b(band, band_label, lo, hi)
+    ),
+    keyed AS (
+      SELECT p_partkey, p_retailprice,
+             LEAST(CAST(FLOOR((p_retailprice - 900.0) / 25.0) AS BIGINT), 3) AS band
+      FROM part
+    )
+    SELECT b.band_label,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(ROUND(k.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_price_c
+    FROM keyed k JOIN bands b ON k.band = b.band
+    GROUP BY b.band_label
+    """,
+)
+def part_price_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta join ELIMINATED: matching parts to a price-band
+    dimension is semantically a range predicate (lo <= price < hi),
+    which planners execute as a nested loop — instead the band index is
+    DERIVED arithmetically on the fact side and the lookup becomes a
+    broadcast hash equi-join (plan-gated). The standard rewrite for
+    any fixed-width band/tier/bucket dimension at 100 TB."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            (0, "budget"),
+            (1, "standard"),
+            (2, "premium"),
+            (3, "luxury"),
+        ],
+        ["band", "band_label"],
+    )
+    keyed = p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.least(
+            F.floor((F.col("p_retailprice") - 900.0) / 25.0).cast("bigint"),
+            F.lit(3).cast("bigint"),
+        ).alias("band"),
+    )
+    return (
+        keyed.join(F.broadcast(bands), "band")
+        .groupBy("band_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_price_c"),
+        )
     )

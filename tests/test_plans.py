@@ -670,3 +670,13 @@ def test_burst_batch_equi_join_only(spark):
     plan = final_plan(plan_of(spark, "events_burst_alerts"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_band_join_is_hash_not_nlj(spark):
+    """The banded tier lookup must run as a broadcast HASH join on the
+    derived band key — the range semantics must never reach the join
+    as a nested-loop predicate."""
+    plan = final_plan(plan_of(spark, "part_price_band_rollup"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
