@@ -755,7 +755,7 @@ _GATE_PRIORITY = [
     "customer_abc_analysis", "shipping_lead_time_stats",
     "events_daily_ohlc", "contamination_kwic",
     "conversion_latency_quantiles", "dedup_cluster_size_histogram",
-    "part_price_band_rollup",
+    "part_price_band_rollup", "region_nation_revenue_rollup",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
@@ -2071,4 +2071,55 @@ def part_price_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("total_price_c"),
         )
+    )
+
+
+@query(
+    "region_nation_revenue_rollup",
+    """
+    SELECT COALESCE(r.r_name, '__ALL__') AS region,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN '__ALL__' ELSE n.n_name END AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    HAVING GROUPING(r.r_name) = 0 OR GROUPING(n.n_name) = 1
+    """,
+)
+def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-hierarchy ROLLUP: revenue at nation, region, and grand
+    total levels in ONE aggregation pass (native Expand, no
+    union-of-three-queries re-scan), with the dims broadcast onto the
+    fact. GROUPING() disambiguates real nulls from subtotal rows — the
+    geographic complement to the time-axis events_rollup_hierarchy."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            r["r_name"].alias("rname"),
+            n["n_name"].alias("nname"),
+            F.col("o_totalprice"),
+        )
+    )
+    agg = j.rollup("rname", "nname").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.grouping("rname").alias("g_r"),
+        F.grouping("nname").alias("g_n"),
+    )
+    return agg.where((F.col("g_r") == 0) | (F.col("g_n") == 1)).select(
+        F.coalesce(F.col("rname"), F.lit("__ALL__")).alias("region"),
+        F.when(F.col("g_n") == 1, "__ALL__").otherwise(F.col("nname")).alias("nation"),
+        "revenue_c",
+        "n_orders",
     )
