@@ -99,3 +99,34 @@ def test_hll_bound_holds(spark):
     assert out.where(~F.col("est_within_bound")).count() == 0
     # the merged __ALL__ row exists exactly once
     assert out.where(F.col("day") == "__ALL__").count() == 1
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Hypothesis: for arbitrary bigint key sets (including negatives,
+    zero, duplicates, and adversarial clusters around the hash modulus),
+    every inserted key must pass the probe — the no-false-negative
+    guarantee, independent of the fixture."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from avocado_spark.operators.sketches import bloom_build, bloom_probe
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(keys):
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        bloom = bloom_build(df, "k", num_bits=1 << 14, num_hashes=4)
+        kept = bloom_probe(df, "k", bloom, num_bits=1 << 14, num_hashes=4)
+        assert kept.distinct().count() == df.distinct().count()
+
+    run()
