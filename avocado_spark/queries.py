@@ -755,7 +755,7 @@ _GATE_PRIORITY = [
     "customer_abc_analysis", "shipping_lead_time_stats",
     "events_daily_ohlc", "contamination_kwic",
     "conversion_latency_quantiles", "dedup_cluster_size_histogram",
-    "part_price_band_rollup", "region_nation_revenue_rollup",
+    "part_price_band_rollup", "region_nation_revenue_rollup", "events_weekly_wow_growth",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

@@ -1850,3 +1850,52 @@ def conversion_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFram
             F.ceil(F.col("quantile_pct") * F.col("n") / 100.0).cast("bigint"),
         ),
     ).select("quantile_pct", F.col("latency_min").cast("bigint").alias("latency_min"))
+
+
+@query(
+    "events_weekly_wow_growth",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 1000000 - 1704067200) // 604800 AS BIGINT) AS week_no,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_no, CAST(n AS BIGINT) AS n_events,
+           CAST(lag_n AS BIGINT) AS prev_events,
+           CASE WHEN lag_n IS NOT NULL AND lag_n > 0
+                THEN CAST((n - lag_n) * 10000 // lag_n AS BIGINT) END AS wow_growth_bp
+    FROM (
+      SELECT *, LAG(n) OVER (PARTITION BY event_type ORDER BY week_no) AS lag_n
+      FROM w
+    )
+    """,
+)
+def events_weekly_wow_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type in exact integer basis
+    points (floor((Δ·10000)/prev) — no float percentage, so the number
+    can never drift): epoch-derived week index (engine-neutral, no
+    ISO-week convention hazards), one (type, week) rollup, one lag
+    window on the same partitioning."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "event_type",
+        F.expr("cast((unix_micros(cast(ts as timestamp)) div 1000000 - 1704067200) div 604800 as bigint)").alias(
+            "week_no"
+        ),
+    ).groupBy("event_type", "week_no").agg(F.count(F.lit(1)).alias("n"))
+    lw = W.partitionBy("event_type").orderBy("week_no")
+    out = weekly.withColumn("lag_n", F.lag("n").over(lw))
+    return out.select(
+        "event_type",
+        "week_no",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("lag_n").cast("bigint").alias("prev_events"),
+        F.when(
+            F.col("lag_n").isNotNull() & (F.col("lag_n") > 0),
+            F.expr("cast((n - lag_n) * 10000 div lag_n as bigint)"),
+        ).alias("wow_growth_bp"),
+    )
