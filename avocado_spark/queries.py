@@ -756,6 +756,7 @@ _GATE_PRIORITY = [
     "events_daily_ohlc", "contamination_kwic",
     "conversion_latency_quantiles", "dedup_cluster_size_histogram",
     "part_price_band_rollup", "region_nation_revenue_rollup", "events_weekly_wow_growth",
+    "events_user_activity_gini", "dedup_survivorship_report",
     "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
     "training_shard_layout", "source_pctrank_norm",
     "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",

@@ -3003,3 +3003,70 @@ def dedup_cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "dedup_survivorship_report",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    kill AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+    toks AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt FROM aug),
+    stages AS (
+      SELECT 0 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+      FROM toks
+      UNION ALL
+      SELECT 1, 'after_near_dedup', COUNT(*), SUM(nt)
+      FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM kill)
+    )
+    SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+           CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_docs * 10000 // FIRST_VALUE(n_docs) OVER (ORDER BY stage_no) AS BIGINT)
+             AS docs_retained_bp
+    FROM stages
+    """,
+)
+def dedup_survivorship_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship funnel: docs and tokens before and after the
+    near-dup kill-list, with retention in exact integer basis points —
+    the one-glance answer to "how much corpus does dedup cost". The
+    kill-list is the CC non-canonical set; retention divides exact
+    bigints, so the report cannot drift."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("bigint").alias("nt")
+    )
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    kill = dedup_clusters(pairs).where(~F.col("is_canonical")).select("doc_id")
+    raw = toks.agg(
+        F.lit(0).cast("bigint").alias("stage_no"),
+        F.lit("raw").alias("stage"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    kept = toks.join(kill, "doc_id", "left_anti").agg(
+        F.lit(1).cast("bigint").alias("stage_no"),
+        F.lit("after_near_dedup").alias("stage"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    stages = raw.unionByName(kept)
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "cast(n_docs * 10000 div first(n_docs) over "
+            "(order by stage_no rows between unbounded preceding and current row) as bigint)"
+        ).alias("docs_retained_bp"),
+    )

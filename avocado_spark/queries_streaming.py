@@ -1899,3 +1899,51 @@ def events_weekly_wow_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast((n - lag_n) * 10000 div lag_n as bigint)"),
         ).alias("wow_growth_bp"),
     )
+
+
+@query(
+    "events_user_activity_gini",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+             COUNT(*) OVER () AS nn, SUM(n) OVER () AS tot
+      FROM per_user
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) AS total_events,
+           ROUND(2.0 * SUM(i * n) / (MAX(nn) * MAX(tot)) - (MAX(nn) + 1.0) / MAX(nn), 6)
+             AS gini
+    FROM ranked
+    """,
+)
+def events_user_activity_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration number
+    behind "do 1% of users generate 90% of events": rank-weighted sum
+    formula over EXACT integer counts (Σ i·x over sorted x), with the
+    only float step the final one-row division — both engines compute
+    the same expression on the same integers, so the 6-decimal Gini is
+    replay-stable. One rollup + one global rank window on the per-user
+    pre-agg."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(W.orderBy("n", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+        F.sum("n").over(W.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("nn").cast("bigint").alias("n_users"),
+        F.max("tot").cast("bigint").alias("total_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n")) / (F.max("nn") * F.max("tot"))
+            - (F.max("nn") + 1.0) / F.max("nn"),
+            6,
+        ).alias("gini"),
+    )
