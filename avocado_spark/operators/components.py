@@ -152,7 +152,9 @@ def dedup_clusters(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, broadcast_max_edges: int = 5_000_000
+) -> DataFrame:
     """Per-node triangle counts via the degree-oriented node-iterator
     (Suri & Vassilvitskii, WWW'11 — the MapReduce-era answer to the
     "curse of the last reducer"): orient every undirected edge from its
@@ -181,7 +183,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    broadcast_max_edges = 5_000_000
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()  # bounded driver scalar; also warms the cache
     deg = (

@@ -120,10 +120,20 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
 
 
 def _band_table(
-    sh: DataFrame, shingle_col: str = "shingles", extra_keys: tuple[str, ...] = ()
+    sh: DataFrame,
+    shingle_col: str = "shingles",
+    extra_keys: tuple[str, ...] = (),
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """(keys..., doc_id, band, key): MinHash signature → banded keys —
-    the shared pre-cap stage of candidate generation and cap telemetry."""
+    the shared pre-cap stage of candidate generation and cap telemetry.
+
+    Band geometry is the recall dial: P(candidate) = 1 − (1 − J^r)^b,
+    so the default 4×4 targets the J ≥ 0.5 dedup cut while 8×2 keeps
+    recall down at J ≈ 0.3 (threshold-sweep telemetry)."""
+    if n_bands * rows_per_band > N_HASHES:
+        raise ValueError("band geometry exceeds signature width")
     sig = sh.select(
         *extra_keys, "doc_id", minhash_signature(F.col(shingle_col)).alias("sig")
     )
@@ -132,10 +142,10 @@ def _band_table(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias("key"),
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias("key"),
                 ),
             )
         ).alias("bk"),
@@ -147,6 +157,8 @@ def _lsh_candidates(
     shingle_col: str = "shingles",
     extra_keys: tuple[str, ...] = (),
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, shingles[, keys...])
     table: signature → explode bands → drop hot buckets → equi
@@ -156,7 +168,13 @@ def _lsh_candidates(
     of size n yields n(n−1)/2 pairs, so without the cap one degenerate
     key turns the join quadratic — AQE splits partitions, not the pair
     count. With it, every bucket contributes ≤ cap²/2 pairs."""
-    bands = _band_table(sh, shingle_col=shingle_col, extra_keys=extra_keys)
+    bands = _band_table(
+        sh,
+        shingle_col=shingle_col,
+        extra_keys=extra_keys,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+    )
     if max_band_bucket is not None:
         # one window count on the same (band, key) partitioning the
         # self-join shuffles on anyway — no extra shuffle stage
@@ -236,6 +254,42 @@ def minhash_lsh_pairs(
     )
     cand = _lsh_candidates(sh, max_band_bucket=max_band_bucket)
     return _verify_jaccard(cand, sh, jaccard_threshold)
+
+
+def jaccard_band_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.3,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Threshold-tuning telemetry: Jaccard histogram (0.1 bands) of
+    candidate pairs at/above ``min_jaccard``, where the candidate set
+    is banded LSH tuned for recall at the LOW threshold — 8 bands × 2
+    rows gives P(candidate) = 1 − (1 − J²)^8 (≈ 0.53 at J = 0.3, → 1
+    fast above), vs the 4×4 dedup geometry that is near-blind below
+    0.5. The histogram is DEFINED over this candidate rule (both the
+    engine and any replica must use the same bands), so the plan never
+    materializes all pairs — O(candidates), not O(n²)."""
+    sh = (
+        _spread(docs)
+        .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = _lsh_candidates(
+        sh,
+        max_band_bucket=max_band_bucket,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+    )
+    ver = _verify_jaccard(cand, sh, min_jaccard)
+    return (
+        ver.select(F.floor(F.col("jaccard") * 10).cast("bigint").alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:

@@ -893,19 +893,38 @@ def percentile_normalize(
     """Per-group percentile-rank normalization of a score column —
     the cross-source calibration step before mixing heterogeneous
     quality signals (a raw score of 0.7 means different things on web
-    text vs code). ``percent_rank`` is rank-based, so it is exact and
-    engine-independent wherever the underlying order is total; ties
-    are broken by the id to keep the order total.
+    text vs code). percent_rank = (rank−1)/(n−1) is rank-based, so it
+    is exact and engine-independent wherever the underlying order is
+    total; ties are broken by the id to keep the order total.
 
-    One window shuffle on the group; no second pass (percent_rank
-    needs only the partition size, which the window frame carries).
+    A ``Window.partitionBy(group)`` would funnel each source through
+    ONE task (source cardinality is tiny — a handful of partitions for
+    the whole corpus), so the rank rides :func:`global_rank` with the
+    group as rank-restart key: range-partitioned on (group, value,
+    id), ranked in parallel per bucket, bucket offsets broadcast back.
+    Group sizes come from a tiny per-group rollup, broadcast-joined.
     """
-    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    return df.select(
-        id_col,
-        group_col,
-        F.col(value_col),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ranked = global_rank(
+        df.select(id_col, group_col, value_col),
+        [F.col(value_col).asc(), F.col(id_col).asc()],
+        rank_col="_r",
+        partition_cols=[group_col],
+    )
+    ng = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    return (
+        ranked.join(F.broadcast(ng), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col(value_col),
+            F.round(
+                F.when(
+                    F.col("_ng") > 1,
+                    (F.col("_r") - 1).cast("double") / (F.col("_ng") - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+        )
     )
 
 
@@ -1232,6 +1251,87 @@ def join_skew_report(
     return heavy.unionByName(overall)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    rank_col: str = "rank",
+    partition_cols: Sequence[str] = (),
+    cumsum_cols: dict[str, str] | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Scalable total-order ``row_number`` (optionally restarting per
+    ``partition_cols`` group, optionally with running sums over the
+    same order) WITHOUT the single-partition sort that
+    ``Window.orderBy`` compiles to.
+
+    Two-phase rank: (1) ``repartitionByRange`` on the order columns —
+    every bucket holds a contiguous key range sized for one task, and
+    ``spark_partition_id`` after a range exchange ascends with the
+    sort order; (2) an ordinary PARALLEL window partitioned by
+    (bucket, group) ranks locally, and per-bucket counts/sums (one
+    tiny row per bucket × group) are cumulated with a triangular
+    broadcast self-join and added back as offsets. The plan contains
+    no Exchange SinglePartition under a Sort/Window — the shape that
+    survives a 100× scale-up where a global window funnels the whole
+    input through one task.
+
+    ``order_cols`` are Column expressions and may carry sort
+    direction (``F.col("x").desc()``); ties must be broken (include a
+    unique id) for the rank to be deterministic. ``cumsum_cols`` maps
+    output column name → input column name for inclusive running
+    totals in the same order (the ABC/Pareto cumulative-share shape).
+    """
+    cumsum_cols = cumsum_cols or {}
+    sess = df.sparkSession
+    if buckets is None:
+        buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    pcols = list(partition_cols)
+    ranged = df.repartitionByRange(buckets, *pcols, *order_cols).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("_gr_pid", *pcols).orderBy(*order_cols)
+    wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ranged.withColumn("_gr_lr", F.row_number().over(wl))
+    for out_col, in_col in cumsum_cols.items():
+        local = local.withColumn(f"_gr_ls_{out_col}", F.sum(in_col).over(wcum))
+    counts = ranged.groupBy("_gr_pid", *pcols).agg(
+        F.count(F.lit(1)).alias("_gr_n"),
+        *[
+            F.sum(in_col).alias(f"_gr_s_{out_col}")
+            for out_col, in_col in cumsum_cols.items()
+        ],
+    )
+    # cumulate the ≤ buckets × groups bucket totals by EXPLODING each
+    # bucket's total onto every later pid and hash-aggregating — a
+    # buckets²-row intermediate (tiny, driver-known bound) that keeps
+    # the plan free of both single-partition window exchanges and
+    # inequality nested-loop joins, so plan gates can assert the scale
+    # property outright
+    spread = counts.where(F.col("_gr_pid") < buckets - 1).select(
+        F.explode(
+            F.sequence(F.col("_gr_pid") + 1, F.lit(buckets - 1))
+        ).alias("_gr_pid"),
+        *pcols,
+        "_gr_n",
+        *[f"_gr_s_{c}" for c in cumsum_cols],
+    )
+    offsets = spread.groupBy("_gr_pid", *pcols).agg(
+        F.sum("_gr_n").alias("_gr_off"),
+        *[F.sum(f"_gr_s_{c}").alias(f"_gr_soff_{c}") for c in cumsum_cols],
+    )
+    out = local.join(F.broadcast(offsets), ["_gr_pid", *pcols], "left").withColumn(
+        rank_col,
+        (F.col("_gr_lr") + F.coalesce(F.col("_gr_off"), F.lit(0))).cast("bigint"),
+    )
+    drop = ["_gr_pid", "_gr_lr", "_gr_off"]
+    for c in cumsum_cols:
+        out = out.withColumn(
+            c, F.col(f"_gr_ls_{c}") + F.coalesce(F.col(f"_gr_soff_{c}"), F.lit(0))
+        )
+        drop += [f"_gr_ls_{c}", f"_gr_soff_{c}"]
+    return out.drop(*drop)
+
+
 def quantile_normalize(
     df: DataFrame,
     group: str,
@@ -1249,16 +1349,17 @@ def quantile_normalize(
     to global index 1 + (r−1)·(N−1) div (n−1) (midpoint for singleton
     groups), then an equi-join picks the global order statistic — no
     float interpolation, so the mapping is engine-replayable. Shape:
-    one window per side + one join on the rank index; the global sort
-    window is the scale bottleneck and becomes a repartitionByRange
-    two-phase rank beyond memory."""
+    one window per side + one join on the rank index; the global
+    order statistic table rides :func:`global_rank` (two-phase
+    repartitionByRange rank), never a single-partition sort."""
     wg = Window.partitionBy(group).orderBy(value, tie_col)
     ranked = df.withColumn("_r", F.row_number().over(wg)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(group))
     )
-    wo = Window.orderBy(value, tie_col)
-    glob = df.select(value, tie_col).withColumn(
-        "_gi", F.row_number().over(wo)
+    glob = global_rank(
+        df.select(value, tie_col),
+        [F.col(value).asc(), F.col(tie_col).asc()],
+        rank_col="_gi",
     )
     n_total = df.count()  # bounded driver scalar (row count)
     idx = F.when(

@@ -697,110 +697,95 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Gate-priority order: the driver's correctness run processes the
-# registry in insertion order and may cap the query count per round, so
-# queries whose coverage is newest/most at risk come FIRST — (1) entries
-# with no CORRECTNESS row yet, (2) this round's new differentials,
-# (3) everything downstream of the reworked genotyping core, (4) the
-# LLM-pipeline family, (5) kernels/relational ops unchanged and green
-# since round 1 (safe to drop under a cap).
+# registry in insertion order and caps the sample per round (50), so
+# queries whose coverage is newest/most at risk come FIRST: (0) rows
+# rewritten this round, (1) rows with no driver CORRECTNESS row in any
+# round yet, (2) previously-green rows, least recently verified first
+# (safe to drop under the cap).
 _GATE_PRIORITY = [
-    # The driver's correctness gate samples the FIRST 50 entries, so
-    # the 50 rows the round-4 verdict explicitly gates on come first:
-    # (0) round-4 reds: the 9 NTZ-regression queries, fixed in round 5
-    # at the scan boundary (time_fns.ts_us + load_table normalization) —
-    # these MUST re-prove against the driver differential (verdict #1).
-    "events_asof_join", "events_funnel", "stream_trending_topk",
-    "stream_tumbling_hourly", "stream_sliding_30m", "stream_session_windows",
-    "stream_dedup_first", "stream_running_total", "stream_attribution_join",
-    # (1) §2 blind spots the verdict names (no driver row since r2/r3):
-    # interval joins, coverage cap, MinHash, realigner (verdict #7)
-    "interval_join_broadcast", "interval_join_binned",
-    "coverage_cap", "minhash_dedup_pairs", "realign_reads",
-    # (2) round-5 additions — the round-5 gate never ran, no driver row
-    "chunk_dedup", "ngram_corpus_topk", "weighted_mix", "events_rolling_stats",
-    "revenue_multijoin", "stream_static_enrich", "bucketed_colocated_join",
-    "dim_upsert_compact", "sink_schema_evolution", "events_rollup_hierarchy",
-    "table_profile", "events_zscore_outliers", "events_value_deciles",
-    "events_interarrival", "dataset_split", "split_leakage",
-    # (3) round-6 additions — no driver row yet (positions 30-49; this
-    # group closes out the 50-row sample window)
-    "bm25_topk", "inverted_index", "pack_sequences", "pii_scrub",
-    "salted_skew_join", "winsorized_stats", "events_ewma",
+    # The driver's correctness gate samples the FIRST 50 entries in
+    # this order. Round-6 rotation (r5 verdict #3): burn down the
+    # driver-sample debt — every query below the 50-line was green in
+    # some earlier round; everything above has NEVER had a driver row.
+    # (0) queries REWRITTEN this round (global_rank two-phase windows,
+    # LSH-backed threshold sweep) — must prove against the driver:
+    "events_user_activity_gini", "conversion_latency_quantiles",
+    "events_encoding_advisor", "quality_reliability_table",
+    "events_quantile_normalize", "source_pctrank_norm",
+    "customer_abc_analysis", "dedup_threshold_sweep",
+    # (1) the remaining never-driver-sampled queries, registry order
+    # (the first ~42 fit this round's 50-cap; the tail is round 7's):
+    "events_mutual_info", "bloom_pruned_join", "events_cms_user_counts",
+    "events_hll_daily_users", "dedup_canonical_keep",
+    "orders_pareto_frontier", "events_partition_fingerprint_diff",
+    "customer_er_clusters", "incremental_dedup_pairs",
+    "cms_join_size_estimate", "compaction_plan", "normalize_dedup_impact",
+    "session_paths", "events_join_skew_report", "events_hll_rolling_users",
+    "coorder_kcore", "negative_sample_pairs", "chunk_sliding_windows",
+    "events_burst_alerts", "scd2_point_in_time_join",
+    "ann_srp_multiprobe_recall", "budget_fill_sample",
+    "events_key_uniqueness_audit", "lineitem_ols_two_features",
+    "knn_label_consistency", "embedding_source_drift", "ab_test_analysis",
+    "events_value_psi", "interval_union_length", "table_schema_contract",
+    "dataset_card", "orders_per_customer_distribution",
+    "idle_rich_customers", "events_volume_anomaly_days",
+    "supplier_region_hhi", "shipping_lead_time_stats", "events_daily_ohlc",
+    "contamination_kwic", "dedup_cluster_size_histogram",
+    "part_price_band_rollup", "region_nation_revenue_rollup",
+    "events_weekly_wow_growth", "dedup_survivorship_report",
+    "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
+    "training_shard_layout", "coorder_triangles", "multitouch_attribution",
+    "small_qty_avg_filter", "semantic_dedup_killlist",
+    "longgram_overlap_pairs", "cdc_chunking", "cdc_dedup_stats",
+    "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
+    "coorder_pagerank", "cohort_retention", "incremental_agg_maintenance",
+    "lineitem_unpivot", "stream_attribution_outer",
+    "events_dow_hour_profile", "events_partition_gaps",
+    "part_association_lift", "events_transition_matrix",
+    "events_expectations", "events_table_fingerprint", "unigram_surprisal",
+    "session_conversion", "funnel_conversion_rates", "langid_confusion",
+    "embedding_health", "embedding_dim_variance",
+    # (2) previously-green rows, least-recently-verified first:
+    "ann_srp_bucketed", "token_count", "quality_score", "language_id",
+    "doc_fingerprint", "scan_project_filter", "broadcast_equijoin_dim",
+    "multiway_union", "semi_join_cohort", "anti_join_novel",
+    "genome_sort_rank", "topk_per_group", "phred_kernels",
+    "log_space_kernels", "genotype_state_quality", "reversed_array_add",
+    "rms_mapq_rollup", "allele_trim", "mate_nullify", "sample_catalog",
+    "ploidy_extremes", "interval_join_group_right", "cnv_point_lookup",
+    "prefilter_reads", "count_filter_discovery", "merge_discovered_dedup",
+    "exact_dedup", "simhash_signatures", "ngram_jaccard_pairs",
+    "embedding_dup_pairs", "ann_topk_cosine", "biallelic_pipeline",
+    "gvcf_jointer_e2e", "biallelic_multiallelic", "dedup_clusters",
+    "ann_ivf_kmeans_recall", "sink_roundtrip_partitioned", "sink_glob_union",
+    "sink_sorted_single_file", "multimodal_features", "dedup_cap_stats",
+    "decontaminate_ngrams", "repetition_stats", "stratified_sample",
+    "tfidf_top_terms", "events_value_quantiles", "simhash_dup_pairs",
+    "ann_recall_eval", "ann_ivf_probed", "token_count_bpe",
+    "multimodal_frame_sample", "events_props_parse", "events_salted_agg",
+    "gopher_quality_gate", "biallelic_pipeline_indel",
+    "gvcf_all_sites_indel", "biallelic_cnv_ploidy", "trio_from_reads",
+    "prefilter_reads_preset", "gvcf_all_sites", "gvcf_square_off",
+    "joint_recall", "trio_mendelian", "discover_variants", "score_table_gen",
+    "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
+    "hard_filter_annotate", "variant_summary", "maf_site_quality",
+    "wide_agg_q1", "events_asof_join", "events_funnel",
+    "stream_trending_topk", "stream_tumbling_hourly", "stream_sliding_30m",
+    "stream_session_windows", "stream_dedup_first", "stream_running_total",
+    "stream_attribution_join", "interval_join_broadcast",
+    "interval_join_binned", "coverage_cap", "minhash_dedup_pairs",
+    "realign_reads", "chunk_dedup", "ngram_corpus_topk", "weighted_mix",
+    "events_rolling_stats", "revenue_multijoin", "stream_static_enrich",
+    "bucketed_colocated_join", "dim_upsert_compact", "sink_schema_evolution",
+    "events_rollup_hierarchy", "table_profile", "events_zscore_outliers",
+    "events_value_deciles", "events_interarrival", "dataset_split",
+    "split_leakage", "bm25_topk", "inverted_index", "pack_sequences",
+    "pii_scrub", "salted_skew_join", "winsorized_stats", "events_ewma",
     "zorder_layout", "zorder_pruning", "ann_int8_recall",
     "embedding_centroids", "events_pivot_wide", "lineitem_cube",
     "fuzzy_dup_verify", "lineitem_corr_regression", "events_chisq",
     "source_vocab_overlap", "sink_csv_roundtrip", "sink_json_roundtrip",
-    "source_token_entropy", "events_mutual_info",
-    # ---- 50-sample boundary (one overflow above rides rotation) ----
-    # (4) round-7/8 additions — verified locally by the same vanilla-
-    # session differential; first in line for the next rotation
-    "bloom_pruned_join", "events_cms_user_counts", "events_hll_daily_users",
-    "dedup_canonical_keep", "orders_pareto_frontier",
-    "events_partition_fingerprint_diff", "customer_er_clusters",
-    "incremental_dedup_pairs", "cms_join_size_estimate", "compaction_plan",
-    "normalize_dedup_impact", "session_paths", "events_join_skew_report",
-    "events_hll_rolling_users", "events_quantile_normalize",
-    "coorder_kcore", "negative_sample_pairs", "chunk_sliding_windows",
-    "events_burst_alerts", "scd2_point_in_time_join",
-    "ann_srp_multiprobe_recall", "budget_fill_sample",
-    "events_key_uniqueness_audit", "events_encoding_advisor",
-    "lineitem_ols_two_features", "knn_label_consistency",
-    "quality_reliability_table", "embedding_source_drift",
-    "ab_test_analysis", "events_value_psi",
-    "interval_union_length", "table_schema_contract",
-    "dataset_card",
-    "orders_per_customer_distribution", "idle_rich_customers",
-    "events_volume_anomaly_days",
-    "supplier_region_hhi",
-    "customer_abc_analysis", "shipping_lead_time_stats",
-    "events_daily_ohlc", "contamination_kwic",
-    "conversion_latency_quantiles", "dedup_cluster_size_histogram",
-    "part_price_band_rollup", "region_nation_revenue_rollup", "events_weekly_wow_growth",
-    "events_user_activity_gini", "dedup_survivorship_report",
-    "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
-    "training_shard_layout", "source_pctrank_norm",
-    "coorder_triangles", "multitouch_attribution", "small_qty_avg_filter",
-    "semantic_dedup_killlist", "longgram_overlap_pairs",
-    "cdc_chunking", "cdc_dedup_stats",
-    "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
-    "coorder_pagerank", "cohort_retention",
-    "incremental_agg_maintenance", "lineitem_unpivot",
-    "stream_attribution_outer", "events_dow_hour_profile",
-    "events_partition_gaps", "part_association_lift",
-    "events_transition_matrix", "events_expectations",
-    "events_table_fingerprint", "unigram_surprisal",
-    "session_conversion", "funnel_conversion_rates", "langid_confusion",
-    "embedding_health", "embedding_dim_variance", "dedup_threshold_sweep",
-    # (5) remaining least-recently-verified §2 rows
-    "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
-    "count_filter_discovery", "merge_discovered_dedup",
-    "exact_dedup", "simhash_signatures", "ngram_jaccard_pairs",
-    "embedding_dup_pairs", "ann_topk_cosine", "ann_srp_bucketed",
-    "token_count", "quality_score", "language_id", "doc_fingerprint",
-    # (2) last green in r1, never re-sampled since
-    "scan_project_filter", "broadcast_equijoin_dim", "multiway_union",
-    "semi_join_cohort", "anti_join_novel", "genome_sort_rank",
-    "topk_per_group", "phred_kernels", "log_space_kernels",
-    "genotype_state_quality", "reversed_array_add", "rms_mapq_rollup",
-    "allele_trim", "mate_nullify", "sample_catalog", "ploidy_extremes",
-    # (3) green in r4 — re-confirm the flagship chain inside the 50-cap,
-    # everything after rides along if the cap allows
-    "biallelic_pipeline", "gvcf_jointer_e2e", "biallelic_multiallelic",
-    "dedup_clusters", "ann_ivf_kmeans_recall",
-    "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
-    "multimodal_features", "dedup_cap_stats",
-    "decontaminate_ngrams", "repetition_stats",
-    "stratified_sample", "tfidf_top_terms", "events_value_quantiles",
-    "simhash_dup_pairs", "ann_recall_eval", "ann_ivf_probed",
-    "token_count_bpe", "multimodal_frame_sample",
-    "events_props_parse", "events_salted_agg",
-    "gopher_quality_gate", "biallelic_pipeline_indel", "gvcf_all_sites_indel",
-    "biallelic_cnv_ploidy", "trio_from_reads", "prefilter_reads_preset",
-    "gvcf_all_sites", "gvcf_square_off", "joint_recall",
-    "trio_mendelian", "discover_variants", "score_table_gen",
-    "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
-    "hard_filter_annotate", "variant_summary", "maf_site_quality",
-    "wide_agg_q1",
+    "source_token_entropy",
 ]
 
 
@@ -1958,22 +1943,27 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto revenue classification: customers ranked by exact
     cent revenue, cumulative share thresholds at 80/95% evaluated in
     INTEGER cross-multiplication (cum*100 <= tot*80 — no float share,
-    so the class boundary can never flip on rounding). The global-order
-    window runs over the per-customer pre-agg, not the fact table."""
+    so the class boundary can never flip on rounding). The cumulative
+    sum rides the two-phase :func:`global_rank` cumsum (range-
+    partitioned parallel prefix sum over the per-customer pre-agg, no
+    single-partition window) and the grand total is a broadcast
+    one-row aggregate."""
     o = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W  # noqa: N814
+    from avocado_spark.operators.relational import global_rank
 
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("rev_c")
     )
-    w = W.orderBy(F.desc("rev_c"), F.asc("o_custkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    cum = global_rank(
+        rev,
+        [F.col("rev_c").desc(), F.col("o_custkey").asc()],
+        rank_col="_rk",
+        cumsum_cols={"cum_c": "rev_c"},
     )
-    ranked = rev.withColumn("cum_c", F.sum("rev_c").over(w)).withColumn(
-        "tot_c", F.sum("rev_c").over(W.partitionBy())
-    )
+    tot = rev.agg(F.sum("rev_c").alias("tot_c"))
+    ranked = cum.crossJoin(F.broadcast(tot))
     classed = ranked.withColumn(
         "abc_class",
         F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")

@@ -2249,10 +2249,29 @@ def embedding_dim_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s FROM aug
     ),
     shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+      SELECT doc_id, s,
+             [list_min(list_transform(s, x -> ((2*(i-1)+3) * x + (5*(i-1)+7)) % 1000000007))
+              for i in generate_series(1, 16)] AS sg
+      FROM shn
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band, list_slice(sg, b.b*2 + 1, b.b*2 + 2) AS key
+      FROM sig, (SELECT UNNEST(generate_series(0, 7)) AS b) b
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM bands
+      ) WHERE bsz <= 200
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+      SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+      FROM cand c JOIN shn sa ON sa.doc_id = c.a_id JOIN shn sb ON sb.doc_id = c.b_id
     ),
     banded AS (
       SELECT CAST(FLOOR(j * 10) AS BIGINT) AS band FROM pairs WHERE j >= 0.3
@@ -2262,30 +2281,20 @@ def embedding_dim_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold-tuning telemetry: the Jaccard histogram of all
-    above-0.3 document pairs in 0.1 bands — the evidence for choosing
-    a dedup cutoff (where does the true-dup mass separate from the
-    topical-similarity tail?). Exact pairwise over the small augmented
-    corpus; at scale the same histogram rides the LSH candidate set."""
-    from avocado_spark.operators.dedup import shingle_hashes
+    """Threshold-tuning telemetry: the Jaccard histogram of above-0.3
+    candidate pairs in 0.1 bands — the evidence for choosing a dedup
+    cutoff (where does the true-dup mass separate from the topical-
+    similarity tail?). The histogram is defined over a band-complete
+    LSH candidate set retuned for the LOW threshold (8 bands × 2 rows
+    of the same 16-hash signature — recall ≈ 0.53 at J = 0.3, ≈ 0.97 at
+    J = 0.5), so the plan is O(candidates) with the standard hot-bucket
+    cap, never the all-pairs crossJoin; the oracle applies the
+    identical candidate rule."""
+    from avocado_spark.operators.dedup import jaccard_band_histogram
 
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
-    sh = (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select("doc_id", shingle_hashes(F.col("text")).alias("s"))
-        .where(F.size("s") > 0)
-    )
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
-    pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect("a_s", "b_s"))
-    j = inter.cast("double") / (F.size("a_s") + F.size("b_s") - inter)
-    return (
-        pairs.select(j.alias("j"))
-        .where(F.col("j") >= 0.3)
-        .select(F.floor(F.col("j") * 10).cast("bigint").alias("band"))
-        .groupBy("band")
-        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    return jaccard_band_histogram(
+        docs, min_jaccard=0.3, n_bands=8, rows_per_band=2
     )
 
 
@@ -2759,9 +2768,13 @@ def quality_reliability_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability table for a quality score: lexical-diversity deciles
     vs the rate of passing an independent length/shape gate — the
     calibration check that tells whether a cheap score can stand in
-    for the expensive gate (and at which threshold). One window + one
-    rollup."""
-    from pyspark.sql import Window as W  # noqa: N814
+    for the expensive gate (and at which threshold). A global NTILE
+    would be a single-partition sort, so the decile is derived from a
+    two-phase :func:`global_rank` plus the standard NTILE position
+    formula (first n mod k tiles get ceil(n/k) rows) with the row
+    count broadcast from a one-row aggregate — identical tile
+    boundaries, fully parallel sort."""
+    from avocado_spark.operators.relational import global_rank
 
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
@@ -2776,9 +2789,23 @@ def quality_reliability_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("passed"),
     ).where(F.size(toks) > 0)
-    ranked = scored.withColumn(
-        "decile", F.ntile(10).over(W.orderBy("score", "doc_id"))
+    ranked = global_rank(
+        scored, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="_r"
     )
+    ntotal = scored.agg(F.count(F.lit(1)).alias("_n"))
+    # NTILE(10) from the global rank r and total n: base size q = n div
+    # 10, the first n mod 10 tiles carry q+1 rows (SQL-standard NTILE,
+    # same in DuckDB); greatest(q,1) only guards the never-taken branch
+    # when n < 10 (ANSI div-by-zero)
+    qsz = F.expr("_n div 10")
+    rem = F.col("_n") % 10
+    cutoff = rem * (qsz + 1)
+    decile = F.when(
+        F.col("_r") <= cutoff, F.expr("(_r - 1) div (_n div 10 + 1)") + 1
+    ).otherwise(
+        rem + F.expr("(_r - 1 - (_n % 10) * (_n div 10 + 1)) div greatest(_n div 10, 1)") + 1
+    )
+    ranked = ranked.crossJoin(F.broadcast(ntotal)).withColumn("decile", decile)
     return ranked.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("passed").cast("bigint").alias("n_passed"),

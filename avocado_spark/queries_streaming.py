@@ -1463,17 +1463,51 @@ def events_encoding_advisor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run count in the table's physical order → dictionary / RLE /
     plain suggestion — the storage-layout scorecard that tells you
     whether a sort (or Z-order) before write would make the parquet
-    pages collapse. One window pass + one wide agg."""
+    pages collapse. A global ``lag`` would funnel the whole fact table
+    through one task, so the run count is computed two-phase: range-
+    partition on event_id, lag INSIDE each bucket with a parallel
+    window, and stitch the bucket boundaries by broadcasting each
+    bucket's last row to the next bucket's first (≤ buckets rows of
+    boundary state — the classic distributed run-length shape)."""
     from pyspark.sql import Window as W  # noqa: N814
     from pyspark.sql import functions as F  # noqa: F811
 
     ev = load_table(spark, sf_dir, "events")
-    w = W.orderBy("event_id")
-    ordered = ev.select(
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = ev.select("event_id", "event_type", "user_id").repartitionByRange(
+        buckets, "event_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    w = W.partitionBy("_pid").orderBy("event_id")
+    local = ranged.select(
+        "_pid",
         "event_type",
         "user_id",
+        "event_id",
         F.lag("event_type").over(w).alias("prev_et"),
         F.lag("user_id").over(w).alias("prev_uid"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    bounds = ranged.groupBy("_pid").agg(
+        F.max_by("event_type", "event_id").alias("_last_et"),
+        F.max_by("user_id", "event_id").alias("_last_uid"),
+    )
+    carry = bounds.select(
+        (F.col("_pid") + 1).alias("_pid"),
+        F.col("_last_et").alias("_carry_et"),
+        F.col("_last_uid").alias("_carry_uid"),
+    )
+    ordered = (
+        local.join(F.broadcast(carry), "_pid", "left")
+        .select(
+            "event_type",
+            "user_id",
+            F.when(F.col("_rn") == 1, F.col("_carry_et"))
+            .otherwise(F.col("prev_et"))
+            .alias("prev_et"),
+            F.when(F.col("_rn") == 1, F.col("_carry_uid"))
+            .otherwise(F.col("prev_uid"))
+            .alias("prev_uid"),
+        )
     )
 
     def stat(name: str, col: str, prev: str):
@@ -1818,9 +1852,13 @@ def conversion_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFram
     rank-position quantiles (ceil(q·n/100), the same exact-order-
     statistic convention as exact_group_quantiles — no interpolation,
     so the report is engine-replayable). The funnel-latency metric a
-    growth dashboard reads."""
-    from pyspark.sql import Window as W  # noqa: N814
+    growth dashboard reads. The rank comes from the two-phase
+    :func:`global_rank` (parallel range-partitioned sort, no
+    single-partition window) and the five target positions are a
+    broadcast 5-row table joined on the rank."""
     from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import global_rank
 
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
@@ -1832,24 +1870,25 @@ def conversion_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFram
     ).select(
         "user_id", F.expr("(fp - fv) div 60000000").alias("latency_min")
     )
-    ranked = lat.select(
-        "latency_min",
-        F.row_number().over(W.orderBy("latency_min", "user_id")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    ranked = global_rank(
+        lat, [F.col("latency_min").asc(), F.col("user_id").asc()], rank_col="rk"
     )
+    ntotal = lat.agg(F.count(F.lit(1)).alias("n"))
     qs = spark.range(1).select(
         F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 90, 99)])).alias(
             "quantile_pct"
         )
     )
-    return qs.join(
-        ranked,
-        ranked["rk"]
-        == F.greatest(
+    targets = qs.crossJoin(ntotal).select(
+        "quantile_pct",
+        F.greatest(
             F.lit(1),
             F.ceil(F.col("quantile_pct") * F.col("n") / 100.0).cast("bigint"),
-        ),
-    ).select("quantile_pct", F.col("latency_min").cast("bigint").alias("latency_min"))
+        ).alias("rk"),
+    )
+    return ranked.join(F.broadcast(targets), "rk").select(
+        "quantile_pct", F.col("latency_min").cast("bigint").alias("latency_min")
+    )
 
 
 @query(
@@ -1925,25 +1964,26 @@ def events_user_activity_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula over EXACT integer counts (Σ i·x over sorted x), with the
     only float step the final one-row division — both engines compute
     the same expression on the same integers, so the 6-decimal Gini is
-    replay-stable. One rollup + one global rank window on the per-user
-    pre-agg."""
-    from pyspark.sql import Window as W  # noqa: N814
+    replay-stable. One rollup + a two-phase :func:`global_rank` on the
+    per-user pre-agg (range-partitioned parallel rank — never a
+    single-partition window), and the count/total come straight out of
+    the one final aggregate instead of per-row global windows."""
     from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import global_rank
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = per_user.select(
-        "n",
-        F.row_number().over(W.orderBy("n", "user_id")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
-        F.sum("n").over(W.partitionBy()).alias("tot"),
+    ranked = global_rank(
+        per_user, [F.col("n").asc(), F.col("user_id").asc()], rank_col="i"
     )
+    nn = F.count(F.lit(1))
+    tot = F.sum("n")
     return ranked.agg(
-        F.max("nn").cast("bigint").alias("n_users"),
-        F.max("tot").cast("bigint").alias("total_events"),
+        nn.cast("bigint").alias("n_users"),
+        tot.cast("bigint").alias("total_events"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("n")) / (F.max("nn") * F.max("tot"))
-            - (F.max("nn") + 1.0) / F.max("nn"),
+            2.0 * F.sum(F.col("i") * F.col("n")) / (nn * tot) - (nn + 1.0) / nn,
             6,
         ).alias("gini"),
     )

@@ -184,5 +184,135 @@ def main() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# --sf-scale-check: 10× nonlinearity spot-check (r5 verdict #5).
+#
+# The sf0.1 bench can't see a superlinear blowup — a quadratic stage is
+# fast at 600k rows and fatal at 100 TB. This mode derives a ~10× slice
+# by replicating the sf0.1 fact tables with per-replica KEY SHIFTS
+# (facts grow, dimensions stay fixed — the realistic growth axis:
+# 10× users, 10× orders, 10× docs, same parts/nations), times a set of
+# shuffle-heavy queries at both scales once, and asserts the wall-time
+# ratio stays near-linear. Bounds are per-query: most get 15×
+# (10× data + constant-factor margin over one noisy sample);
+# coorder_triangles gets 45× because its wedge bound is genuinely
+# O(m^1.5). Exit code 1 on any bound violation.
+# ---------------------------------------------------------------------------
+
+_SCALE_FACTOR = 10
+# (query, ratio bound) — the r6-fixed global-window family, the
+# LSH-backed sweep, and the most expensive headline queries
+_SCALE_QUERIES = [
+    ("events_user_activity_gini", 15.0),
+    ("conversion_latency_quantiles", 15.0),
+    ("events_encoding_advisor", 15.0),
+    ("quality_reliability_table", 15.0),
+    ("events_quantile_normalize", 15.0),
+    ("source_pctrank_norm", 15.0),
+    ("customer_abc_analysis", 15.0),
+    ("dedup_threshold_sweep", 15.0),
+    ("minhash_dedup_pairs", 15.0),
+    ("dedup_clusters", 15.0),
+    ("dedup_canonical_keep", 15.0),
+    ("wide_agg_q1", 15.0),
+    ("coorder_triangles", 45.0),  # O(m^1.5) wedge stream by design
+]
+
+
+def _build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from avocado_spark.session import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    shifts = {
+        # fact tables: shift every entity key per replica so counts and
+        # cardinalities grow 10× instead of multiplicity growing 10×
+        "lineitem": lambda df, r: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + r * 10**9
+        ),
+        "orders": lambda df, r: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + r * 10**9
+        ).withColumn("o_custkey", F.col("o_custkey") + r * 10**9),
+        "events": lambda df, r: df.withColumn(
+            "event_id", F.col("event_id") + r * 10**12
+        ).withColumn("user_id", F.col("user_id") + r * 10**9),
+        # perturb replica text (append a replica token) so replicated
+        # docs are near-dups, not byte-identical floods of one bucket
+        "documents": lambda df, r: df.withColumn(
+            "doc_id", F.col("doc_id") + r * 10**9
+        ).withColumn("text", F.concat(F.col("text"), F.lit(f" zrep{r}"))),
+        "embeddings": lambda df, r: df.withColumn(
+            "vec_id", F.col("vec_id") + r * 10**9
+        ),
+    }
+    copy_only = ["region", "nation", "customer", "supplier", "part"]
+    for name, shift in shifts.items():
+        base = load_table(spark, sf_dir, name)
+        out = base
+        for r in range(1, factor):
+            out = out.unionByName(shift(base, r))
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    for name in copy_only:
+        load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def sf_scale_check() -> int:
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from avocado_spark.queries import get_queries
+    from avocado_spark.session import get_spark
+
+    spark = get_spark(app_name="avocado_spark_scale_check")
+    registry = get_queries()
+    scaled_dir = tempfile.mkdtemp(prefix="sfx10_")
+    t0 = time.perf_counter()
+    _build_scaled_dir(spark, sf_dir, scaled_dir, _SCALE_FACTOR)
+    print(f"# scaled dir built in {time.perf_counter() - t0:.1f}s: {scaled_dir}",
+          file=sys.stderr)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    results: dict[str, dict] = {}
+    failed = []
+    for name, bound in _SCALE_QUERIES:
+        if name not in registry:
+            continue
+        row = {}
+        try:
+            for key, d in (("t1", sf_dir), ("t10", scaled_dir)):
+                t0 = time.perf_counter()
+                registry[name](spark, d).count()
+                row[key] = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+            row["ratio"] = round(row["t10"] / max(row["t1"], 1e-3), 2)
+            row["bound"] = bound
+            row["ok"] = row["ratio"] <= bound
+        except Exception as e:  # noqa: BLE001 — report, keep checking
+            row["error"] = f"{type(e).__name__}: {e}"[:300]
+            row["ok"] = False
+        if not row["ok"]:
+            failed.append(name)
+        results[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+
+    shutil.rmtree(scaled_dir, ignore_errors=True)
+    print(json.dumps({
+        "metric": "sf_scale_check_failures",
+        "value": len(failed),
+        "unit": "queries",
+        "factor": _SCALE_FACTOR,
+        "queries": results,
+        "failed": failed,
+    }))
+    spark.stop()
+    return 1 if failed else 0
+
+
 if __name__ == "__main__":
+    if "--sf-scale-check" in sys.argv:
+        sys.exit(sf_scale_check())
     main()

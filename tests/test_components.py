@@ -108,3 +108,47 @@ def test_dedup_clusters_payload(spark):
     assert rows[1]["cluster_id"] == 1 and rows[3]["cluster_id"] == 1
     assert rows[1]["cluster_size"] == 3 and rows[7]["cluster_size"] == 2
     assert rows[1]["is_canonical"] and not rows[9]["is_canonical"]
+
+
+def test_triangle_counts_shuffle_fallback_matches_broadcast(spark):
+    """Above ``broadcast_max_edges`` the wedge closure must fall back to
+    a shuffle join (no BroadcastExchange of the edge set) and still
+    count the same triangles — the contract that lets the 5M-edge
+    default be a hint, not a correctness boundary."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.components import triangle_counts
+
+    random.seed(6)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (random.randrange(60), random.randrange(60)) for _ in range(400)
+        )
+        if a != b
+    })
+    df = spark.createDataFrame(edges, "u long, v long")
+    base = {(r["node"], r["n_triangles"]) for r in triangle_counts(df).collect()}
+    assert base, "fixture must contain triangles"
+
+    # force the fallback: cap below the edge count, auto-broadcast off
+    # (both the static threshold and AQE's runtime re-broadcast)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = triangle_counts(df, broadcast_max_edges=10)
+        got = {(r["node"], r["n_triangles"]) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == base
+    assert "BroadcastExchange" not in plan, plan

@@ -680,3 +680,45 @@ def test_band_join_is_hash_not_nlj(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# the r5 verdict's "weak set": queries that formerly rode an
+# unpartitioned Window.orderBy — a single-task sort of the whole input
+# at scale. All now ride relational.global_rank (two-phase
+# repartitionByRange rank). The gate asserts the killer shape is gone:
+# no Sort/Window node fed by an Exchange SinglePartition anywhere in
+# the physical plan (SinglePartition under a scalar HashAggregate is
+# fine — that is partial-agg rows, not data).
+GLOBAL_RANK_FIXED = [
+    "events_user_activity_gini",
+    "conversion_latency_quantiles",
+    "events_encoding_advisor",
+    "quality_reliability_table",
+    "events_quantile_normalize",
+    "source_pctrank_norm",
+    "customer_abc_analysis",
+]
+
+
+def assert_no_single_partition_sort(plan: str) -> None:
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        above = " ".join(lines[max(0, i - 2) : i])
+        assert "Sort [" not in above and "Window" not in above, (
+            "single-partition sort/window:\n" + "\n".join(lines[max(0, i - 3) : i + 1])
+        )
+
+
+@pytest.mark.parametrize("name", GLOBAL_RANK_FIXED)
+def test_no_global_single_partition_window(spark, name):
+    assert_no_single_partition_sort(final_plan(plan_of(spark, name)))
+
+
+def test_threshold_sweep_rides_lsh_not_allpairs(spark):
+    """dedup_threshold_sweep was a literal all-pairs crossJoin (r5
+    verdict #2); it must now ride the banded-LSH candidate equi-join."""
+    plan = final_plan(plan_of(spark, "dedup_threshold_sweep"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
