@@ -1362,9 +1362,17 @@ def quantile_normalize(
         rank_col="_gi",
     )
     n_total = df.count()  # bounded driver scalar (row count)
+    # the rank-index product (r−1)·(N−1) overflows int32 beyond ~2k×1M
+    # and int64 beyond ~3B×3B rows — route it through DECIMAL(38,0)
+    # (exact integer math to 1e38; DuckDB's equivalent is HUGEINT), a
+    # defect the 10× scale check caught that sf0.1 could not
     idx = F.when(
         F.col("_n") > 1,
-        1 + F.expr(f"(_r - 1) * ({n_total} - 1) div (_n - 1)"),
+        1
+        + F.expr(
+            f"cast((cast(_r as decimal(38,0)) - 1) * ({n_total} - 1)"
+            " div (_n - 1) as bigint)"
+        ),
     ).otherwise(F.lit((n_total + 1) // 2))
     return (
         ranked.withColumn("_gi", idx)

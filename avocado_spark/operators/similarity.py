@@ -57,12 +57,34 @@ def srp_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
     )
 
 
+# Brute-force arms exist as RECALL BASELINES for the bucketed indexes,
+# evaluated over small query samples. The cross-join is O(queries ×
+# corpus); above this many query rows a caller is no longer evaluating
+# — they are shipping an all-pairs plan — so the builders refuse unless
+# explicitly overridden.
+MAX_EVAL_QUERIES = 10_000
+
+
+def _guard_eval_queries(queries: DataFrame, allow_full_scan: bool, op: str) -> None:
+    if allow_full_scan:
+        return
+    if queries.limit(MAX_EVAL_QUERIES + 1).count() > MAX_EVAL_QUERIES:
+        raise ValueError(
+            f"{op}: queries side exceeds MAX_EVAL_QUERIES={MAX_EVAL_QUERIES}; "
+            "this operator is an O(q·n) evaluation baseline, not a serving "
+            "path — use the SRP/IVF bucketed indexes, or pass "
+            "allow_full_scan=True if the all-pairs cost is intended"
+        )
+
+
 def brute_force_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Ranking key is
     (round(cos, 9) desc, vec_id) so ordering is reproducible across
     engines to the last ulp."""
+    _guard_eval_queries(queries, allow_full_scan, "brute_force_topk")
     base = embeddings.select(
         F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v")
     ).withColumn("n_n", norm(F.col("n_v")))
@@ -362,13 +384,15 @@ def int8_quantize(embeddings: DataFrame) -> DataFrame:
 
 
 def int8_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """ANN over int8 codes: rank by the cosine of the DEQUANTIZED
     vectors (x̂[i] = q[i]·scale/127) — the ranking an int8 index
     serves, with exact integer dot products under the hood. Same
     blocked cross-join + rank-window shape as brute force; the win is
     the 4-8× smaller scan side, not the pair count."""
+    _guard_eval_queries(queries, allow_full_scan, "int8_topk")
     deq = lambda qcol, scol: F.transform(  # noqa: E731
         qcol, lambda c: c.cast("double") * scol / 127.0
     )
@@ -446,8 +470,12 @@ def negative_sample(
     anchors = positives.select(anchor).distinct()
     j = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
     drawn = anchors.select(anchor, j).crossJoin(F.broadcast(n_items))
+    # reduce the id mod M BEFORE the LCG multiply: (a·c) mod M ==
+    # ((a mod M)·c) mod M, and the pre-reduction keeps the product
+    # under int64 (ANSI overflow) for ids past ~3.5e9
     neg = F.pmod(
-        (F.col(anchor) * F.lit(2654435761) + F.col("j") * F.lit(40503))
+        ((F.col(anchor) % F.lit(1_000_000_007)) * F.lit(2654435761)
+         + F.col("j") * F.lit(40503))
         % F.lit(1_000_000_007),
         F.col("n"),
     ).cast("bigint")

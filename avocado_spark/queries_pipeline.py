@@ -2665,7 +2665,8 @@ def budget_fill_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761 + 17) % 1_000_000_007).alias("pick"),
+        # mod-first: same value, product stays under int64 at any doc count
+        (((F.col("doc_id") % 1_000_000_007) * 2654435761 + 17) % 1_000_000_007).alias("pick"),
     )
     budget = (
         F.when(F.col("source") == "web", 4000)

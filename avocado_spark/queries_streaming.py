@@ -1596,7 +1596,9 @@ def ab_test_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("converted")
     ).select(
-        ((F.col("user_id") * 2654435761 % 1_000_000_007) % 2).alias("arm"),
+        # mod-first keeps the LCG product under int64 at any user count:
+        # (a·c) mod M == ((a mod M)·c) mod M
+        (((F.col("user_id") % 1_000_000_007) * 2654435761 % 1_000_000_007) % 2).alias("arm"),
         "converted",
     )
     arms = assigned.groupBy("arm").agg(

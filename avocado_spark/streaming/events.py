@@ -227,6 +227,73 @@ def running_total_stream(events: DataFrame, timeout_ms: int | None = None) -> Da
     )
 
 
+def tws_available() -> bool:
+    """True when Spark-4's transformWithStateInPandas can actually RUN
+    here: the API shipped with Spark 4.0 but its Python worker talks to
+    the JVM state server over protobuf, so the GA operator family
+    (applyInPandasWithState) stays the default wherever protobuf is
+    absent."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    from pyspark.sql import GroupedData
+
+    return hasattr(GroupedData, "transformWithStateInPandas")
+
+
+def running_total_stream_tws(events: DataFrame) -> DataFrame:
+    """running_total_stream on the Spark-4 successor API
+    (transformWithStateInPandas + ValueState) — identical semantics
+    and state size (one long per user), but the new API adds what the
+    GA one can't express: multiple named state variables per operator,
+    ListState/MapState with per-element updates (no full-value
+    rewrite), timers decoupled from watermarks, TTL on state, and
+    initial-state bootstrap. Guard calls with :func:`tws_available`;
+    on protobuf-less runtimes use ``running_total_stream``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            prior = self._total.get()
+            total = int(prior[0]) if prior is not None else 0
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for _, r in pdf.iterrows():
+                    total += int(round(r["value"] * 100))
+                    out.append(
+                        (
+                            int(key[0]),
+                            int(r["event_id"]),
+                            int(r["ts"].value // 1000),
+                            total,
+                        )
+                    )
+            self._total.update((total,))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts_us", "running_total_c"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotal(),
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def running_total_batch(events: DataFrame) -> DataFrame:
     """Batch shadow of running_total_stream: cumulative window sum."""
     from pyspark.sql import Window

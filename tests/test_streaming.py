@@ -384,3 +384,25 @@ def test_native_session_window_equals_manual_gap_sessionization(spark):
     a = {tuple(r) for r in native.collect()}
     b = {tuple(r) for r in manual.collect()}
     assert a == b and len(a) > 100
+
+
+def test_running_total_tws_matches_batch_or_skips(spark, events_stream):
+    """The transformWithStateInPandas successor must converge to the
+    same batch cumsum; on runtimes without its protobuf worker the
+    test skips cleanly (the GA operator above stays the product path)."""
+    if not EV.tws_available():
+        pytest.skip("transformWithStateInPandas runtime (protobuf) absent")
+    out = _run_stream(
+        spark,
+        EV.running_total_stream_tws(events_stream),
+        "t_running_tws",
+        "append",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["running_total_c"] for r in out.collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["running_total_c"]
+        for r in EV.running_total_batch(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want
