@@ -343,40 +343,46 @@ def exact_group_quantiles(
     portable definition (nearest-rank with fixed tie-break), unlike the
     subtly-divergent percentile_disc/percentile_cont family.
 
-    Scale shape: row_number and the group count share ONE window
-    partitioning (one shuffle), the filter keeps |quantiles| rows per
-    group, and a tiny agg pivots them wide. At 100 TB you'd reach for
-    approx_percentile when the contract allows error; this is the exact
-    path and the oracle-checkable one. Output: group cols, n,
+    Scale shape: the rank rides :func:`global_rank` with the group as
+    rank-restart key — a per-group ``Window.partitionBy`` funnels each
+    group through ONE task, which is exactly the single-task sort
+    pathology when group cardinality is small (3 event types over the
+    whole fact table). The |groups| × |quantiles| target positions are
+    a broadcast table joined on (group, rank), so the fact table never
+    shuffles beyond the two-phase rank itself. At 100 TB you'd reach
+    for approx_percentile when the contract allows error; this is the
+    exact path and the oracle-checkable one. Output: group cols, n,
     q<NN> columns (e.g. q50, q90) holding the value at that rank."""
-    from pyspark.sql import Window
-
-    wr = Window.partitionBy(*group_cols).orderBy(
-        F.col(value_col).asc(), F.col(id_col).asc()
+    ranked = global_rank(
+        df.select(*group_cols, value_col, id_col),
+        [F.col(value_col).asc(), F.col(id_col).asc()],
+        rank_col="_rn",
+        partition_cols=list(group_cols),
     )
-    wn = Window.partitionBy(*group_cols)
-    ranked = df.select(
+    ng = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    targets = ng.select(
         *group_cols,
-        value_col,
-        F.row_number().over(wr).alias("_rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    pos = {q: 1 + F.floor((F.col("n") - 1) * F.lit(q)) for q in quantiles}
-    keep = None
-    for p in pos.values():
-        c = F.col("_rn") == p
-        keep = c if keep is None else (keep | c)
-    return (
-        ranked.where(keep)
-        .groupBy(*group_cols, "n")
-        .agg(
-            *[
-                F.max(F.when(F.col("_rn") == p, F.col(value_col))).alias(
-                    f"q{int(q * 100)}"
-                )
-                for q, p in pos.items()
-            ]
-        )
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(q * 100)).alias("_q"),
+                        (1 + F.floor((F.col("n") - 1) * F.lit(q))).alias("_rn"),
+                    )
+                    for q in quantiles
+                ]
+            )
+        ).alias("_t"),
+    ).select(*group_cols, "n", F.col("_t._q").alias("_q"), F.col("_t._rn").alias("_rn"))
+    hits = ranked.join(F.broadcast(targets), [*group_cols, "_rn"])
+    return hits.groupBy(*group_cols, "n").agg(
+        *[
+            F.max(F.when(F.col("_q") == int(q * 100), F.col(value_col))).alias(
+                f"q{int(q * 100)}"
+            )
+            for q in quantiles
+        ]
     )
 
 
@@ -1286,8 +1292,20 @@ def global_rank(
     if buckets is None:
         buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     pcols = list(partition_cols)
-    ranged = df.repartitionByRange(buckets, *pcols, *order_cols).withColumn(
-        "_gr_pid", F.spark_partition_id()
+    from pyspark.storagelevel import StorageLevel
+
+    # PERSIST is load-bearing, not an optimization: the ranked branch
+    # and the bucket-count branch both read this table, Spark does NOT
+    # guarantee exchange reuse across the two subtrees, and range
+    # partitioning re-SAMPLES per execution — two independent
+    # evaluations can draw different bucket boundaries, making the
+    # offsets disagree with the local ranks (observed: corrupted ranks
+    # past n). One materialization pins one boundary draw. At cluster
+    # scale this is the table you'd write out once and read twice.
+    ranged = (
+        df.repartitionByRange(buckets, *pcols, *order_cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wl = Window.partitionBy("_gr_pid", *pcols).orderBy(*order_cols)
     wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)

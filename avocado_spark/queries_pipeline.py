@@ -2658,7 +2658,7 @@ def budget_fill_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable shuffle), and the running token total fills the budget
     exactly once per source in one window pass. No rand(), no
     rejection loop — rerunning the pipeline yields the identical mix."""
-    from pyspark.sql import Window as W  # noqa: N814
+    from avocado_spark.operators.relational import global_rank
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -2674,14 +2674,15 @@ def budget_fill_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1500)
         .cast("bigint")
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("pick", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    ordered = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
-        "source_budget", budget
-    )
+    # a handful of sources over the whole corpus — a per-source window
+    # is the one-task-per-source pathology; ride the two-phase cumsum
+    ordered = global_rank(
+        toks,
+        [F.col("pick").asc(), F.col("doc_id").asc()],
+        rank_col="_r",
+        partition_cols=["source"],
+        cumsum_cols={"cum_tokens": "n_tokens"},
+    ).withColumn("source_budget", budget)
     return ordered.where(F.col("cum_tokens") <= F.col("source_budget")).select(
         "doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     )

@@ -467,18 +467,41 @@ def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type decile distribution of event values: NTILE(10) under a
     deterministic (value, event_id) order, rolled up to count + cent
     bounds per bucket — the histogram primitive for drift monitoring.
-    One window shuffle reused by the following agg (same key)."""
-    from pyspark.sql import Window
+    Only 3 event types exist, so a ``Window.partitionBy(event_type)``
+    would push a third of the fact table through one task each; the
+    rank rides :func:`global_rank` restarting per type and the decile
+    comes from the standard NTILE position formula with broadcast
+    per-type counts."""
     from pyspark.sql import functions as F  # noqa: F811
 
+    from avocado_spark.operators.relational import global_rank
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
+    ranked = global_rank(
         ev.select(
             "event_type",
+            "value",
+            "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
-            F.ntile(10).over(w).alias("decile"),
-        )
+        ),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="_r",
+        partition_cols=["event_type"],
+    )
+    ng = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    j = ranked.join(F.broadcast(ng), "event_type")
+    qsz = F.expr("_n div 10")
+    rem = F.col("_n") % 10
+    cutoff = rem * (qsz + 1)
+    decile = F.when(
+        F.col("_r") <= cutoff, F.expr("(_r - 1) div (_n div 10 + 1)") + 1
+    ).otherwise(
+        rem
+        + F.expr("(_r - 1 - (_n % 10) * (_n div 10 + 1)) div greatest(_n div 10, 1)")
+        + 1
+    )
+    return (
+        j.withColumn("decile", decile)
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),
@@ -1472,11 +1495,20 @@ def events_encoding_advisor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W  # noqa: N814
     from pyspark.sql import functions as F  # noqa: F811
 
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
     buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = ev.select("event_id", "event_type", "user_id").repartitionByRange(
-        buckets, "event_id"
-    ).withColumn("_pid", F.spark_partition_id())
+    # persist is load-bearing: the lag branch and the bucket-boundary
+    # branch must see the SAME range-boundary draw (exchange reuse is
+    # not guaranteed and range sampling is per-execution — see
+    # relational.global_rank)
+    ranged = (
+        ev.select("event_id", "event_type", "user_id")
+        .repartitionByRange(buckets, "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w = W.partitionBy("_pid").orderBy("event_id")
     local = ranged.select(
         "_pid",
