@@ -416,6 +416,193 @@ def int8_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _pq_quantized(embeddings: DataFrame) -> DataFrame:
+    """vec_id, v, w where w is the UNIT-normalized vector quantized to
+    integer micro-units. PQ trains and ranks under squared L2; on unit
+    vectors L2² = 2 − 2·cos, so the ADC ranking is cosine-faithful —
+    without the normalization PQ would answer a different question
+    than the cosine ground truth. Op order (x·1e6 / ‖v‖, then round)
+    matches the oracle SQL literally so the codes are bit-identical."""
+    v = _as_double("embedding")
+    nrm = norm(v)
+    return embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(v, lambda x: F.round(x * 1_000_000.0 / nrm)).alias("w"),
+    )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as an index-ordered fold (zip_with then
+    left-fold), so both engines accumulate in the same order — the
+    precondition for comparing raw doubles across the differential."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    n_subspaces: int = 16,
+    n_centroids: int = 32,
+    n_iters: int = 2,
+    sample_mod: int = 2,
+) -> DataFrame:
+    """Product-quantization codebooks: split each vector into
+    ``n_subspaces`` contiguous subvectors and train an independent
+    ``n_centroids``-word codebook per subspace (Lloyd under squared L2
+    — the PQ standard, Jégou et al., TPAMI'11) with the same
+    deterministic contract as :func:`train_ivf_centroids`: first-K
+    init, fixed rounds, integer-quantized space (exact group sums →
+    replayable centroids), ties by c_id. Returns (m, c_id, c_v).
+
+    Scale shape: the subspace id is just another grouping column —
+    all M codebooks train in the SAME joins/aggregations, so cost does
+    not multiply by M; per round one broadcast of M×K codewords and
+    one (m, c_id, dim) partial agg."""
+    qv = _pq_quantized(embeddings).select("vec_id", "w")
+    subv = _pq_subvectors(qv, n_subspaces)
+    cents = subv.where(F.col("vec_id") < n_centroids).select(
+        "m", F.col("vec_id").alias("c_id"), F.col("sw").alias("c_v")
+    )
+    sample = subv.where(F.col("vec_id") % sample_mod == 0)
+    for _ in range(n_iters):
+        scored = sample.join(F.broadcast(cents), "m").select(
+            "vec_id", "m", "sw", "c_id", l2sq(F.col("sw"), F.col("c_v")).alias("d")
+        )
+        wnd = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("d").asc(), F.col("c_id").asc()
+        )
+        assigned = scored.withColumn("r", F.row_number().over(wnd)).where(
+            F.col("r") == 1
+        )
+        dims = assigned.select("m", "c_id", F.posexplode("sw").alias("pos", "val"))
+        means = dims.groupBy("m", "c_id", "pos").agg(
+            (F.sum("val") / F.count("*")).alias("mv")
+        )
+        newc = means.groupBy("m", "c_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("c_v_new")
+        )
+        cents = (
+            cents.join(newc, ["m", "c_id"], "left")
+            .select("m", "c_id", F.coalesce("c_v_new", "c_v").alias("c_v"))
+            .localCheckpoint(eager=True)  # empty cells keep their codeword
+        )
+    return cents
+
+
+def _pq_subvectors(qv: DataFrame, n_subspaces: int) -> DataFrame:
+    """(vec_id, m, sw): contiguous equal-width subvectors of the
+    quantized vector — one explode, no shuffle."""
+    subd = F.expr(f"size(w) div {n_subspaces}")
+    return qv.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda m: F.struct(
+                    m.alias("m"), F.slice(F.col("w"), m * subd + 1, subd).alias("sw")
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sw").alias("sw"))
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 16,
+    n_centroids: int = 32,
+    n_iters: int = 2,
+    sample_mod: int = 2,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): every corpus
+    vector is stored as ``n_subspaces`` codeword ids (the 100-TB win —
+    M bytes instead of 4·D), each query builds an M×K lookup table of
+    exact subvector distances to every codeword, and the approximate
+    distance is the sum of M table lookups, here a broadcast equi-join
+    of the code table against the LUT plus a (q, n) partial agg —
+    never a vector-by-vector scan.
+
+    The per-cell distances are floor-quantized to integer kilounits
+    before the M-way sum so the ADC total is an exact BIGINT — immune
+    to accumulation order, hence engine-replayable (the ranking a real
+    PQ index serves is unaffected: cell error ~1e3 against distances
+    ~1e12). Returns (q_id, n_id, adc, rank), rank ≤ k per query by
+    (adc asc, n_id)."""
+    cents = codebooks if codebooks is not None else train_pq_codebooks(
+        embeddings,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        sample_mod=sample_mod,
+    )
+    subv = _pq_subvectors(_pq_quantized(embeddings).select("vec_id", "w"), n_subspaces)
+    dist = l2sq(F.col("sw"), F.col("c_v"))
+    wnd = Window.partitionBy("vec_id", "m").orderBy(dist.asc(), F.col("c_id").asc())
+    codes = (
+        subv.join(F.broadcast(cents), "m")
+        .withColumn("r", F.row_number().over(wnd))
+        .where(F.col("r") == 1)
+        .select(F.col("vec_id").alias("n_id"), "m", "c_id")
+    )
+    qsub = subv.join(queries.select("vec_id"), "vec_id")
+    lut = qsub.join(F.broadcast(cents), "m").select(
+        F.col("vec_id").alias("q_id"),
+        "m",
+        "c_id",
+        F.floor(dist / 1000.0).cast("bigint").alias("d_k"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "c_id"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d_k").alias("adc"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id").asc())
+    return adc.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 25,
+    **pq_kwargs,
+) -> DataFrame:
+    """The production PQ shape: ADC shortlists ``shortlist`` candidates
+    per query from the compressed index, then ONLY those re-rank by
+    exact cosine on the full vectors — the per-query exact work drops
+    from O(n) to O(shortlist) while recall recovers most of the
+    quantization loss. Output contract matches brute_force_topk."""
+    cand = pq_adc_topk(embeddings, queries, k=shortlist, **pq_kwargs).select(
+        "q_id", "n_id"
+    )
+    base = embeddings.select(
+        F.col("vec_id").alias("n_id"), _as_double("embedding").alias("n_v")
+    ).withColumn("n_n", norm(F.col("n_v")))
+    qv = (
+        embeddings.join(queries.select("vec_id"), "vec_id")
+        .select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_v"))
+        .withColumn("q_n", norm(F.col("q_v")))
+    )
+    scored = cand.join(base, "n_id").join(F.broadcast(qv), "q_id").select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_with_norms(F.col("q_v"), F.col("n_v"), F.col("q_n"), F.col("n_n")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_centroids(
     embeddings: DataFrame, label_col: str = "label", fp_scale: int = 1_000_000
 ) -> DataFrame:

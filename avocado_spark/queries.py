@@ -707,12 +707,14 @@ _GATE_PRIORITY = [
     # this order. Round-6 rotation (r5 verdict #3): burn down the
     # driver-sample debt — every query below the 50-line was green in
     # some earlier round; everything above has NEVER had a driver row.
-    # (0) queries REWRITTEN this round (global_rank two-phase windows,
-    # LSH-backed threshold sweep) — must prove against the driver:
+    # (0) queries REWRITTEN or ADDED this round (global_rank two-phase
+    # windows, LSH-backed threshold sweep, PQ ANN) — must prove against
+    # the driver:
     "events_user_activity_gini", "conversion_latency_quantiles",
     "events_encoding_advisor", "quality_reliability_table",
     "events_quantile_normalize", "source_pctrank_norm",
-    "customer_abc_analysis", "dedup_threshold_sweep",
+    "customer_abc_analysis", "dedup_threshold_sweep", "ann_pq_adc_recall",
+    "fk_integrity_audit", "part_cheapest_supplier",
     # (1) the remaining never-driver-sampled queries, registry order
     # (the first ~42 fit this round's 50-cap; the tail is round 7's):
     "events_mutual_info", "bloom_pruned_join", "events_cms_user_counts",
@@ -2114,3 +2116,121 @@ def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_c",
         "n_orders",
     )
+
+
+@query(
+    "fk_integrity_audit",
+    """
+    WITH o_part AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+    c_part AS (SELECT * FROM customer WHERE c_custkey % 89 <> 0),
+    checks AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN o_part o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o LEFT JOIN c_part c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT fk, n_rows, n_orphans,
+           CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_ppm
+    FROM checks
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census after a simulated partial dimension
+    reload (every 97th order / 89th customer deterministically missing
+    — the fixture itself is orphan-free, and an all-zero audit verifies
+    nothing): per FK constraint, total references and orphan count in
+    parts-per-million. One left join + conditional count per
+    constraint; at 100 TB each check Bloom-prunes the fact side with
+    the dimension's key filter before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def check(fk: str, fact: DataFrame, fk_col: str, dim: DataFrame, pk: str):
+        j = fact.join(dim, fact[fk_col] == dim[pk], "left")
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(dim[pk].isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    checks = (
+        check(
+            "lineitem.l_orderkey -> orders",
+            li,
+            "l_orderkey",
+            o.where(F.col("o_orderkey") % 97 != 0),
+            "o_orderkey",
+        )
+        .unionByName(
+            check(
+                "orders.o_custkey -> customer",
+                o,
+                "o_custkey",
+                c.where(F.col("c_custkey") % 89 != 0),
+                "c_custkey",
+            )
+        )
+        .unionByName(check("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"))
+    )
+    return checks.select(
+        "fk",
+        "n_rows",
+        "n_orphans",
+        F.expr("cast(n_orphans * 1000000 div n_rows as bigint)").alias("orphan_ppm"),
+    )
+
+
+@query(
+    "part_cheapest_supplier",
+    """
+    WITH best AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey) AS r
+      FROM lineitem
+    )
+    SELECT b.l_partkey AS partkey, b.l_suppkey AS best_suppkey,
+           b.price_c AS best_price_c, s.s_name AS supplier_name
+    FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.r = 1
+    """,
+)
+def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group WITHOUT a window (the TPC-H Q2 correlated-
+    subquery shape, decorrelated): the cheapest supplier per part is a
+    single partial+final ``min(struct(price, suppkey))`` aggregate —
+    map-side combinable, no per-group sort, no rank shuffle — then one
+    broadcast dimension join for the supplier name. The agg-based
+    argmin is the scale-correct form of `WHERE price = (SELECT MIN...)`:
+    the window formulation sorts every group; this one keeps a single
+    running struct per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    best = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.min(F.struct(F.col("l_extendedprice"), F.col("l_suppkey"))).alias("m")
+    )
+    out = best.select(
+        "partkey",
+        F.col("m.l_suppkey").alias("best_suppkey"),
+        F.round(F.col("m.l_extendedprice") * 100).cast("bigint").alias("best_price_c"),
+    )
+    return out.join(
+        F.broadcast(s.select(F.col("s_suppkey"), F.col("s_name").alias("supplier_name"))),
+        F.col("best_suppkey") == F.col("s_suppkey"),
+    ).select("partkey", "best_suppkey", "best_price_c", "supplier_name")

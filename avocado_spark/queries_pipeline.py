@@ -68,6 +68,61 @@ def _cos(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def _l2(a: str, b: str) -> str:
+    """Squared L2 as the same index-ordered left-fold the Spark side
+    uses (similarity.l2sq) — identical doubles on both engines."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in generate_series(1, len({a}))]), (x, y) -> x + y)"
+    )
+
+
+def _pq_cents_cte(n_sub: int = 4, n_cents: int = 8, n_iters: int = 2, sample_mod: int = 2) -> str:
+    """CTE chain replaying similarity.train_pq_codebooks: per-subspace
+    Lloyd under squared L2 in the integer-quantized space; the
+    subspace id m is just another grouping column."""
+    nrm = f"sqrt({_DOT.format(a='v', b='v')})"
+    parts = [
+        # unit-normalize BEFORE quantizing: PQ ranks under squared L2,
+        # and on unit vectors L2² = 2 − 2·cos — cosine-faithful ADC
+        f"pqv AS (SELECT vec_id, v, [ROUND(x * 1000000.0 / {nrm}) for x in v] AS w FROM e)",
+        f"""sub AS (
+      SELECT vec_id, mm.m AS m,
+             list_slice(w, mm.m * (len(w) // {n_sub}) + 1,
+                        (mm.m + 1) * (len(w) // {n_sub})) AS sw
+      FROM pqv, (SELECT UNNEST(generate_series(0, {n_sub - 1})) AS m) mm)""",
+        f"pc0 AS (SELECT m, vec_id AS c_id, sw AS c_v FROM sub WHERE vec_id < {n_cents})",
+        f"psamp AS (SELECT vec_id, m, sw FROM sub WHERE vec_id % {sample_mod} = 0)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(
+            f"""pa{i} AS (
+      SELECT vec_id, m, sw, c_id FROM (
+        SELECT s.vec_id, s.m, s.sw, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_l2("s.sw", "c.c_v")} ASC, c.c_id) AS r
+        FROM psamp s JOIN pc{p} c ON s.m = c.m
+      ) WHERE r = 1)"""
+        )
+        parts.append(
+            f"""pm{i} AS (
+      SELECT m, c_id, d, SUM(sw[d]) / COUNT(*) AS mv
+      FROM pa{i}, UNNEST(generate_series(1, len(sw))) AS u(d)
+      GROUP BY m, c_id, d)"""
+        )
+        parts.append(
+            f"pn{i} AS (SELECT m, c_id, list(mv ORDER BY d) AS c_v FROM pm{i} GROUP BY m, c_id)"
+        )
+        parts.append(
+            f"""pc{i} AS (
+      SELECT c.m, c.c_id, COALESCE(n.c_v, c.c_v) AS c_v
+      FROM pc{p} c LEFT JOIN pn{i} n ON c.m = n.m AND c.c_id = n.c_id)"""
+        )
+    return ",\n    ".join(parts)
+
+
 # ---- Spark-side augmentation helpers --------------------------------------
 
 
@@ -3098,4 +3153,103 @@ def dedup_survivorship_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(n_docs * 10000 div first(n_docs) over "
             "(order by stage_no rows between unbounded preceding and current row) as bigint)"
         ).alias("docs_retained_bp"),
+    )
+
+
+@query(
+    "ann_pq_adc_recall",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    {_pq_cents_cte(16, 32, 2, 2)},
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e2.v")}, 9) DESC, e2.vec_id) AS rank
+        FROM e q CROSS JOIN e e2 WHERE q.vec_id < 30 AND q.vec_id <> e2.vec_id
+      ) WHERE rank <= 5
+    ),
+    codes AS (
+      SELECT vec_id AS n_id, m, c_id FROM (
+        SELECT s.vec_id, s.m, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_l2("s.sw", "c.c_v")} ASC, c.c_id) AS r
+        FROM sub s JOIN pc2 c ON s.m = c.m
+      ) WHERE r = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS q_id, s.m, c.c_id,
+             CAST(FLOOR({_l2("s.sw", "c.c_v")} / 1000.0) AS BIGINT) AS d_k
+      FROM sub s JOIN pc2 c ON s.m = c.m
+      WHERE s.vec_id < 30
+    ),
+    adc AS (
+      SELECT l.q_id, c.n_id, SUM(l.d_k) AS adc,
+             ROW_NUMBER() OVER (PARTITION BY l.q_id
+               ORDER BY SUM(l.d_k) ASC, c.n_id) AS r
+      FROM codes c JOIN lut l ON c.m = l.m AND c.c_id = l.c_id
+      WHERE l.q_id <> c.n_id
+      GROUP BY l.q_id, c.n_id
+    ),
+    adc5 AS (SELECT q_id, n_id FROM adc WHERE r <= 5),
+    shortlist AS (SELECT q_id, n_id FROM adc WHERE r <= 25),
+    rerank AS (
+      SELECT q_id, n_id FROM (
+        SELECT s.q_id, s.n_id,
+               ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY ROUND({_cos("eq.v", "en.v")}, 9) DESC, s.n_id) AS r
+        FROM shortlist s
+        JOIN e eq ON eq.vec_id = s.q_id
+        JOIN e en ON en.vec_id = s.n_id
+      ) WHERE r <= 5
+    )
+    SELECT x.q_id,
+           CAST(COUNT(*) AS INTEGER) AS n_exact,
+           CAST(COUNT(a.n_id) AS INTEGER) AS hits_adc,
+           CAST(COUNT(rr.n_id) AS INTEGER) AS hits_rerank,
+           ROUND(CAST(COUNT(a.n_id) AS DOUBLE) / COUNT(*), 6) AS recall_adc,
+           ROUND(CAST(COUNT(rr.n_id) AS DOUBLE) / COUNT(*), 6) AS recall_rerank
+    FROM exact x
+    LEFT JOIN adc5 a ON x.q_id = a.q_id AND x.n_id = a.n_id
+    LEFT JOIN rerank rr ON x.q_id = rr.q_id AND x.n_id = rr.n_id
+    GROUP BY x.q_id
+    """,
+)
+def ann_pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., TPAMI'11): per-subspace
+    Lloyd codebooks (16 subspaces x 32 words) trained in unit-
+    normalized integer-quantized space (engine-replayable; on unit
+    vectors L2^2 = 2 - 2cos so ADC ranks cosine-faithfully), corpus
+    stored as 16 codeword ids, query-side 16 x 32 lookup table, ADC as
+    an exact-integer sum via a broadcast LUT equi-join. Two arms
+    against the exact cosine top-5 over 30 queries: raw ADC@5, and the
+    production shape - ADC shortlists 25, exact cosine re-ranks only
+    those (per-query exact work O(shortlist), not O(n)). The fourth
+    arm of the ANN scale family: SRP buckets the corpus, IVF prunes
+    the probe set, int8 shrinks the scan, PQ shrinks the INDEX."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 30)
+    cb = SIM.train_pq_codebooks(emb)  # one Lloyd run shared by both arms
+    adc5 = SIM.pq_adc_topk(emb, q, k=5, codebooks=cb).select(
+        "q_id", F.col("n_id").alias("a_id")
+    )
+    rr = SIM.pq_rerank_topk(emb, q, k=5, shortlist=25, codebooks=cb).select(
+        "q_id", F.col("n_id").alias("r_id")
+    )
+    exact = SIM.brute_force_topk(emb, q, k=5).select("q_id", "n_id")
+    j = exact.join(
+        adc5, (exact["q_id"] == adc5["q_id"]) & (exact["n_id"] == adc5["a_id"]), "left"
+    ).join(
+        rr, (exact["q_id"] == rr["q_id"]) & (exact["n_id"] == rr["r_id"]), "left"
+    )
+    return j.groupBy(exact["q_id"].alias("q_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact"),
+        F.count(F.col("a_id")).cast("int").alias("hits_adc"),
+        F.count(F.col("r_id")).cast("int").alias("hits_rerank"),
+        F.round(F.count(F.col("a_id")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "recall_adc"
+        ),
+        F.round(F.count(F.col("r_id")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "recall_rerank"
+        ),
     )

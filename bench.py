@@ -103,6 +103,9 @@ def main() -> None:
         "bloom_pruned_join",
         "dedup_canonical_keep",
         "customer_er_clusters",
+        # round 9: PQ ANN (per-subspace Lloyd training + code encode +
+        # broadcast-LUT ADC + exact re-rank of the shortlist)
+        "ann_pq_adc_recall",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;
