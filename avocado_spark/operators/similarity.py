@@ -447,7 +447,7 @@ def train_pq_codebooks(
     embeddings: DataFrame,
     n_subspaces: int = 16,
     n_centroids: int = 32,
-    n_iters: int = 2,
+    n_iters: int = 1,
     sample_mod: int = 2,
 ) -> DataFrame:
     """Product-quantization codebooks: split each vector into
@@ -518,7 +518,7 @@ def pq_adc_topk(
     k: int = 5,
     n_subspaces: int = 16,
     n_centroids: int = 32,
-    n_iters: int = 2,
+    n_iters: int = 1,
     sample_mod: int = 2,
     codebooks: DataFrame | None = None,
 ) -> DataFrame:

@@ -3160,7 +3160,7 @@ def dedup_survivorship_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_adc_recall",
     f"""
     WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-    {_pq_cents_cte(16, 32, 2, 2)},
+    {_pq_cents_cte(16, 32, 1, 2)},
     exact AS (
       SELECT q_id, n_id FROM (
         SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
@@ -3174,13 +3174,13 @@ def dedup_survivorship_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.vec_id, s.m, c.c_id,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                  ORDER BY {_l2("s.sw", "c.c_v")} ASC, c.c_id) AS r
-        FROM sub s JOIN pc2 c ON s.m = c.m
+        FROM sub s JOIN pc1 c ON s.m = c.m
       ) WHERE r = 1
     ),
     lut AS (
       SELECT s.vec_id AS q_id, s.m, c.c_id,
              CAST(FLOOR({_l2("s.sw", "c.c_v")} / 1000.0) AS BIGINT) AS d_k
-      FROM sub s JOIN pc2 c ON s.m = c.m
+      FROM sub s JOIN pc1 c ON s.m = c.m
       WHERE s.vec_id < 30
     ),
     adc AS (
@@ -3219,7 +3219,8 @@ def ann_pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al., TPAMI'11): per-subspace
     Lloyd codebooks (16 subspaces x 32 words) trained in unit-
     normalized integer-quantized space (engine-replayable; on unit
-    vectors L2^2 = 2 - 2cos so ADC ranks cosine-faithfully), corpus
+    vectors L2^2 = 2 - 2cos so ADC ranks cosine-faithfully; ONE Lloyd
+    round - round 2 buys +2pt recall for 4x the training wall), corpus
     stored as 16 codeword ids, query-side 16 x 32 lookup table, ADC as
     an exact-integer sum via a broadcast LUT equi-join. Two arms
     against the exact cosine top-5 over 30 queries: raw ADC@5, and the

@@ -104,8 +104,10 @@ def main() -> None:
         "dedup_canonical_keep",
         "customer_er_clusters",
         # round 9: PQ ANN (per-subspace Lloyd training + code encode +
-        # broadcast-LUT ADC + exact re-rank of the shortlist)
+        # broadcast-LUT ADC + exact re-rank of the shortlist); the
+        # rebuilt low-threshold LSH sweep (was an all-pairs crossJoin)
         "ann_pq_adc_recall",
+        "dedup_threshold_sweep",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;
@@ -219,6 +221,7 @@ _SCALE_QUERIES = [
     ("dedup_canonical_keep", 15.0),
     ("wide_agg_q1", 15.0),
     ("coorder_triangles", 45.0),  # O(m^1.5) wedge stream by design
+    ("ann_pq_adc_recall", 15.0),  # train/encode linear; LUT per-query fixed
 ]
 
 

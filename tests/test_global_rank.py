@@ -79,3 +79,16 @@ def test_plan_is_scale_safe(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_null_order_keys_match_window(spark):
+    """NULLs in the order column: repartitionByRange and Window.orderBy
+    must agree on NULLS FIRST ascending for the two-phase rank to be a
+    drop-in replacement."""
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") * 37 % 701).alias("v"),
+        F.col("id").alias("k"),
+    )
+    exp = df.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
+    got = global_rank(df, [F.col("v").asc(), F.col("k").asc()], "r")
+    assert _same(exp, got, ["v", "k", "r"])
