@@ -714,7 +714,7 @@ _GATE_PRIORITY = [
     "events_encoding_advisor", "quality_reliability_table",
     "events_quantile_normalize", "source_pctrank_norm",
     "customer_abc_analysis", "dedup_threshold_sweep", "ann_pq_adc_recall",
-    "fk_integrity_audit", "part_cheapest_supplier",
+    "fk_integrity_audit", "part_cheapest_supplier", "rendezvous_shard_moves",
     # (1) the remaining never-driver-sampled queries, registry order
     # (the first ~42 fit this round's 50-cap; the tail is round 7's):
     "events_mutual_info", "bloom_pruned_join", "events_cms_user_counts",

@@ -3254,3 +3254,106 @@ def ann_pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_rerank"
         ),
     )
+
+
+@query(
+    "rendezvous_shard_moves",
+    """
+    WITH lin AS (
+      SELECT d.doc_id, n.n AS node,
+             ((d.doc_id % 1000000007) * (2654435761 + n.n * 40503) + n.n * 97 + 17)
+               % 1000000007 AS h1
+      FROM documents d, (SELECT UNNEST(generate_series(0, 8)) AS n) n
+    ),
+    scored AS (
+      SELECT doc_id, node, (h1 * h1 + h1) % 1000000007 AS h FROM lin
+    ),
+    a8 AS (
+      SELECT doc_id, node FROM (
+        SELECT doc_id, node,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, node DESC) AS r
+        FROM scored WHERE node < 8
+      ) WHERE r = 1
+    ),
+    a9 AS (
+      SELECT doc_id, node FROM (
+        SELECT doc_id, node,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, node DESC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    j AS (
+      SELECT a8.doc_id, a8.node AS n8, a9.node AS n9
+      FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+    ),
+    nodes AS (SELECT UNNEST(generate_series(0, 8)) AS node)
+    SELECT nodes.node,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_docs_8,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_docs_9,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS n_inbound_moved
+    FROM nodes
+    LEFT JOIN (SELECT n8 AS node, COUNT(*) AS n FROM j GROUP BY n8) b USING (node)
+    LEFT JOIN (SELECT n9 AS node, COUNT(*) AS n FROM j GROUP BY n9) a USING (node)
+    LEFT JOIN (SELECT n9 AS node, COUNT(*) AS n FROM j WHERE n8 <> n9 GROUP BY n9) m
+      USING (node)
+    """,
+)
+def rendezvous_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding rebalance report
+    (Thaler & Ravishankar '96 — the stateless answer to consistent
+    hashing for 100-TB data placement): every document's shard is the
+    argmax over nodes of an integer hash(doc, node), so the assignment
+    needs NO ring state, and growing the cluster 8 → 9 nodes moves
+    exactly the keys whose new-node hash wins — ~1/9 of the corpus,
+    every one of them INTO the new node. The report proves the
+    property in its own output: n_inbound_moved = 0 for nodes 0-7.
+
+    Scale shape: the argmax folds over a 9-element array per row
+    (array_max of (h, node) structs — map-side, no explode, no
+    shuffle); the report is three tiny per-node rollups."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents")
+    M = 1_000_000_007
+
+    def _hrw_mix(h1):
+        return (h1 * h1 + h1) % M
+
+    def assign(n_nodes: int) -> F.Column:
+        return F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_nodes - 1)),
+                # two rounds: node mixes into the MULTIPLIER (an
+                # additive node term is monotone in n and degenerates
+                # the argmax), then a quadratic congruential round —
+                # the linear round alone is still monotone in n for
+                # small ids (slope d*40503 never wraps the modulus)
+                lambda n: F.struct(
+                    _hrw_mix(((F.col("doc_id") % M) * (2654435761 + n * 40503) + n * 97 + 17) % M).alias("h"),
+                    n.alias("node"),
+                ),
+            )
+        )["node"]
+
+    j = docs.select(
+        "doc_id", assign(8).alias("n8"), assign(9).alias("n9")
+    )
+    nodes = spark.range(9).select(F.col("id").cast("int").alias("node"))
+    b = j.groupBy(F.col("n8").alias("node")).agg(F.count("*").alias("nb"))
+    a = j.groupBy(F.col("n9").alias("node")).agg(F.count("*").alias("na"))
+    m = (
+        j.where(F.col("n8") != F.col("n9"))
+        .groupBy(F.col("n9").alias("node"))
+        .agg(F.count("*").alias("nm"))
+    )
+    return (
+        nodes.join(F.broadcast(b), "node", "left")
+        .join(F.broadcast(a), "node", "left")
+        .join(F.broadcast(m), "node", "left")
+        .select(
+            "node",
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_docs_8"),
+            F.coalesce("na", F.lit(0)).cast("bigint").alias("n_docs_9"),
+            F.coalesce("nm", F.lit(0)).cast("bigint").alias("n_inbound_moved"),
+        )
+    )
