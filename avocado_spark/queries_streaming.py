@@ -2021,3 +2021,136 @@ def events_user_activity_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "ab_test_bootstrap_ci",
+    """
+    WITH assigned AS (
+      SELECT user_id, (user_id * 2654435761 % 1000000007) % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) >= 59000
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT a.user_id, a.arm, a.converted, b.b AS b,
+             (((a.user_id % 1000000007) * (2654435761 + b.b * 40503) + b.b * 97 + 17)
+                % 1000000007) AS h1
+      FROM assigned a, (SELECT UNNEST(generate_series(0, 199)) AS b) b
+    ),
+    weighted AS (
+      SELECT b, arm, converted, (h1 * h1 + h1) % 1000000007 % 3 AS w FROM reps
+    ),
+    per_rep AS (
+      SELECT b,
+             SUM(CASE WHEN arm = 1 THEN w * converted ELSE 0 END) * 10000
+               // GREATEST(SUM(CASE WHEN arm = 1 THEN w ELSE 0 END), 1)
+             - SUM(CASE WHEN arm = 0 THEN w * converted ELSE 0 END) * 10000
+               // GREATEST(SUM(CASE WHEN arm = 0 THEN w ELSE 0 END), 1) AS diff_bp
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT diff_bp, ROW_NUMBER() OVER (ORDER BY diff_bp, b) AS r FROM per_rep
+    ),
+    point AS (
+      SELECT SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) * 10000
+               // SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) * 10000
+               // SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS point_bp,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM assigned
+    )
+    SELECT CAST(p.n_users AS BIGINT) AS n_users,
+           CAST(p.point_bp AS BIGINT) AS point_diff_bp,
+           CAST(MAX(CASE WHEN r.r = 5 THEN r.diff_bp END) AS BIGINT) AS ci_lo_bp,
+           CAST(MAX(CASE WHEN r.r = 195 THEN r.diff_bp END) AS BIGINT) AS ci_hi_bp
+    FROM point p, ranked r
+    GROUP BY p.n_users, p.point_bp
+    """,
+)
+def ab_test_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the A/B conversion-rate delta
+    WITHOUT rand(): a multiplier bootstrap where replica b reweights
+    user u by a deterministic mixed-LCG draw in {0,1,2} (mean-1
+    multiplier — same two-round integer mix as the rendezvous hash, so
+    replica weights avalanche instead of cycling), 200 replicas, each
+    replica's arm rates in exact integer basis points, CI = the exact
+    5th/195th order statistics of the replica deltas. Everything until
+    the final 4 output cells is integer arithmetic — the readout is
+    engine-replayable, rerun-stable, and retry-safe, which a
+    rand()-based bootstrap can never be.
+
+    Scale shape: users × 200 replicas explode map-side, collapse in
+    ONE partial-aggregated rollup to 400 (replica, arm) cells; the
+    rank runs over 200 tiny rows."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    M = 1_000_000_007
+    assigned = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            >= 59000,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        "user_id",
+        (((F.col("user_id") % M) * 2654435761 % M) % 2).alias("arm"),
+        "converted",
+    )
+    reps = assigned.select(
+        "user_id",
+        "arm",
+        "converted",
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b"),
+    )
+    h1 = ((F.col("user_id") % M) * (2654435761 + F.col("b") * 40503) + F.col("b") * 97 + 17) % M
+    weighted = reps.select("b", "arm", "converted", ((h1 * h1 + h1) % M % 3).alias("w"))
+    wc = lambda a: F.sum(F.when(F.col("arm") == a, F.col("w") * F.col("converted")).otherwise(0))  # noqa: E731
+    wt = lambda a: F.greatest(F.sum(F.when(F.col("arm") == a, F.col("w")).otherwise(0)), F.lit(1))  # noqa: E731
+    per_rep = weighted.groupBy("b").agg(
+        (
+            F.expr("1") * wc(1) * 10000 / wt(1)  # placeholder, replaced below
+        ).alias("_x")
+    )
+    # integer div must be `div`, not `/` — rebuild the agg with expr
+    per_rep = weighted.groupBy("b").agg(
+        F.expr(
+            "sum(case when arm = 1 then w * converted else 0 end) * 10000"
+            " div greatest(sum(case when arm = 1 then w else 0 end), 1)"
+            " - sum(case when arm = 0 then w * converted else 0 end) * 10000"
+            " div greatest(sum(case when arm = 0 then w else 0 end), 1)"
+        ).alias("diff_bp")
+    )
+    ranked = per_rep.withColumn(
+        "r", F.row_number().over(W.orderBy("diff_bp", "b"))  # 200 rows, constant-bounded
+    )
+    point = assigned.agg(
+        F.expr(
+            "sum(case when arm = 1 then converted else 0 end) * 10000"
+            " div sum(case when arm = 1 then 1 else 0 end)"
+            " - sum(case when arm = 0 then converted else 0 end) * 10000"
+            " div sum(case when arm = 0 then 1 else 0 end)"
+        ).alias("point_bp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == 5, F.col("diff_bp"))).cast("bigint").alias("ci_lo_bp"),
+        F.max(F.when(F.col("r") == 195, F.col("diff_bp"))).cast("bigint").alias("ci_hi_bp"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        F.col("point_bp").cast("bigint").alias("point_diff_bp"),
+        "ci_lo_bp",
+        "ci_hi_bp",
+    )
