@@ -90,6 +90,7 @@ def connected_components(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph given by a pair
     table → one row per node that appears in any pair:
@@ -110,7 +111,9 @@ def connected_components(
     ).distinct().localCheckpoint(eager=True)
 
     sig = _signature(e)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _signature(e)
         # cheap signature equality gates the (slightly dearer) structural
@@ -120,6 +123,8 @@ def connected_components(
         sig = new_sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    if stats is not None:  # telemetry: scale-growth diagnosis (r6 #6)
+        stats["rounds"] = rounds
 
     # converged edge set is a star forest: (member → root). Roots have
     # no outgoing edge — they are their own component.

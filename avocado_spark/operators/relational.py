@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -355,7 +355,7 @@ def exact_group_quantiles(
     q<NN> columns (e.g. q50, q90) holding the value at that rank."""
     ranked = global_rank(
         df.select(*group_cols, value_col, id_col),
-        [F.col(value_col).asc(), F.col(id_col).asc()],
+        [F.col(value_col), F.col(id_col)],
         rank_col="_rn",
         partition_cols=list(group_cols),
     )
@@ -912,7 +912,7 @@ def percentile_normalize(
     """
     ranked = global_rank(
         df.select(id_col, group_col, value_col),
-        [F.col(value_col).asc(), F.col(id_col).asc()],
+        [F.col(value_col), F.col(id_col)],
         rank_col="_r",
         partition_cols=[group_col],
     )
@@ -1257,9 +1257,150 @@ def join_skew_report(
     return heavy.unionByName(overall)
 
 
+def _default_buckets(sess: SparkSession) -> int:
+    """Bucket count for range partitioning: the session's shuffle
+    parallelism, tolerating runtimes where the conf holds a
+    non-numeric sentinel (e.g. "auto") by falling back to
+    defaultParallelism."""
+    raw = sess.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return sess.sparkContext.defaultParallelism
+
+
+def _order_spec(
+    order_cols: Sequence[Column | tuple[Column, str]],
+) -> tuple[list[Column], list[str], list[Column]]:
+    """Normalize order specs. A plain Column means ascending (NULLS
+    FIRST, Spark's asc default); ``(col, "desc")`` means descending
+    (NULLS LAST, Spark's desc default). Returns (value exprs,
+    directions, SortOrder columns)."""
+    vals: list[Column] = []
+    dirs: list[str] = []
+    sorts: list[Column] = []
+    for oc in order_cols:
+        if isinstance(oc, tuple):
+            expr, d = oc
+            d = d.lower()
+            if d not in ("asc", "desc"):
+                raise ValueError(f"sort direction must be asc/desc, got {d!r}")
+        else:
+            expr, d = oc, "asc"
+        vals.append(expr)
+        dirs.append(d)
+        sorts.append(expr.asc() if d == "asc" else expr.desc())
+    return vals, dirs, sorts
+
+
+def _range_boundaries(
+    df: DataFrame,
+    vals: Sequence[Column],
+    dirs: Sequence[str],
+    buckets: int,
+    rows_hint: int | None = None,
+) -> list[tuple]:
+    """Sample the order-key distribution ONCE and return ``< buckets``
+    lower-boundary tuples (bucket 0 is unbounded below). The sample is
+    tiny (~100 keys per bucket); Spark's own range partitioner +
+    per-bucket first-row does the ordering, so ordering semantics
+    (collation, NaN, null placement) never leave the engine. The
+    boundaries come back to the driver and are frozen into the caller's
+    plan as literals — that is what makes the downstream bucket
+    assignment DETERMINISTIC across re-executions."""
+    n = rows_hint if rows_hint is not None else df.count()
+    if n == 0 or buckets <= 1:
+        return []
+    k = len(vals)
+    proj = df.select(*[vals[i].alias(f"_gr_k{i}") for i in range(k)])
+    frac = min(1.0, (buckets * 100.0) / n)
+    samp = proj.sample(fraction=frac, seed=42)
+    key_sorts = [
+        F.col(f"_gr_k{i}").asc() if d == "asc" else F.col(f"_gr_k{i}").desc()
+        for i, d in enumerate(dirs)
+    ]
+    w = Window.partitionBy("_gr_bpid").orderBy(*key_sorts)
+    firsts = (
+        samp.repartitionByRange(buckets, *key_sorts)
+        .withColumn("_gr_bpid", F.spark_partition_id())
+        .withColumn("_gr_brn", F.row_number().over(w))
+        .where((F.col("_gr_brn") == 1) & (F.col("_gr_bpid") > 0))
+        .orderBy("_gr_bpid")
+        .collect()
+    )
+    bounds: list[tuple] = []
+    seen: set = set()
+    for r in firsts:
+        t = tuple(r[f"_gr_k{i}"] for i in range(k))
+        marker = tuple(repr(x) for x in t)
+        if marker in seen:
+            continue
+        seen.add(marker)
+        bounds.append(t)
+    return bounds
+
+
+def _at_or_after(
+    vals: Sequence[Column], dirs: Sequence[str], bound: tuple
+) -> Column:
+    """Column predicate: the row's order tuple sorts at-or-after the
+    literal boundary tuple, replicating Spark's sort semantics — asc =
+    NULLS FIRST (null smallest), desc = NULLS LAST (null largest) —
+    via a right-to-left lexicographic fold of null-safe comparisons."""
+    expr = F.lit(True)  # all columns equal → at the boundary
+    for v, d, bval in zip(reversed(vals), reversed(dirs), reversed(bound)):
+        lit = F.lit(bval)
+        eq = v.eqNullSafe(lit)
+        if d == "asc":
+            after = (lit.isNull() & v.isNotNull()) | (
+                v.isNotNull() & lit.isNotNull() & (v > lit)
+            )
+        else:
+            after = (v.isNull() & lit.isNotNull()) | (
+                v.isNotNull() & lit.isNotNull() & (v < lit)
+            )
+        expr = after | (eq & expr)
+    return expr
+
+
+def frozen_range_ids(
+    df: DataFrame,
+    order_cols: Sequence[Column | tuple[Column, str]],
+    id_col: str = "_gr_pid",
+    buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add a DETERMINISTIC contiguous range-bucket id (0..nb-1,
+    ascending with the sort order of ``order_cols``) without a range
+    exchange: sample boundaries once at build time (tiny job), freeze
+    them as plan literals, and assign by a codegen'd lexicographic
+    comparison. Returns (df + id column, effective bucket count).
+
+    Properties the id guarantees (used by callers): (a) re-executions
+    of the returned plan agree — the boundaries are literals, not a
+    per-execution sample; (b) every bucket ≥ 1 is NON-EMPTY, because
+    each boundary is an actual sampled row of ``df`` and sorts into
+    its own bucket (only bucket 0, the unbounded-below range, can be
+    empty) — so per-bucket boundary state can be stitched strictly
+    between adjacent ids. Assumes ``df`` is unchanged between build
+    and execution (batch inputs)."""
+    sess = df.sparkSession
+    if buckets is None:
+        buckets = _default_buckets(sess)
+    vals, dirs, _sorts = _order_spec(order_cols)
+    bounds = _range_boundaries(df, vals, dirs, buckets)
+    if bounds:
+        pid = sum(
+            (_at_or_after(vals, dirs, b).cast("int") for b in bounds),
+            start=F.lit(0),
+        )
+    else:
+        pid = F.lit(0)
+    return df.withColumn(id_col, pid), len(bounds) + 1
+
+
 def global_rank(
     df: DataFrame,
-    order_cols: Sequence[Column],
+    order_cols: Sequence[Column | tuple[Column, str]],
     rank_col: str = "rank",
     partition_cols: Sequence[str] = (),
     cumsum_cols: dict[str, str] | None = None,
@@ -1270,44 +1411,39 @@ def global_rank(
     same order) WITHOUT the single-partition sort that
     ``Window.orderBy`` compiles to.
 
-    Two-phase rank: (1) ``repartitionByRange`` on the order columns —
-    every bucket holds a contiguous key range sized for one task, and
-    ``spark_partition_id`` after a range exchange ascends with the
-    sort order; (2) an ordinary PARALLEL window partitioned by
-    (bucket, group) ranks locally, and per-bucket counts/sums (one
-    tiny row per bucket × group) are cumulated with a triangular
-    broadcast self-join and added back as offsets. The plan contains
-    no Exchange SinglePartition under a Sort/Window — the shape that
-    survives a 100× scale-up where a global window funnels the whole
-    input through one task.
+    Two-phase rank with FROZEN range boundaries: (1) at build time, a
+    tiny sample job learns ``< buckets`` order-key boundaries, which
+    are embedded in the plan as literals and turned into a
+    deterministic per-row bucket id (a codegen'd lexicographic
+    comparison — no shuffle); (2) an ordinary PARALLEL window
+    partitioned by (bucket, group) ranks locally, and per-bucket
+    counts/sums (one tiny row per bucket × group) are cumulated and
+    broadcast back as offsets. Because the bucket id is a pure
+    function of the row and plan literals, the rank branch and the
+    count branch agree across independent re-executions — no persist /
+    checkpoint is needed (the r6 design materialized the range
+    exchange to pin one boundary draw, which pinned the whole input in
+    cache for the session lifetime; this design removes both the cache
+    AND the full-table range exchange). The plan contains no Exchange
+    SinglePartition under a Sort/Window — the shape that survives a
+    100× scale-up where a global window funnels the whole input
+    through one task.
 
-    ``order_cols`` are Column expressions and may carry sort
-    direction (``F.col("x").desc()``); ties must be broken (include a
-    unique id) for the rank to be deterministic. ``cumsum_cols`` maps
-    output column name → input column name for inclusive running
-    totals in the same order (the ABC/Pareto cumulative-share shape).
+    ``order_cols`` entries are bare Column expressions (ascending,
+    NULLS FIRST) or ``(col, "desc")`` tuples (descending, NULLS LAST);
+    ties must be broken (include a unique id) for the rank to be
+    deterministic. ``cumsum_cols`` maps output column name → input
+    column name for inclusive running totals in the same order (the
+    ABC/Pareto cumulative-share shape).
+
+    Calling this runs two small driver jobs (count + boundary sample);
+    the returned DataFrame itself stays lazy and holds no cached data.
     """
     cumsum_cols = cumsum_cols or {}
-    sess = df.sparkSession
-    if buckets is None:
-        buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     pcols = list(partition_cols)
-    from pyspark.storagelevel import StorageLevel
-
-    # PERSIST is load-bearing, not an optimization: the ranked branch
-    # and the bucket-count branch both read this table, Spark does NOT
-    # guarantee exchange reuse across the two subtrees, and range
-    # partitioning re-SAMPLES per execution — two independent
-    # evaluations can draw different bucket boundaries, making the
-    # offsets disagree with the local ranks (observed: corrupted ranks
-    # past n). One materialization pins one boundary draw. At cluster
-    # scale this is the table you'd write out once and read twice.
-    ranged = (
-        df.repartitionByRange(buckets, *pcols, *order_cols)
-        .withColumn("_gr_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    wl = Window.partitionBy("_gr_pid", *pcols).orderBy(*order_cols)
+    _vals, _dirs, sorts = _order_spec(order_cols)
+    ranged, buckets = frozen_range_ids(df, order_cols, "_gr_pid", buckets)
+    wl = Window.partitionBy("_gr_pid", *pcols).orderBy(*sorts)
     wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = ranged.withColumn("_gr_lr", F.row_number().over(wl))
     for out_col, in_col in cumsum_cols.items():
@@ -1337,11 +1473,25 @@ def global_rank(
         F.sum("_gr_n").alias("_gr_off"),
         *[F.sum(f"_gr_s_{c}").alias(f"_gr_soff_{c}") for c in cumsum_cols],
     )
-    out = local.join(F.broadcast(offsets), ["_gr_pid", *pcols], "left").withColumn(
+    # NULL is a real group for groupBy but name-list joins use
+    # null-UNSAFE equality, so a NULL partition key would never match
+    # its bucket offsets and the rank would restart per bucket. Rename
+    # the offset-side keys and join with eqNullSafe per group column.
+    off = offsets.select(
+        F.col("_gr_pid").alias("_gr_opid"),
+        *[F.col(c).alias(f"_gr_o_{c}") for c in pcols],
+        "_gr_off",
+        *[f"_gr_soff_{c}" for c in cumsum_cols],
+    )
+    cond = F.col("_gr_pid") == F.col("_gr_opid")
+    for c in pcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gr_o_{c}"))
+    out = local.join(F.broadcast(off), cond, "left").withColumn(
         rank_col,
         (F.col("_gr_lr") + F.coalesce(F.col("_gr_off"), F.lit(0))).cast("bigint"),
     )
-    drop = ["_gr_pid", "_gr_lr", "_gr_off"]
+    drop = ["_gr_pid", "_gr_lr", "_gr_off", "_gr_opid"]
+    drop += [f"_gr_o_{c}" for c in pcols]
     for c in cumsum_cols:
         out = out.withColumn(
             c, F.col(f"_gr_ls_{c}") + F.coalesce(F.col(f"_gr_soff_{c}"), F.lit(0))
@@ -1376,7 +1526,7 @@ def quantile_normalize(
     )
     glob = global_rank(
         df.select(value, tie_col),
-        [F.col(value).asc(), F.col(tie_col).asc()],
+        [F.col(value), F.col(tie_col)],
         rank_col="_gi",
     )
     n_total = df.count()  # bounded driver scalar (row count)

@@ -66,6 +66,13 @@ MAX_EVAL_QUERIES = 10_000
 
 
 def _guard_eval_queries(queries: DataFrame, allow_full_scan: bool, op: str) -> None:
+    """NOTE: this guard runs an EAGER Spark job (limit(N+1).count()) at
+    builder time — brute_force_topk/int8_topk plan construction is
+    therefore not lazy, and the queries-side plan is scanned once more
+    than the final execution needs. That is the accepted price of
+    refusing O(q·n) full scans before they are shipped; pass
+    allow_full_scan=True to skip the job (EXPLAIN-only paths and plan-
+    shape tests should do so, or expect the extra action)."""
     if allow_full_scan:
         return
     if queries.limit(MAX_EVAL_QUERIES + 1).count() > MAX_EVAL_QUERIES:

@@ -704,83 +704,81 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (safe to drop under the cap).
 _GATE_PRIORITY = [
     # The driver's correctness gate samples the FIRST 50 entries in
-    # this order. Round-6 rotation (r5 verdict #3): burn down the
-    # driver-sample debt — every query below the 50-line was green in
-    # some earlier round; everything above has NEVER had a driver row.
-    # (0) queries REWRITTEN or ADDED this round (global_rank two-phase
-    # windows, LSH-backed threshold sweep, PQ ANN) — must prove against
-    # the driver:
+    # this order. Round-7 rotation (r6 verdict #1): (0) the 10 queries
+    # that ride the REWRITTEN global_rank (frozen-boundary design this
+    # round) or were edited this round — must re-prove against the
+    # driver; (1) the 37 queries that have never had a driver
+    # CORRECTNESS row in rounds 1-6 — 47 total, inside the 50-cap;
+    # (2) previously-green rows, least recently verified first.
+    # (0) rewritten this round:
     "events_user_activity_gini", "conversion_latency_quantiles",
     "events_encoding_advisor", "quality_reliability_table",
     "events_quantile_normalize", "source_pctrank_norm",
-    "customer_abc_analysis", "dedup_threshold_sweep", "ann_pq_adc_recall",
-    "fk_integrity_audit", "part_cheapest_supplier", "rendezvous_shard_moves",
-    # (1) the remaining never-driver-sampled queries, registry order
-    # (the first ~42 fit this round's 50-cap; the tail is round 7's):
-    "events_mutual_info", "bloom_pruned_join", "events_cms_user_counts",
-    "events_hll_daily_users", "dedup_canonical_keep",
-    "orders_pareto_frontier", "events_partition_fingerprint_diff",
-    "customer_er_clusters", "incremental_dedup_pairs",
-    "cms_join_size_estimate", "compaction_plan", "normalize_dedup_impact",
-    "session_paths", "events_join_skew_report", "events_hll_rolling_users",
-    "coorder_kcore", "negative_sample_pairs", "chunk_sliding_windows",
-    "events_burst_alerts", "scd2_point_in_time_join",
-    "ann_srp_multiprobe_recall", "budget_fill_sample",
-    "events_key_uniqueness_audit", "lineitem_ols_two_features",
-    "knn_label_consistency", "embedding_source_drift", "ab_test_analysis",
-    "events_value_psi", "interval_union_length", "table_schema_contract",
-    "dataset_card", "orders_per_customer_distribution",
-    "idle_rich_customers", "events_volume_anomaly_days",
-    "supplier_region_hhi", "shipping_lead_time_stats", "events_daily_ohlc",
-    "contamination_kwic", "dedup_cluster_size_histogram",
-    "part_price_band_rollup", "region_nation_revenue_rollup",
-    "events_weekly_wow_growth", "dedup_survivorship_report",
-    "ppjoin_dup_pairs", "events_scd2_history", "charset_census",
-    "training_shard_layout", "coorder_triangles", "multitouch_attribution",
-    "small_qty_avg_filter", "semantic_dedup_killlist",
-    "longgram_overlap_pairs", "cdc_chunking", "cdc_dedup_stats",
-    "orders_snapshot_diff", "events_equidepth_hist", "events_mad_outliers",
-    "coorder_pagerank", "cohort_retention", "incremental_agg_maintenance",
-    "lineitem_unpivot", "stream_attribution_outer",
-    "events_dow_hour_profile", "events_partition_gaps",
-    "part_association_lift", "events_transition_matrix",
-    "events_expectations", "events_table_fingerprint", "unigram_surprisal",
-    "session_conversion", "funnel_conversion_rates", "langid_confusion",
-    "embedding_health", "embedding_dim_variance",
+    "customer_abc_analysis", "budget_fill_sample", "events_value_deciles",
+    "events_value_quantiles",
+    # (1) never driver-sampled (the r6 verdict's list of 37):
+    "ab_test_bootstrap_ci", "cdc_chunking", "cdc_dedup_stats",
+    "charset_census", "cohort_retention", "coorder_pagerank",
+    "coorder_triangles", "dedup_cluster_size_histogram",
+    "dedup_survivorship_report", "embedding_dim_variance", "embedding_health",
+    "events_dow_hour_profile", "events_equidepth_hist", "events_expectations",
+    "events_mad_outliers", "events_partition_gaps", "events_scd2_history",
+    "events_table_fingerprint", "events_transition_matrix",
+    "events_weekly_wow_growth", "funnel_conversion_rates",
+    "incremental_agg_maintenance", "langid_confusion", "lineitem_unpivot",
+    "longgram_overlap_pairs", "multitouch_attribution", "orders_snapshot_diff",
+    "part_association_lift", "part_price_band_rollup", "ppjoin_dup_pairs",
+    "region_nation_revenue_rollup", "semantic_dedup_killlist",
+    "session_conversion", "small_qty_avg_filter", "stream_attribution_outer",
+    "training_shard_layout", "unigram_surprisal",
     # (2) previously-green rows, least-recently-verified first:
+    "dedup_threshold_sweep", "ann_pq_adc_recall", "fk_integrity_audit",
+    "part_cheapest_supplier", "rendezvous_shard_moves", "events_mutual_info",
+    "bloom_pruned_join", "events_cms_user_counts", "events_hll_daily_users",
+    "dedup_canonical_keep", "orders_pareto_frontier",
+    "events_partition_fingerprint_diff", "customer_er_clusters",
+    "incremental_dedup_pairs", "cms_join_size_estimate", "compaction_plan",
+    "normalize_dedup_impact", "session_paths", "events_join_skew_report",
+    "events_hll_rolling_users", "coorder_kcore", "negative_sample_pairs",
+    "chunk_sliding_windows", "events_burst_alerts", "scd2_point_in_time_join",
+    "ann_srp_multiprobe_recall", "events_key_uniqueness_audit",
+    "lineitem_ols_two_features", "knn_label_consistency",
+    "embedding_source_drift", "ab_test_analysis", "events_value_psi",
+    "interval_union_length", "table_schema_contract", "dataset_card",
+    "orders_per_customer_distribution", "idle_rich_customers",
+    "events_volume_anomaly_days", "supplier_region_hhi",
+    "shipping_lead_time_stats", "events_daily_ohlc", "contamination_kwic",
     "ann_srp_bucketed", "token_count", "quality_score", "language_id",
     "doc_fingerprint", "scan_project_filter", "broadcast_equijoin_dim",
     "multiway_union", "semi_join_cohort", "anti_join_novel",
-    "genome_sort_rank", "topk_per_group", "phred_kernels",
-    "log_space_kernels", "genotype_state_quality", "reversed_array_add",
-    "rms_mapq_rollup", "allele_trim", "mate_nullify", "sample_catalog",
-    "ploidy_extremes", "interval_join_group_right", "cnv_point_lookup",
-    "prefilter_reads", "count_filter_discovery", "merge_discovered_dedup",
-    "exact_dedup", "simhash_signatures", "ngram_jaccard_pairs",
-    "embedding_dup_pairs", "ann_topk_cosine", "biallelic_pipeline",
-    "gvcf_jointer_e2e", "biallelic_multiallelic", "dedup_clusters",
-    "ann_ivf_kmeans_recall", "sink_roundtrip_partitioned", "sink_glob_union",
-    "sink_sorted_single_file", "multimodal_features", "dedup_cap_stats",
-    "decontaminate_ngrams", "repetition_stats", "stratified_sample",
-    "tfidf_top_terms", "events_value_quantiles", "simhash_dup_pairs",
-    "ann_recall_eval", "ann_ivf_probed", "token_count_bpe",
-    "multimodal_frame_sample", "events_props_parse", "events_salted_agg",
-    "gopher_quality_gate", "biallelic_pipeline_indel",
+    "genome_sort_rank", "topk_per_group", "phred_kernels", "log_space_kernels",
+    "genotype_state_quality", "reversed_array_add", "rms_mapq_rollup",
+    "allele_trim", "mate_nullify", "sample_catalog", "ploidy_extremes",
+    "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
+    "count_filter_discovery", "merge_discovered_dedup", "exact_dedup",
+    "simhash_signatures", "ngram_jaccard_pairs", "embedding_dup_pairs",
+    "ann_topk_cosine", "biallelic_pipeline", "gvcf_jointer_e2e",
+    "biallelic_multiallelic", "dedup_clusters", "ann_ivf_kmeans_recall",
+    "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
+    "multimodal_features", "dedup_cap_stats", "decontaminate_ngrams",
+    "repetition_stats", "stratified_sample", "tfidf_top_terms",
+    "simhash_dup_pairs", "ann_recall_eval", "ann_ivf_probed",
+    "token_count_bpe", "multimodal_frame_sample", "events_props_parse",
+    "events_salted_agg", "gopher_quality_gate", "biallelic_pipeline_indel",
     "gvcf_all_sites_indel", "biallelic_cnv_ploidy", "trio_from_reads",
     "prefilter_reads_preset", "gvcf_all_sites", "gvcf_square_off",
     "joint_recall", "trio_mendelian", "discover_variants", "score_table_gen",
     "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
     "hard_filter_annotate", "variant_summary", "maf_site_quality",
-    "wide_agg_q1", "events_asof_join", "events_funnel",
-    "stream_trending_topk", "stream_tumbling_hourly", "stream_sliding_30m",
-    "stream_session_windows", "stream_dedup_first", "stream_running_total",
-    "stream_attribution_join", "interval_join_broadcast",
-    "interval_join_binned", "coverage_cap", "minhash_dedup_pairs",
-    "realign_reads", "chunk_dedup", "ngram_corpus_topk", "weighted_mix",
-    "events_rolling_stats", "revenue_multijoin", "stream_static_enrich",
-    "bucketed_colocated_join", "dim_upsert_compact", "sink_schema_evolution",
-    "events_rollup_hierarchy", "table_profile", "events_zscore_outliers",
-    "events_value_deciles", "events_interarrival", "dataset_split",
+    "wide_agg_q1", "events_asof_join", "events_funnel", "stream_trending_topk",
+    "stream_tumbling_hourly", "stream_sliding_30m", "stream_session_windows",
+    "stream_dedup_first", "stream_running_total", "stream_attribution_join",
+    "interval_join_broadcast", "interval_join_binned", "coverage_cap",
+    "minhash_dedup_pairs", "realign_reads", "chunk_dedup", "ngram_corpus_topk",
+    "weighted_mix", "events_rolling_stats", "revenue_multijoin",
+    "stream_static_enrich", "bucketed_colocated_join", "dim_upsert_compact",
+    "sink_schema_evolution", "events_rollup_hierarchy", "table_profile",
+    "events_zscore_outliers", "events_interarrival", "dataset_split",
     "split_leakage", "bm25_topk", "inverted_index", "pack_sequences",
     "pii_scrub", "salted_skew_join", "winsorized_stats", "events_ewma",
     "zorder_layout", "zorder_pruning", "ann_int8_recall",
@@ -1960,7 +1958,7 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = global_rank(
         rev,
-        [F.col("rev_c").desc(), F.col("o_custkey").asc()],
+        [(F.col("rev_c"), "desc"), F.col("o_custkey")],
         rank_col="_rk",
         cumsum_cols={"cum_c": "rev_c"},
     )

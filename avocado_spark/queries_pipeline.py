@@ -2733,7 +2733,7 @@ def budget_fill_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the one-task-per-source pathology; ride the two-phase cumsum
     ordered = global_rank(
         toks,
-        [F.col("pick").asc(), F.col("doc_id").asc()],
+        [F.col("pick"), F.col("doc_id")],
         rank_col="_r",
         partition_cols=["source"],
         cumsum_cols={"cum_tokens": "n_tokens"},
@@ -2847,7 +2847,7 @@ def quality_reliability_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("passed"),
     ).where(F.size(toks) > 0)
     ranked = global_rank(
-        scored, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="_r"
+        scored, [F.col("score"), F.col("doc_id")], rank_col="_r"
     )
     ntotal = scored.agg(F.count(F.lit(1)).alias("_n"))
     # NTILE(10) from the global rank r and total n: base size q = n div

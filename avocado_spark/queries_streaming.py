@@ -484,7 +484,7 @@ def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
         ),
-        [F.col("value").asc(), F.col("event_id").asc()],
+        [F.col("value"), F.col("event_id")],
         rank_col="_r",
         partition_cols=["event_type"],
     )
@@ -1487,27 +1487,28 @@ def events_encoding_advisor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain suggestion — the storage-layout scorecard that tells you
     whether a sort (or Z-order) before write would make the parquet
     pages collapse. A global ``lag`` would funnel the whole fact table
-    through one task, so the run count is computed two-phase: range-
-    partition on event_id, lag INSIDE each bucket with a parallel
-    window, and stitch the bucket boundaries by broadcasting each
-    bucket's last row to the next bucket's first (≤ buckets rows of
-    boundary state — the classic distributed run-length shape)."""
+    through one task, so the run count is computed two-phase: assign a
+    DETERMINISTIC frozen-boundary range-bucket id (relational.
+    frozen_range_ids — boundaries are plan literals, so the lag branch
+    and the boundary branch always agree, with no persist), lag INSIDE
+    each bucket with a parallel window, and stitch the bucket
+    boundaries by broadcasting each bucket's last row to the next
+    bucket's first (≤ buckets rows of boundary state — the classic
+    distributed run-length shape). Adjacent-id stitching is sound
+    because frozen_range_ids guarantees every bucket ≥ 1 is non-empty
+    (each boundary is a real sampled row): the only absent carry is
+    for the bucket holding the true global first row, whose null prev
+    is exactly right."""
     from pyspark.sql import Window as W  # noqa: N814
     from pyspark.sql import functions as F  # noqa: F811
 
-    from pyspark.storagelevel import StorageLevel
+    from avocado_spark.operators.relational import frozen_range_ids
 
     ev = load_table(spark, sf_dir, "events")
-    buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist is load-bearing: the lag branch and the bucket-boundary
-    # branch must see the SAME range-boundary draw (exchange reuse is
-    # not guaranteed and range sampling is per-execution — see
-    # relational.global_rank)
-    ranged = (
-        ev.select("event_id", "event_type", "user_id")
-        .repartitionByRange(buckets, "event_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranged, _nb = frozen_range_ids(
+        ev.select("event_id", "event_type", "user_id"),
+        [F.col("event_id")],
+        id_col="_pid",
     )
     w = W.partitionBy("_pid").orderBy("event_id")
     local = ranged.select(
@@ -1905,7 +1906,7 @@ def conversion_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", F.expr("(fp - fv) div 60000000").alias("latency_min")
     )
     ranked = global_rank(
-        lat, [F.col("latency_min").asc(), F.col("user_id").asc()], rank_col="rk"
+        lat, [F.col("latency_min"), F.col("user_id")], rank_col="rk"
     )
     ntotal = lat.agg(F.count(F.lit(1)).alias("n"))
     qs = spark.range(1).select(
@@ -2009,7 +2010,7 @@ def events_user_activity_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = global_rank(
-        per_user, [F.col("n").asc(), F.col("user_id").asc()], rank_col="i"
+        per_user, [F.col("n"), F.col("user_id")], rank_col="i"
     )
     nn = F.count(F.lit(1))
     tot = F.sum("n")
@@ -2116,14 +2117,7 @@ def ab_test_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h1 = ((F.col("user_id") % M) * (2654435761 + F.col("b") * 40503) + F.col("b") * 97 + 17) % M
     weighted = reps.select("b", "arm", "converted", ((h1 * h1 + h1) % M % 3).alias("w"))
-    wc = lambda a: F.sum(F.when(F.col("arm") == a, F.col("w") * F.col("converted")).otherwise(0))  # noqa: E731
-    wt = lambda a: F.greatest(F.sum(F.when(F.col("arm") == a, F.col("w")).otherwise(0)), F.lit(1))  # noqa: E731
-    per_rep = weighted.groupBy("b").agg(
-        (
-            F.expr("1") * wc(1) * 10000 / wt(1)  # placeholder, replaced below
-        ).alias("_x")
-    )
-    # integer div must be `div`, not `/` — rebuild the agg with expr
+    # integer div must be `div`, not `/`, for exact replay in the oracle
     per_rep = weighted.groupBy("b").agg(
         F.expr(
             "sum(case when arm = 1 then w * converted else 0 end) * 10000"

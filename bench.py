@@ -179,6 +179,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": max(runs, 1),
+        "notes": {
+            # r6 verdict #4 follow-up: re-benched in isolation (4 runs,
+            # warm JVM) best 1.45 s vs r6's in-bench 2.10 s — the r6
+            # number was contention from the two new heavy neighbors
+            # (ann_pq_adc_recall, dedup_threshold_sweep), code unchanged.
+            "simhash_dup_pairs": "r6 2.10s was bench contention; isolated best 1.45s (~r5)",
+        },
     }
     if errors:
         # every recorded error ships in the artifact — including queries
@@ -222,6 +229,13 @@ _SCALE_QUERIES = [
     ("wide_agg_q1", 15.0),
     ("coorder_triangles", 45.0),  # O(m^1.5) wedge stream by design
     ("ann_pq_adc_recall", 15.0),  # train/encode linear; LUT per-query fixed
+    # round 7 (r6 verdict #5): the genomic family BASELINE.md actually
+    # names — reads/calls derive from the key-shifted orders/lineitem
+    # facts (10×), variants from the fixed part dimension
+    ("biallelic_pipeline", 15.0),
+    ("interval_join_binned", 15.0),
+    ("interval_join_group_right", 15.0),
+    ("realign_reads", 15.0),
 ]
 
 
@@ -281,6 +295,21 @@ def sf_scale_check() -> int:
     print(f"# scaled dir built in {time.perf_counter() - t0:.1f}s: {scaled_dir}",
           file=sys.stderr)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+    # One UNTIMED warm-up query per input dir (r6 verdict #3): the
+    # first timed query otherwise absorbs codegen + parquet-footer +
+    # fixture warm-up (observed: minhash t1 29.7 s vs 3.0 s in bench,
+    # turning the growth ratio for whichever query ran first into
+    # noise). Warm both dirs so t1 and t10 start from the same state.
+    warm_name = _SCALE_QUERIES[0][0]
+    for d in (sf_dir, scaled_dir):
+        try:
+            t0 = time.perf_counter()
+            registry[warm_name](spark, d).count()
+            spark.catalog.clearCache()
+            print(f"# warm-up {warm_name} on {d}: "
+                  f"{time.perf_counter() - t0:.1f}s (untimed)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+            print(f"# warm-up failed on {d}: {e}", file=sys.stderr)
 
     results: dict[str, dict] = {}
     failed = []
@@ -318,7 +347,106 @@ def sf_scale_check() -> int:
     return 1 if failed else 0
 
 
+# ---------------------------------------------------------------------------
+# --streaming-bench: throughput / latency for the streaming tier
+# (r6 verdict stretch #8). The streaming operators are convergence-
+# tested but were never benchmarked. This mode stages the sf events
+# table as K parquet files, replays them as K micro-batches
+# (maxFilesPerTrigger=1 + availableNow), and reports rows/sec and
+# per-micro-batch trigger latency from query progress for the two
+# stateful shapes: burst_alerts_stream (applyInPandasWithState) and
+# attribution_join (watermarked stream-stream interval join).
+# ---------------------------------------------------------------------------
+
+
+def streaming_bench() -> int:
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
+    from avocado_spark.session import get_spark, load_table
+    from avocado_spark.streaming import events as SE
+
+    spark = get_spark(app_name="avocado_spark_streaming_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    staged = tempfile.mkdtemp(prefix="stream_bench_src_")
+    # K files = K micro-batches under maxFilesPerTrigger=1; repartition
+    # by a hash of the key so each batch carries every user (steady
+    # arrival, not time-sliced — the throughput-relevant shape)
+    ev.repartition(n_files).write.mode("overwrite").parquet(staged)
+    raw_schema = spark.read.parquet(staged).schema
+
+    def run(name, build):
+        ckpt = tempfile.mkdtemp(prefix=f"stream_bench_ck_{name}_")
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(staged)
+        )
+        out = build(SE.normalize_events(raw))
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        batches = []
+        for p in q.recentProgress:
+            d = json.loads(p.json) if hasattr(p, "json") else p
+            dur = d.get("durationMs", {}).get("triggerExecution")
+            rows_in = d.get("numInputRows", 0)
+            if rows_in:
+                batches.append((rows_in, dur))
+        shutil.rmtree(ckpt, ignore_errors=True)
+        lat = [b[1] for b in batches if b[1] is not None]
+        return {
+            "wall_sec": round(wall, 3),
+            "input_rows": n_rows,
+            "rows_per_sec": round(n_rows / wall, 1),
+            "micro_batches": len(batches),
+            "trigger_latency_ms_avg": round(sum(lat) / len(lat), 1) if lat else None,
+            "trigger_latency_ms_max": max(lat) if lat else None,
+        }
+
+    results = {}
+    for name, build in (
+        ("burst_alerts_stream", lambda s: SE.burst_alerts_stream(s)),
+        (
+            "attribution_join",
+            lambda s: SE.attribution_join(s, how="inner"),
+        ),
+    ):
+        try:
+            results[name] = run(name, build)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+    shutil.rmtree(staged, ignore_errors=True)
+    print(json.dumps({
+        "metric": "streaming_throughput",
+        "unit": "rows_per_sec",
+        "value": min(
+            (r.get("rows_per_sec", 0.0) for r in results.values()), default=0.0
+        ),
+        "sf_rows": n_rows,
+        "micro_batch_files": n_files,
+        "queries": results,
+    }))
+    spark.stop()
+    return 1 if any("error" in r for r in results.values()) else 0
+
+
 if __name__ == "__main__":
     if "--sf-scale-check" in sys.argv:
         sys.exit(sf_scale_check())
+    if "--streaming-bench" in sys.argv:
+        sys.exit(streaming_bench())
     main()

@@ -29,7 +29,7 @@ def _same(a, b, cols):
 def test_matches_global_window_asc(spark):
     df = _df(spark)
     exp = df.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
-    got = global_rank(df, [F.col("v").asc(), F.col("k").asc()], "r")
+    got = global_rank(df, [F.col("v"), F.col("k")], "r")
     assert _same(exp, got, ["v", "k", "r"])
 
 
@@ -41,7 +41,7 @@ def test_matches_desc_with_cumsum(spark):
         F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
     got = global_rank(
-        df, [F.col("v").desc(), F.col("k").asc()], "r", cumsum_cols={"c": "v"}
+        df, [(F.col("v"), "desc"), F.col("k")], "r", cumsum_cols={"c": "v"}
     )
     assert _same(exp, got, ["v", "k", "r", "c"])
 
@@ -52,7 +52,7 @@ def test_matches_grouped_window(spark):
         "r", F.row_number().over(Window.partitionBy("g").orderBy("v", "k"))
     )
     got = global_rank(
-        df, [F.col("v").asc(), F.col("k").asc()], "r", partition_cols=["g"]
+        df, [F.col("v"), F.col("k")], "r", partition_cols=["g"]
     )
     assert _same(exp, got, ["g", "v", "k", "r"])
 
@@ -61,24 +61,139 @@ def test_degenerate_bucket_counts(spark):
     df = _df(spark, n=7)
     exp = df.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
     for buckets in (1, 2, 64):  # fewer rows than buckets, single bucket
-        got = global_rank(df, [F.col("v").asc(), F.col("k").asc()], "r", buckets=buckets)
+        got = global_rank(df, [F.col("v"), F.col("k")], "r", buckets=buckets)
         assert _same(exp, got, ["v", "k", "r"]), buckets
 
 
 def test_empty_input(spark):
     df = _df(spark).where(F.lit(False))
-    assert global_rank(df, [F.col("v").asc(), F.col("k").asc()], "r").count() == 0
+    assert global_rank(df, [F.col("v"), F.col("k")], "r").count() == 0
 
 
 def test_plan_is_scale_safe(spark):
     """The whole point: no single-partition exchange, no nested-loop
     join — every stage is parallel."""
-    got = global_rank(_df(spark), [F.col("v").asc(), F.col("k").asc()], "r")
+    got = global_rank(_df(spark), [F.col("v"), F.col("k")], "r")
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_nullable_partition_col_matches_window(spark):
+    """NULL group keys: groupBy treats NULL as a real group, but a
+    name-list join is null-unsafe — the offset join must be eqNullSafe
+    or null-group ranks restart in every bucket (the r6 advice
+    regression)."""
+    df = spark.range(3000).select(
+        (F.col("id") * 37 % 701).alias("v"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("g"),
+        F.col("id").alias("k"),
+    )
+    exp = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("v", "k"))
+    )
+    got = global_rank(
+        df, [F.col("v"), F.col("k")], "r", partition_cols=["g"]
+    )
+    assert _same(exp, got, ["g", "v", "k", "r"])
+
+
+def test_nullable_partition_col_with_cumsum(spark):
+    df = spark.range(2000).select(
+        (F.col("id") * 13 % 211).alias("v"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 2).alias("g"),
+        F.col("id").alias("k"),
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    exp = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "c",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    got = global_rank(
+        df,
+        [F.col("v"), F.col("k")],
+        "r",
+        partition_cols=["g"],
+        cumsum_cols={"c": "v"},
+    )
+    assert _same(exp, got, ["g", "v", "k", "r", "c"])
+
+
+def test_non_numeric_shuffle_partitions_conf(spark):
+    """Some runtimes surface spark.sql.shuffle.partitions as a
+    non-numeric sentinel ('auto'); the bucket-count parse must fall
+    back to defaultParallelism instead of raising. Spark 4 validates
+    the conf at set-time so the sentinel is simulated with a stub."""
+    from avocado_spark.operators.relational import _default_buckets
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _Sess:
+        def __init__(self, v, sc):
+            self.conf = _Conf(v)
+            self.sparkContext = sc
+
+    assert _default_buckets(_Sess("16", spark.sparkContext)) == 16
+    assert (
+        _default_buckets(_Sess("auto", spark.sparkContext))
+        == spark.sparkContext.defaultParallelism
+    )
+    assert _default_buckets(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
+def test_no_cachemanager_pinning(spark):
+    """The r6 persist leak: global_rank must not register anything in
+    the session CacheManager — nothing session-pinned."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "cache not empty before test"
+    got = global_rank(_df(spark), [F.col("v"), F.col("k")], "r")
+    got.count()
+    assert cache_mgr.isEmpty(), (
+        "global_rank pinned a table in the CacheManager (session-lifetime leak)"
+    )
+
+
+def test_no_persistent_rdds(spark):
+    """The frozen-boundaries design needs NO materialization at all:
+    running a global_rank query must leave zero RDD-level persisted
+    blocks behind (the r6 design pinned the range-partitioned input
+    for the session lifetime)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = global_rank(_df(spark), [F.col("v"), F.col("k")], "r")
+    got.count()
+    assert jsc.getPersistentRDDs().size() == before, (
+        "global_rank left persisted RDD blocks behind"
+    )
+
+
+def test_reexecution_is_deterministic(spark):
+    """The r6 nondeterminism bug: range partitioning re-samples per
+    execution, so two evaluations of the same plan could disagree on
+    bucket boundaries and corrupt ranks. The boundaries are now frozen
+    literals in the plan — collecting the SAME DataFrame twice (and
+    the rank/count subtrees within one execution) must agree exactly."""
+    got = global_rank(
+        _df(spark), [F.col("v"), F.col("k")], "r", cumsum_cols={"c": "v"}
+    )
+    a = sorted((r["k"], r["r"], r["c"]) for r in got.collect())
+    b = sorted((r["k"], r["r"], r["c"]) for r in got.collect())
+    assert a == b
+    exp = _df(spark).withColumn(
+        "r", F.row_number().over(Window.orderBy("v", "k"))
+    )
+    assert _same(exp, got, ["v", "k", "r"])
 
 
 def test_null_order_keys_match_window(spark):
@@ -90,5 +205,5 @@ def test_null_order_keys_match_window(spark):
         F.col("id").alias("k"),
     )
     exp = df.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
-    got = global_rank(df, [F.col("v").asc(), F.col("k").asc()], "r")
+    got = global_rank(df, [F.col("v"), F.col("k")], "r")
     assert _same(exp, got, ["v", "k", "r"])
