@@ -14,15 +14,52 @@ distinct — no collect_list, so a hub node (one doc near-duplicate to
 millions) never materializes its neighborhood as an array; the
 per-round state is an edge set, linear in the input pairs. Lineage is
 truncated per round with ``localCheckpoint`` (on a real cluster with a
-checkpoint dir, reliable ``checkpoint`` — same call shape).
-Convergence is detected with one tiny aggregate action per round
-(count + order-free hash signature of the edge set).
+checkpoint dir, reliable ``checkpoint`` — same call shape), and each
+round's blocks are RELEASED as soon as the next round materializes
+(driver GC does not reliably reach checkpoint blocks across py4j, so
+without explicit release a long session pins one edge table per round
+per query). Residual footprint per call is only what the returned
+DataFrame still reads: the final star forest + node list for CC, the
+final rank/live table for pagerank/k-core — each far smaller than the
+input corpus. Convergence is detected with one tiny aggregate action
+per round (count + order-free hash signature of the edge set).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _persistent_rdd_ids(df: DataFrame) -> set[int]:
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _tracked_checkpoint(df: DataFrame, owned: set[int]) -> DataFrame:
+    """Eager ``localCheckpoint`` that RECORDS the RDD ids it pinned, so
+    iterative callers can release each round's blocks once the next
+    round is materialized. Driver-side GC does not reliably reach
+    RDD-level checkpoint blocks through the py4j boundary (observed:
+    blocks live for the session), so iterative operators must free
+    superseded rounds explicitly or a long session accumulates one edge
+    table per round per query. Assumes calls within one session are not
+    concurrent (the bench/driver execution model)."""
+    before = _persistent_rdd_ids(df)
+    out = df.localCheckpoint(eager=True)
+    owned.update(_persistent_rdd_ids(out) - before)
+    return out
+
+
+def _release_rdds(df: DataFrame, ids: set[int]) -> None:
+    """Unpersist checkpoint blocks by id. Only call on rounds that are
+    SUPERSEDED (a later eager checkpoint no longer reads them) — a
+    localCheckpoint's lineage is cut, so releasing blocks still in use
+    would fail the consumer, not recompute."""
+    sc = df.sparkSession.sparkContext._jsc.sc()
+    for i in ids:
+        sc.unpersistRDD(i, False)
+    ids.clear()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -100,12 +137,17 @@ def connected_components(
     Raises if the star rounds have not converged after ``max_iter``
     (2·max_iter ≈ log²-of-astronomical — hitting it means bad input,
     e.g. non-numeric ids hashing oddly, not a bigger graph)."""
-    e = (
+    prev_ids: set[int] = set()
+    e = _tracked_checkpoint(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        prev_ids,
     )
+    # nodes stays pinned until the caller consumes the result (the root
+    # rows read it); with the per-round release below, the steady-state
+    # footprint is 2 edge tables (current round + nodes), not one per
+    # round per call
     nodes = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
     ).distinct().localCheckpoint(eager=True)
@@ -114,7 +156,12 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur_ids: set[int] = set()
+        e = _tracked_checkpoint(_small_star(_large_star(e)), cur_ids)
+        # the new round is materialized with lineage cut — the previous
+        # round's blocks are now unreachable by any consumer; free them
+        _release_rdds(e, prev_ids)
+        prev_ids = cur_ids
         new_sig = _signature(e)
         # cheap signature equality gates the (slightly dearer) structural
         # proof; only a star-forest-confirmed state terminates the loop
@@ -274,16 +321,19 @@ def pagerank_exact(
     at SCALE per node; the per-round floor loss stays lost (exactly as
     the oracle replays it).
     """
-    from pyspark.storagelevel import StorageLevel
-
     und = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    # adj (edge + degree) is reused every round: one eager checkpoint,
+    # released after the final round materializes — NOT DataFrame
+    # .persist, which pins it in the session CacheManager until an
+    # explicit unpersist that no caller can sequence correctly
+    adj_ids: set[int] = set()
     deg = und.groupBy("u").agg(F.count("*").alias("deg"))
-    adj = und.join(deg, "u").persist(StorageLevel.MEMORY_AND_DISK)
+    adj = _tracked_checkpoint(und.join(deg, "u"), adj_ids)
     ranks = deg.select("u", F.lit(PAGERANK_SCALE).cast("long").alias("rank_u"))
     base_u = PAGERANK_SCALE - damping_u
+    prev_ids: set[int] = set()
     for _ in range(n_iter):
         # true integer division (`div`), NOT floor(double /): for large
         # operands a double quotient can round up across an integer
@@ -305,7 +355,13 @@ def pagerank_exact(
                 (F.lit(base_u) + F.col("in_u")).cast("long").alias("rank_u"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        cur_ids: set[int] = set()
+        ranks = _tracked_checkpoint(ranks, cur_ids)
+        _release_rdds(ranks, prev_ids)  # superseded round
+        prev_ids = cur_ids
+    # all rounds are materialized — the adjacency blocks are done too;
+    # only the final ranks table stays pinned until the caller consumes
+    _release_rdds(ranks, adj_ids)
     return ranks.select(F.col("u").alias("node"), "rank_u")
 
 
@@ -329,15 +385,20 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 6) -> DataFrame:
     und = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    live = und.localCheckpoint(eager=True)
+    prev_ids: set[int] = set()
+    live = _tracked_checkpoint(und, prev_ids)
     for _ in range(n_rounds):
         deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("u")
-        live = (
-            live.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+        cur_ids: set[int] = set()
+        live = _tracked_checkpoint(
+            live.join(keep, "u", "left_semi").join(
+                keep.withColumnRenamed("u", "v"), "v", "left_semi"
+            ),
+            cur_ids,
         )
+        _release_rdds(live, prev_ids)  # superseded round — free its blocks
+        prev_ids = cur_ids
     return (
         live.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))

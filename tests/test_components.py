@@ -152,3 +152,39 @@ def test_triangle_counts_shuffle_fallback_matches_broadcast(spark):
                 spark.conf.set(k, v)
     assert got == base
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_iterative_rounds_release_checkpoint_blocks(spark):
+    """Round-k checkpoint blocks must be freed once round k+1
+    materializes: after a multi-round CC run is consumed, the residual
+    persisted-RDD count is the documented footprint (final star forest
+    + node list), NOT one edge table per round — the accumulation that
+    would pin a long analytics session at 100 TB."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(60)]  # chain: several star rounds
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    stats = {}
+    out = connected_components(df, stats=stats)
+    out.count()
+    assert stats["rounds"] >= 2, "fixture should need multiple rounds"
+    residual = jsc.getPersistentRDDs().size() - before
+    assert residual <= 2, (
+        f"CC left {residual} persisted tables after {stats['rounds']} rounds"
+        " (expected final edge set + node list only)"
+    )
+
+
+def test_pagerank_releases_adjacency_blocks(spark):
+    from avocado_spark.operators.components import pagerank_exact
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+    )
+    pagerank_exact(edges, n_iter=4).count()
+    residual = jsc.getPersistentRDDs().size() - before
+    assert residual <= 1, (
+        f"pagerank left {residual} persisted tables (expected final ranks only)"
+    )
