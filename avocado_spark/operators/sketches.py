@@ -263,3 +263,111 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
     return per_depth.agg(F.min("ip").cast("bigint").alias("cms_est"))
+
+# ---------------------------------------------------------------------------
+# K-minimum-values (KMV) distinct sketch + set algebra
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, group: str, key: str, k: int = 64) -> DataFrame:
+    """Per-group KMV distinct sketch: the ``k`` smallest replayable
+    hash values of the group's DISTINCT keys (Beyer et al., SIGMOD'07
+    "On synopses for distinct-value estimation under multiset
+    operations"). One row per retained hash: ``(group, hv, r)``.
+
+    Scale shape: distinct → ONE rank window partitioned by the group —
+    never an unbounded ``collect_list``; every group's state is pruned
+    to k rows in the same shuffle that builds it, so a 100-TB log
+    yields |groups| × k rows of sketch. Mergeable: the union sketch of
+    two groups is the k smallest of their concatenated sketch rows —
+    the property the pairwise-overlap estimator below exploits without
+    rescanning the data. The LCG hash is shared with the CMS/Bloom
+    family, so a SQL oracle replays the sketch (and therefore the
+    ESTIMATES) value-for-value."""
+    from pyspark.sql import Window
+
+    # KMV needs a UNIFORM spread over [0, P): the shared small-multiplier
+    # LCG family maps small keys to small hashes (fine for CMS cells,
+    # fatal for an order-statistic estimator), so use the Knuth
+    # multiplicative constant
+    hv = (
+        F.pmod(F.col(key).cast("bigint"), F.lit(P)) * F.lit(2654435761) + 12345
+    ) % F.lit(P)
+    hashed = df.select(F.col(group), hv.alias("hv")).distinct()
+    w = Window.partitionBy(group).orderBy("hv")
+    return (
+        hashed.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    )
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame, group: str, key: str, k: int = 64
+) -> DataFrame:
+    """Audience-overlap estimates for every unordered pair of groups,
+    from per-group KMV sketches only (the data is scanned once to
+    build sketches; all set algebra runs on |groups| × k rows):
+
+      est_union     — (k−1)·P / kth-smallest of the merged sketch
+                      (exact count when the union has < k hashes)
+      est_overlap   — |L|/k′ · est_union with L = merged-sketch values
+                      present in BOTH sides (the KMV ∩ estimator)
+      jaccard_est   — |L| / k′
+
+    Returns one row per (ta < tb) pair. At 100 TB the pair table is
+    |groups|², driver-known and tiny; the sketches are the only thing
+    shuffled. All arithmetic is integer/round-deterministic so the
+    estimates replay exactly in the SQL oracle."""
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(df, group, key, k)
+    types = sk.select(F.col(group).alias("t")).distinct()
+    pairs = (
+        types.select(F.col("t").alias("ta"))
+        .join(types.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    # equi-joinable pair membership (avoids an OR-condition NLJ)
+    pm = pairs.select(F.col("ta").alias("t"), "ta", "tb").unionByName(
+        pairs.select(F.col("tb").alias("t"), "ta", "tb")
+    )
+    cand = F.broadcast(pm).join(sk.withColumnRenamed(group, "t"), "t").select(
+        "ta", "tb", "t", "hv"
+    )
+    u = cand.select("ta", "tb", "hv").distinct()
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    uk = u.withColumn("r", F.row_number().over(wu)).where(F.col("r") <= k)
+    tau = uk.groupBy("ta", "tb").agg(
+        F.max("hv").alias("tau"), F.count(F.lit(1)).alias("ku")
+    )
+    both = (
+        cand.groupBy("ta", "tb", "hv")
+        .agg(F.count_distinct("t").alias("nt"))
+        .where(F.col("nt") == 2)
+        .select("ta", "tb", "hv")
+    )
+    n_both = (
+        uk.join(both, ["ta", "tb", "hv"], "left_semi")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    est_union = F.when(
+        F.col("ku") >= k,
+        F.round(
+            (F.col("ku").cast("double") - 1) * P / F.col("tau").cast("double"), 0
+        ).cast("bigint"),
+    ).otherwise(F.col("ku").cast("bigint"))
+    out = (
+        tau.join(n_both, ["ta", "tb"], "left")
+        .withColumn("n_both", F.coalesce("n_both", F.lit(0)))
+        .withColumn("est_union", est_union)
+    )
+    return out.select(
+        "ta",
+        "tb",
+        F.col("est_union").cast("bigint").alias("est_union"),
+        F.round(F.col("n_both").cast("double") / F.col("ku"), 6).alias("jaccard_est"),
+        F.round(
+            F.col("n_both").cast("double") * F.col("est_union") / F.col("ku"), 0
+        )
+        .cast("bigint")
+        .alias("est_overlap"),
+    )

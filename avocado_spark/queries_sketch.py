@@ -272,3 +272,72 @@ def events_hll_rolling_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_bound"),
         )
     )
+
+
+@query(
+    "events_kmv_overlap",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ((user_id % {_P}) * 2654435761 + 12345) % {_P} AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        FROM hashed
+      ) WHERE r <= 64
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM sk),
+    pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+    pm AS (SELECT ta AS t, ta, tb FROM pairs
+           UNION ALL SELECT tb, ta, tb FROM pairs),
+    cand AS (SELECT pm.ta, pm.tb, sk.event_type AS t, sk.hv
+             FROM pm JOIN sk ON sk.event_type = pm.t),
+    u AS (SELECT DISTINCT ta, tb, hv FROM cand),
+    uk AS (
+      SELECT ta, tb, hv FROM (
+        SELECT ta, tb, hv,
+               ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS r
+        FROM u
+      ) WHERE r <= 64
+    ),
+    tau AS (SELECT ta, tb, MAX(hv) AS tau, COUNT(*) AS ku FROM uk GROUP BY ta, tb),
+    bothm AS (
+      SELECT ta, tb, hv FROM cand GROUP BY ta, tb, hv
+      HAVING COUNT(DISTINCT t) = 2
+    ),
+    l AS (
+      SELECT uk.ta, uk.tb, COUNT(*) AS n_both
+      FROM uk JOIN bothm ON uk.ta = bothm.ta AND uk.tb = bothm.tb
+                         AND uk.hv = bothm.hv
+      GROUP BY uk.ta, uk.tb
+    ),
+    est AS (
+      SELECT tau.ta, tau.tb, tau.ku, COALESCE(l.n_both, 0) AS n_both,
+             CASE WHEN tau.ku >= 64
+                  THEN CAST(ROUND((CAST(tau.ku AS DOUBLE) - 1) * {_P}
+                                  / CAST(tau.tau AS DOUBLE), 0) AS BIGINT)
+                  ELSE CAST(tau.ku AS BIGINT) END AS est_union
+      FROM tau LEFT JOIN l ON tau.ta = l.ta AND tau.tb = l.tb
+    )
+    SELECT ta, tb, est_union,
+           ROUND(CAST(n_both AS DOUBLE) / ku, 6) AS jaccard_est,
+           CAST(ROUND(CAST(n_both AS DOUBLE) * est_union / ku, 0) AS BIGINT)
+             AS est_overlap
+    FROM est
+    """,
+)
+def events_kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV audience overlap: per event-type pair, estimate the shared-
+    user count and Jaccard from k=64-minimum-values sketches built in
+    ONE scan + one rank window (operators/sketches.kmv_sketch). The
+    mergeable-sketch answer to "how much do the click and purchase
+    audiences overlap" that a 100-TB log answers from |types|×64 rows
+    of synopsis instead of a self-join of distinct users. The LCG hash
+    is deterministic, so the oracle replays the sketch — and therefore
+    the ESTIMATES — value-for-value (stronger than the HLL family's
+    bound-only check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return SK.kmv_pairwise_overlap(ev, "event_type", "user_id", k=64)

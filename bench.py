@@ -185,6 +185,14 @@ def main() -> None:
             # number was contention from the two new heavy neighbors
             # (ann_pq_adc_recall, dedup_threshold_sweep), code unchanged.
             "simhash_dup_pairs": "r6 2.10s was bench contention; isolated best 1.45s (~r5)",
+            # r6 stretch #8: `python bench.py --streaming-bench` at
+            # sf0.1 (100k events, 8 file micro-batches, availableNow):
+            "streaming": (
+                "burst_alerts_stream 7242 rows/s (avg batch 1.68s), "
+                "attribution_join 4864 rows/s (avg batch 2.56s); "
+                "latency dominated by fixed micro-batch overhead at "
+                "12.5k rows/batch"
+            ),
         },
     }
     if errors:
@@ -327,8 +335,17 @@ def sf_scale_check() -> int:
     # fixture warm-up (observed: minhash t1 29.7 s vs 3.0 s in bench,
     # turning the growth ratio for whichever query ran first into
     # noise). Warm both dirs so t1 and t10 start from the same state.
-    warm_name = queries[0][0]
-    for d in (sf_dir, scaled_dir):
+    # Warm-up policy: first-run pollution (codegen, parquet footers,
+    # Arrow/pandas-UDF worker spin-up, fixture temp views) lands on
+    # whichever query touches a path first and is the size of the
+    # SMALL side, so it can dominate t1 and corrupt the growth ratio
+    # (observed: minhash t1 29.7 s vs 3.0 s warmed; biallelic 19.8 s
+    # vs 2.7 s). Run EVERY listed query once untimed at the base dir
+    # (cheap — base-side cost) plus the first query at the scaled dir
+    # (footer/view warm-up for that path; scaled-side fixed overheads
+    # are noise relative to t10).
+    warm = [(n, sf_dir) for n, _ in queries] + [(queries[0][0], scaled_dir)]
+    for warm_name, d in warm:
         try:
             t0 = time.perf_counter()
             registry[warm_name](spark, d).count()

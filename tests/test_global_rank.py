@@ -154,9 +154,12 @@ def test_non_numeric_shuffle_partitions_conf(spark):
 
 def test_no_cachemanager_pinning(spark):
     """The r6 persist leak: global_rank must not register anything in
-    the session CacheManager — nothing session-pinned."""
+    the session CacheManager — nothing session-pinned. Other tests in
+    the shared session may legitimately leave cached fixtures, so
+    clear first (cache is a perf artifact, never correctness)."""
+    spark.catalog.clearCache()
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
-    assert cache_mgr.isEmpty(), "cache not empty before test"
+    assert cache_mgr.isEmpty(), "cache not empty after clearCache"
     got = global_rank(_df(spark), [F.col("v"), F.col("k")], "r")
     got.count()
     assert cache_mgr.isEmpty(), (

@@ -82,3 +82,34 @@ def test_centroids_match_numpy(spark):
             # exact .5 boundary differs by one ulp of the 6th digit
             want = q[:, idx].sum() / (len(g) * 1_000_000.0)
             assert abs(c - want) <= 5.000001e-7, (label, idx, c, want)
+
+
+def test_kmv_estimates_track_exact_counts(spark):
+    """KMV estimator property: with k=64 over groups of ~500 distinct
+    keys, union and overlap estimates land within ~35% of exact (KMV
+    rel-err ≈ 1/sqrt(k-1) ≈ 13%; the bound leaves margin for the small
+    fixture). The sketch itself must hold ≤ k rows per group."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.sketches import kmv_pairwise_overlap, kmv_sketch
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("g"),
+        # overlapping key spaces: a = multiples of 3 in [0,3000) mapped
+        # to id/2 (~500 distinct even-ish keys), b = id % 800
+        F.when(F.col("id") % 3 == 0, (F.col("id") / 2).cast("long"))
+        .otherwise(F.col("id") % 800)
+        .alias("k"),
+    )
+    sk = kmv_sketch(df, "g", "k", k=64)
+    per = {r["g"]: r["n"] for r in sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 64 for v in per.values())
+    exact_a = df.where("g = 'a'").select("k").distinct().count()
+    exact_b = df.where("g = 'b'").select("k").distinct().count()
+    exact_union = df.select("k").distinct().count()
+    ov = kmv_pairwise_overlap(df, "g", "k", k=64).collect()
+    assert len(ov) == 1
+    row = ov[0]
+    exact_overlap = exact_a + exact_b - exact_union
+    assert abs(row["est_union"] - exact_union) <= 0.35 * exact_union, row
+    assert abs(row["est_overlap"] - exact_overlap) <= 0.35 * exact_union, row
