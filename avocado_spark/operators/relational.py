@@ -1368,6 +1368,7 @@ def frozen_range_ids(
     order_cols: Sequence[Column | tuple[Column, str]],
     id_col: str = "_gr_pid",
     buckets: int | None = None,
+    rows_hint: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Add a DETERMINISTIC contiguous range-bucket id (0..nb-1,
     ascending with the sort order of ``order_cols``) without a range
@@ -1387,7 +1388,7 @@ def frozen_range_ids(
     if buckets is None:
         buckets = _default_buckets(sess)
     vals, dirs, _sorts = _order_spec(order_cols)
-    bounds = _range_boundaries(df, vals, dirs, buckets)
+    bounds = _range_boundaries(df, vals, dirs, buckets, rows_hint=rows_hint)
     if bounds:
         pid = sum(
             (_at_or_after(vals, dirs, b).cast("int") for b in bounds),
@@ -1405,6 +1406,7 @@ def global_rank(
     partition_cols: Sequence[str] = (),
     cumsum_cols: dict[str, str] | None = None,
     buckets: int | None = None,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Scalable total-order ``row_number`` (optionally restarting per
     ``partition_cols`` group, optionally with running sums over the
@@ -1442,7 +1444,9 @@ def global_rank(
     cumsum_cols = cumsum_cols or {}
     pcols = list(partition_cols)
     _vals, _dirs, sorts = _order_spec(order_cols)
-    ranged, buckets = frozen_range_ids(df, order_cols, "_gr_pid", buckets)
+    ranged, buckets = frozen_range_ids(
+        df, order_cols, "_gr_pid", buckets, rows_hint=rows_hint
+    )
     wl = Window.partitionBy("_gr_pid", *pcols).orderBy(*sorts)
     wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = ranged.withColumn("_gr_lr", F.row_number().over(wl))
@@ -1524,12 +1528,14 @@ def quantile_normalize(
     ranked = df.withColumn("_r", F.row_number().over(wg)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(group))
     )
+    n_total = df.count()  # bounded driver scalar (row count)
     glob = global_rank(
         df.select(value, tie_col),
         [F.col(value), F.col(tie_col)],
         rank_col="_gi",
+        rows_hint=n_total,  # one count serves both the index map and
+        # the boundary-sample sizing inside global_rank
     )
-    n_total = df.count()  # bounded driver scalar (row count)
     # the rank-index product (r−1)·(N−1) overflows int32 beyond ~2k×1M
     # and int64 beyond ~3B×3B rows — route it through DECIMAL(38,0)
     # (exact integer math to 1e38; DuckDB's equivalent is HUGEINT), a

@@ -108,6 +108,14 @@ def main() -> None:
         # rebuilt low-threshold LSH sweep (was an all-pairs crossJoin)
         "ann_pq_adc_recall",
         "dedup_threshold_sweep",
+        # round 10: the frozen-boundary global_rank rewrite's two
+        # heaviest riders (cumulative-share rank on lineitem revenue;
+        # cross-group quantile normalization) — tracked since the
+        # operator's plan changed this round — plus the KMV overlap
+        # sketch (one scan + rank-window prune + sketch algebra)
+        "customer_abc_analysis",
+        "events_quantile_normalize",
+        "events_kmv_overlap",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;

@@ -1,7 +1,8 @@
-"""relational.global_rank — the two-phase (repartitionByRange →
-parallel per-bucket window → broadcast offset add) replacement for
-unpartitioned Window.orderBy. Differential against the single-task
-window on every mode, plus the plan property that justifies it."""
+"""relational.global_rank — the two-phase (frozen sampled boundaries
+→ deterministic bucket id → parallel per-bucket window → broadcast
+offset add) replacement for unpartitioned Window.orderBy. Differential
+against the single-task window on every mode, plus the plan and
+memory-lifecycle properties that justify it."""
 
 from __future__ import annotations
 
@@ -210,3 +211,34 @@ def test_null_order_keys_match_window(spark):
     exp = df.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
     got = global_rank(df, [F.col("v"), F.col("k")], "r")
     assert _same(exp, got, ["v", "k", "r"])
+
+
+def test_frozen_range_ids_interior_buckets_nonempty(spark):
+    """frozen_range_ids guarantees every bucket >= 1 is non-empty
+    (each boundary is a real sampled row that sorts into its own
+    bucket) — the property the encoding advisor's adjacent-bucket
+    carry stitch depends on. Also: ids are contiguous and ascend with
+    the sort order."""
+    from avocado_spark.operators.relational import frozen_range_ids
+
+    df = spark.range(20_000).select(
+        (F.col("id") * 131 % 9973).alias("v"), F.col("id").alias("k")
+    )
+    out, nb = frozen_range_ids(df, [F.col("v"), F.col("k")], id_col="_pid")
+    per = {
+        r["_pid"]: (r["n"], r["lo"], r["hi"])
+        for r in out.groupBy("_pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert nb >= 2, "fixture should produce multiple buckets"
+    for pid in range(1, nb):
+        assert pid in per and per[pid][0] > 0, f"bucket {pid} empty"
+    # ranges: bucket pid's min v must be >= bucket pid-1's max v
+    for pid in range(1, nb):
+        if pid - 1 in per:
+            assert per[pid][1] >= per[pid - 1][2], (pid, per[pid], per[pid - 1])
