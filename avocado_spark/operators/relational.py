@@ -454,6 +454,56 @@ def hash_sample_weighted(
     )
 
 
+def weighted_row_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    k: int,
+    id_col: str,
+    weight_col: Column,
+) -> DataFrame:
+    """Per-ROW importance sampling without replacement (Efraimidis &
+    Spirakis, IPL'06), in EXACT integer arithmetic: each row's
+    priority is the MAX of ``w`` independent LCG hash draws — the max
+    of w uniforms has CDF x^w, the same key law as the classic
+    u^(1/w), with no floats and therefore no libm divergence between
+    engines (a float ``ln(u)/w`` key can flip ranks in the last ulp
+    and break a value-exact differential). Keep the k highest
+    priorities per group.
+
+    This is the third sampling primitive the curation stack needs:
+    ``hash_sample_per_group`` draws uniform rows, ``hash_sample_
+    weighted`` sets per-GROUP quotas, this one biases WITHIN a group
+    by a per-row weight (sample long/high-quality docs preferentially
+    while keeping the draw reproducible). Scale shape: the priority is
+    a pure projection (array HOF over ``sequence(1, w)`` — no explode,
+    no shuffle), then ONE rank window on the group key. Integer
+    weights; rows with weight < 1 are excluded (never sampled); cap
+    weights at a small W so the per-row array stays bounded."""
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    kid = F.pmod(F.col(id_col).cast("bigint"), F.lit(1_000_000_007))
+    pri = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), weight_col.cast("int")),
+            lambda r: (kid * (2654435761 + r * 40503) + r * 97 + 17)
+            % 1_000_000_007,
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_pri").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(weight_col >= 1)
+        .withColumn("_pri", pri)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+        .withColumnRenamed("_pri", "priority")
+    )
+
+
 def upsert_latest(
     base: DataFrame,
     changes: DataFrame,

@@ -711,7 +711,8 @@ _GATE_PRIORITY = [
     # CORRECTNESS row in rounds 1-6 — 47 total, inside the 50-cap;
     # (2) previously-green rows, least recently verified first.
     # (0) added or rewritten this round:
-    "events_kmv_overlap", "events_user_activity_gini", "conversion_latency_quantiles",
+    "events_kmv_overlap", "weighted_sample_per_source",
+    "events_user_activity_gini", "conversion_latency_quantiles",
     "events_encoding_advisor", "quality_reliability_table",
     "events_quantile_normalize", "source_pctrank_norm",
     "customer_abc_analysis", "budget_fill_sample", "events_value_deciles",

@@ -1012,6 +1012,63 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_per_source",
+    """
+    WITH wd AS (
+      SELECT doc_id, source,
+             1 + LEAST(4, CAST(FLOOR(LENGTH(text) / 400.0) AS INT)) AS w
+      FROM documents
+    ),
+    pri AS (
+      SELECT doc_id, source, w,
+             list_max(list_transform(generate_series(1, w),
+               r -> ((doc_id % 1000000007) * (2654435761 + r * 40503)
+                     + r * 97 + 17) % 1000000007)) AS priority
+      FROM wd
+    )
+    SELECT doc_id, source, CAST(w AS INT) AS w,
+           CAST(priority AS BIGINT) AS priority
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY priority DESC, doc_id ASC) AS r
+      FROM pri
+    ) WHERE r <= 10
+    """,
+)
+def weighted_sample_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted reproducible sampling: keep 10 docs per source
+    with inclusion bias proportional to a 1-5 length band — the
+    Efraimidis-Spirakis without-replacement draw in exact integer
+    arithmetic (operators/relational.weighted_row_sample_per_group:
+    priority = max of w LCG draws, law-identical to the classic
+    u^(1/w) key but with no floats, so the oracle replays the selected
+    SET exactly). Complements the uniform stratified sample and the
+    per-group quota mixer as the third curation sampling primitive."""
+    from avocado_spark.operators.relational import weighted_row_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = docs.select(
+        "doc_id",
+        "source",
+        (
+            1
+            + F.least(
+                F.lit(4), F.floor(F.length("text") / 400.0).cast("int")
+            )
+        ).alias("w"),
+    )
+    out = weighted_row_sample_per_group(
+        wd, ["source"], k=10, id_col="doc_id", weight_col=F.col("w")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("w").cast("int").alias("w"),
+        F.col("priority").cast("bigint").alias("priority"),
+    )
+
+
+@query(
     "stratified_sample",
     """
     SELECT doc_id, lang FROM (

@@ -43,6 +43,10 @@ def normalize_events(raw: DataFrame) -> DataFrame:
     return normalize_timestamps(raw)
 
 
+# (source path, mtime) → staged directory; see read_events_stream
+_STAGED_STREAM_DIRS: dict[tuple[str, float], str] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet — the S-table analog
     of `readStream`; one file = one micro-batch locally, a directory of
@@ -59,12 +63,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isfile(path):
         # the file stream source requires a DIRECTORY of arriving
         # files; stage the single local fixture into a temp dir (in
-        # production this points at the landing directory itself)
-        import shutil
-        import tempfile
+        # production this points at the landing directory itself).
+        # Cached per source path+mtime — repeated stream builds in one
+        # process must not copy the fixture and leak a temp dir each
+        # call.
+        key = (os.path.abspath(path), os.path.getmtime(path))
+        staged = _STAGED_STREAM_DIRS.get(key)
+        if staged is None or not os.path.isdir(staged):
+            import shutil
+            import tempfile
 
-        staged = tempfile.mkdtemp(prefix="events_stream_")
-        shutil.copy(path, os.path.join(staged, "events.parquet"))
+            staged = tempfile.mkdtemp(prefix="events_stream_")
+            shutil.copy(path, os.path.join(staged, "events.parquet"))
+            _STAGED_STREAM_DIRS[key] = staged
         path = staged
     raw = spark.readStream.schema(raw_schema).format("parquet").load(path)
     return normalize_events(raw)

@@ -202,3 +202,29 @@ def test_ols_two_features_matches_numpy(spark):
     assert abs(got["b0"] - beta[0]) < 1e-4
     assert abs(got["b1"] - beta[1]) < 1e-4
     assert abs(got["b2"] - beta[2]) < 1e-4
+
+
+def test_weighted_row_sample_biases_toward_heavy_rows(spark):
+    """Efraimidis-Spirakis property: with weights 1..5 and k well below
+    the group size, the sampled rows' mean weight must exceed the
+    population mean (heavier rows are preferentially included), and the
+    draw is exactly reproducible."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.relational import weighted_row_sample_per_group
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).alias("g"),
+        (1 + F.col("id") % 5).alias("w"),
+    )
+    out = weighted_row_sample_per_group(
+        df, ["g"], k=200, id_col="doc_id", weight_col=F.col("w")
+    )
+    assert out.groupBy("g").count().collect()[0]["count"] == 200
+    pop_mean = df.agg(F.avg("w")).first()[0]
+    samp_mean = out.agg(F.avg("w")).first()[0]
+    assert samp_mean > pop_mean + 0.3, (samp_mean, pop_mean)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b
