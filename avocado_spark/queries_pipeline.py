@@ -483,6 +483,115 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS tk FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM base
+    ),
+    hits AS (
+      SELECT doc_id, dl,
+             unnest(list_filter(tk,
+               t -> list_contains(['spark','hash','window','merge'], t))) AS term
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, FIRST(dl) AS dl
+      FROM hits GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+      FROM (
+        SELECT doc_id,
+               ROUND(SUM(
+                 LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+      )
+    ),
+    e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+    sem AS (
+      SELECT n_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, n_id ASC) AS sem_rank
+      FROM (
+        SELECT e.vec_id AS n_id, ROUND({_cos("q.v", "e.v")}, 9) AS cos
+        FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+        ORDER BY cos DESC, n_id ASC LIMIT 20
+      )
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             ROUND(COALESCE(1.0 / (60 + lex.lex_rank), 0.0)
+                   + COALESCE(1.0 / (60 + sem.sem_rank), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def hybrid_retrieval_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): the lexical arm is BM25 top-20 for a fixed term set,
+    the semantic arm is exact cosine top-20 against a query embedding
+    (vec_id 0 — embeddings and documents share the id space), fused as
+    sum of 1/(60+rank) over a full-outer rank join. Both arms are the
+    engine's existing retrieval operators; the fusion adds one 20-row
+    outer join — the production shape where each arm's top-k comes
+    from its own index and only rank lists meet. The unpartitioned
+    rank windows ride the 20-row top-k outputs (bounded domain — never
+    the corpus). Deterministic: ranks are integer, ties break on
+    doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        TX.bm25_topk(docs, ["spark", "hash", "window", "merge"], k=20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("lex_rank"),
+        )
+    )
+    sem = (
+        SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=20)
+        .select(F.col("n_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("sem_rank").cast("bigint").alias("sem_rank"),
+            "rrf",
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@query(
     "ann_topk_cosine",
     f"""
     WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
