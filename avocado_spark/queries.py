@@ -712,7 +712,7 @@ _GATE_PRIORITY = [
     # (2) previously-green rows, least recently verified first.
     # (0) added or rewritten this round:
     "events_kmv_overlap", "weighted_sample_per_source",
-    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_rrf", "embedding_jl_recall",
     "events_user_activity_gini", "conversion_latency_quantiles",
     "events_encoding_advisor", "quality_reliability_table",
     "events_quantile_normalize", "source_pctrank_norm",

@@ -649,6 +649,76 @@ def ann_srp_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
 
 
+_JL_PROJ = """[ list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [ v[i+1] * CAST(1 - 2 * (((((o*64 + i + 1) * 2654435761)
+                % 1000000007) * (((o*64 + i + 1) * 2654435761) % 1000000007)
+                + (((o*64 + i + 1) * 2654435761) % 1000000007))
+                % 1000000007 % 2) AS DOUBLE)
+            for i in generate_series(0, 63) ]), (x, y) -> x + y)
+        for o in generate_series(0, 31) ]"""
+
+
+@query(
+    "embedding_jl_recall",
+    f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    p AS (SELECT vec_id, {_JL_PROJ} AS v FROM e),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+    pq AS (SELECT vec_id, v FROM p WHERE vec_id < 20),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_cos("q.v", "e.v")}, 9) DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+      ) WHERE rank <= 5
+    ),
+    appr AS (
+      SELECT q_id, n_id FROM (
+        SELECT pq.vec_id AS q_id, p.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY pq.vec_id
+                 ORDER BY ROUND({_cos("pq.v", "p.v")}, 9) DESC, p.vec_id) AS rank
+        FROM pq CROSS JOIN p WHERE pq.vec_id <> p.vec_id
+      ) WHERE rank <= 20
+    ),
+    hit AS (
+      SELECT exact.q_id, COUNT(*) AS n FROM exact
+      JOIN appr ON exact.q_id = appr.q_id AND exact.n_id = appr.n_id
+      GROUP BY exact.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(COALESCE(hit.n, 0) AS BIGINT) AS contained_at_20
+    FROM q LEFT JOIN hit ON q.vec_id = hit.q_id
+    """,
+)
+def embedding_jl_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→32 sign projection evaluated the way
+    it is used at scale — SHORTLIST + RERANK: how many of each query's
+    exact top-5 fall inside its projected-space top-20 shortlist
+    (similarity.jl_project — deterministic quadratic-hash sign matrix,
+    no shuffle, no UDF). Reported per query as contained_at_20; a
+    property test asserts the containment beats the random-20-of-500
+    baseline by an order of magnitude. The dimensionality cut before
+    shipping vectors to an index: 2x less to shuffle and store."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5
+    ).select("q_id", "n_id")
+    pemb = SIM.jl_project(emb, out_dim=32)
+    appr = SIM.brute_force_topk(
+        pemb, pemb.where(F.col("vec_id") < 20), k=20
+    ).select("q_id", "n_id")
+    hit = (
+        exact.join(appr, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qlist = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"))
+    return qlist.join(hit, "q_id", "left").select(
+        "q_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("contained_at_20")
+    )
+
+
 @query(
     "ann_recall_eval",
     f"""

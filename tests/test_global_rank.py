@@ -73,13 +73,17 @@ def test_empty_input(spark):
 
 def test_plan_is_scale_safe(spark):
     """The whole point: no single-partition exchange, no nested-loop
-    join — every stage is parallel."""
+    join — every stage is parallel. The frozen-boundary design also
+    removed the full-table RANGE exchange (bucket ids are a codegen'd
+    comparison against plan literals): the only exchanges left are the
+    hash partitionings of the window and the tiny offset aggregation."""
     got = global_rank(_df(spark), [F.col("v"), F.col("k")], "r")
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_nullable_partition_col_matches_window(spark):

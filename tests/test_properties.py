@@ -228,3 +228,19 @@ def test_weighted_row_sample_biases_toward_heavy_rows(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in out.collect())
     assert a == b
+
+
+def test_jl_projection_beats_random_shortlist_baseline(spark):
+    """JL shortlist quality: summed containment of exact top-5 inside
+    the projected top-20 must exceed the random-shortlist expectation
+    (20/499 * 5 per query ≈ 0.2 → ~4/100 over 20 queries) by an order
+    of magnitude. Guards against a structured (correlated-rows) sign
+    matrix, which passes the value differential but destroys the
+    geometry — the bug this test caught once already."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.queries import get_queries
+
+    df = get_queries()["embedding_jl_recall"](spark, "/root/testdata/sf0.01")
+    total = df.agg(F.sum("contained_at_20")).first()[0]
+    assert total >= 25, f"containment {total}/100 — sign matrix degenerate?"
