@@ -717,7 +717,6 @@ _GATE_PRIORITY = [
     "events_encoding_advisor", "quality_reliability_table",
     "events_quantile_normalize", "source_pctrank_norm",
     "customer_abc_analysis", "budget_fill_sample", "events_value_deciles",
-    "events_value_quantiles",
     # (1) never driver-sampled (the r6 verdict's list of 37):
     "ab_test_bootstrap_ci", "cdc_chunking", "cdc_dedup_stats",
     "charset_census", "cohort_retention", "coorder_pagerank",
@@ -733,6 +732,9 @@ _GATE_PRIORITY = [
     "region_nation_revenue_rollup", "semantic_dedup_killlist",
     "session_conversion", "small_qty_avg_filter", "stream_attribution_outer",
     "training_shard_layout", "unigram_surprisal",
+    # deferred from (0) to fit the 50-cap: its global_rank mode is
+    # covered by events_value_deciles + source_pctrank_norm above
+    "events_value_quantiles",
     # (2) previously-green rows, least-recently-verified first:
     "dedup_threshold_sweep", "ann_pq_adc_recall", "fk_integrity_audit",
     "part_cheapest_supplier", "rendezvous_shard_moves", "events_mutual_info",
