@@ -713,8 +713,9 @@ _GATE_PRIORITY = [
     # (0) added or rewritten this round:
     "events_kmv_overlap", "weighted_sample_per_source",
     "hybrid_retrieval_rrf", "embedding_jl_recall",
+    "events_hourly_ffill",
     "events_user_activity_gini", "conversion_latency_quantiles",
-    "events_encoding_advisor", "quality_reliability_table",
+    "events_encoding_advisor",
     "events_quantile_normalize", "source_pctrank_norm",
     "customer_abc_analysis", "budget_fill_sample", "events_value_deciles",
     # (1) never driver-sampled (the r6 verdict's list of 37):
@@ -732,9 +733,9 @@ _GATE_PRIORITY = [
     "region_nation_revenue_rollup", "semantic_dedup_killlist",
     "session_conversion", "small_qty_avg_filter", "stream_attribution_outer",
     "training_shard_layout", "unigram_surprisal",
-    # deferred from (0) to fit the 50-cap: its global_rank mode is
-    # covered by events_value_deciles + source_pctrank_norm above
-    "events_value_quantiles",
+    # deferred from (0) to fit the 50-cap: their global_rank modes are
+    # covered by the deciles/pctrank/gini entries that stay above
+    "events_value_quantiles", "quality_reliability_table",
     # (2) previously-green rows, least-recently-verified first:
     "dedup_threshold_sweep", "ann_pq_adc_recall", "fk_integrity_audit",
     "part_cheapest_supplier", "rendezvous_shard_moves", "events_mutual_info",

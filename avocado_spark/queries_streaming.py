@@ -1801,6 +1801,116 @@ def events_volume_anomaly_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_ffill",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             to_timestamp(CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN rk = 1 THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS close_c
+      FROM (
+        SELECT event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                   to_timestamp(CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900)
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+      ) GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS h
+                  FROM bounds) g
+    ),
+    joined AS (
+      SELECT spine.event_type, spine.h,
+             COALESCE(hourly.n_events, 0) AS n_events, hourly.close_c
+      FROM spine LEFT JOIN hourly
+        ON spine.event_type = hourly.event_type AND spine.h = hourly.h
+    )
+    SELECT event_type, CAST(strftime(h, '%Y-%m-%d %H:%M') AS VARCHAR) AS bucket_key,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(LAST_VALUE(close_c IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS close_ffill_c,
+           n_events = 0 AS is_gap
+    FROM joined
+    """,
+)
+def events_hourly_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: build the full (event_type x
+    15-minute-bucket) spine between the observed bounds, left-join the
+    bucket rollup, and FORWARD-FILL the last observed close into gaps
+    (last-ignorenulls running window) — the gap-fill primitive every
+    feature pipeline needs before resampling or joining time grids.
+    Scale shape: the spine is GENERATED (dims x hours — grows with
+    time, not with data volume), the rollup is one hash agg of the
+    fact table, and the fill window partitions by type over
+    hours-in-range rows, so a 100x data growth changes only the
+    pre-aggregation, never the window length. Hourly close is picked
+    by a deterministic (ts, event_id) rank, as in events_daily_ohlc."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "h",
+        F.timestamp_seconds(
+            F.expr("unix_timestamp(ts) div 900") * 900
+        ),
+    )
+    wr = W.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.select(
+            "event_type",
+            "h",
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("rk") == 1, F.col("v_c")).otherwise(0))
+            .cast("bigint")
+            .alias("close_c"),
+        )
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 15 minutes"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "close_c",
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm").alias("bucket_key"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.last("close_c", ignorenulls=True)
+        .over(wf)
+        .cast("bigint")
+        .alias("close_ffill_c"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )
+
+
+@query(
     "events_daily_ohlc",
     """
     WITH ranked AS (
