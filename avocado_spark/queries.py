@@ -704,18 +704,18 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (safe to drop under the cap).
 _GATE_PRIORITY = [
     # The driver's correctness gate samples the FIRST 50 entries in
-    # this order. Round-7 rotation (r6 verdict #1): (0) the 10 queries
-    # that ride the REWRITTEN global_rank (frozen-boundary design this
-    # round) or were edited this round — must re-prove against the
-    # driver; (1) the 37 queries that have never had a driver
-    # CORRECTNESS row in rounds 1-6 — 47 total, inside the 50-cap;
-    # (2) previously-green rows, least recently verified first.
+    # this order. Round-7 rotation (r6 verdict #1): (0) the 6 queries
+    # ADDED this round plus 7 riders of the REWRITTEN frozen-boundary
+    # global_rank (3 more riders deferred just below the fold — the
+    # operator keeps 7 independent driver proofs); (1) the 37 queries
+    # that have never had a driver CORRECTNESS row in rounds 1-6 —
+    # exactly 50; (2) previously-green rows, least recently verified
+    # first.
     # (0) added or rewritten this round:
     "events_kmv_overlap", "weighted_sample_per_source",
     "hybrid_retrieval_rrf", "embedding_jl_recall",
-    "events_hourly_ffill",
-    "events_user_activity_gini", "conversion_latency_quantiles",
-    "events_encoding_advisor",
+    "events_hourly_ffill", "events_woe_iv",
+    "events_user_activity_gini", "events_encoding_advisor",
     "events_quantile_normalize", "source_pctrank_norm",
     "customer_abc_analysis", "budget_fill_sample", "events_value_deciles",
     # (1) never driver-sampled (the r6 verdict's list of 37):
@@ -736,6 +736,7 @@ _GATE_PRIORITY = [
     # deferred from (0) to fit the 50-cap: their global_rank modes are
     # covered by the deciles/pctrank/gini entries that stay above
     "events_value_quantiles", "quality_reliability_table",
+    "conversion_latency_quantiles",
     # (2) previously-green rows, least-recently-verified first:
     "dedup_threshold_sweep", "ann_pq_adc_recall", "fk_integrity_audit",
     "part_cheapest_supplier", "rendezvous_shard_moves", "events_mutual_info",

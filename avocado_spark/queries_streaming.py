@@ -1575,6 +1575,99 @@ def events_encoding_advisor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_woe_iv",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) >= 59000
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    binned AS (
+      SELECT CASE WHEN clicks < 5 THEN '00-04'
+                  WHEN clicks < 10 THEN '05-09'
+                  WHEN clicks < 20 THEN '10-19'
+                  ELSE '20+' END AS click_bin,
+             converted
+      FROM users
+    ),
+    agg AS (
+      SELECT click_bin,
+             CAST(SUM(converted) AS BIGINT) AS n_good,
+             CAST(SUM(1 - converted) AS BIGINT) AS n_bad
+      FROM binned GROUP BY click_bin
+    ),
+    tot AS (SELECT SUM(n_good) AS gt, SUM(n_bad) AS bt FROM agg)
+    SELECT click_bin, n_good, n_bad,
+           ROUND(LN(((CAST(n_good AS DOUBLE) + 0.5) / gt)
+                    / ((CAST(n_bad AS DOUBLE) + 0.5) / bt)), 6) AS woe,
+           ROUND(((CAST(n_good AS DOUBLE) + 0.5) / gt
+                  - (CAST(n_bad AS DOUBLE) + 0.5) / bt)
+                 * LN(((CAST(n_good AS DOUBLE) + 0.5) / gt)
+                      / ((CAST(n_bad AS DOUBLE) + 0.5) / bt)), 6) AS iv_contrib
+    FROM agg CROSS JOIN tot
+    """,
+)
+def events_woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening: bin a
+    behavioral feature (click count), label users by conversion, and
+    report per-bin WOE = ln(good%/bad%) with 0.5 smoothing plus the IV
+    contribution — the standard monotonicity/strength check run before
+    admitting a feature to a model. Shape: one user rollup, one bin
+    rollup, totals as a broadcast 1-row aggregate; nothing beyond the
+    user-key shuffle touches the fact table."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            >= 59000,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    binned = users.select(
+        F.when(F.col("clicks") < 5, "00-04")
+        .when(F.col("clicks") < 10, "05-09")
+        .when(F.col("clicks") < 20, "10-19")
+        .otherwise("20+")
+        .alias("click_bin"),
+        "converted",
+    )
+    agg = binned.groupBy("click_bin").agg(
+        F.sum("converted").cast("bigint").alias("n_good"),
+        F.sum(1 - F.col("converted")).cast("bigint").alias("n_bad"),
+    )
+    tot = agg.agg(
+        F.sum("n_good").alias("gt"), F.sum("n_bad").alias("bt")
+    )
+    gshare = (F.col("n_good").cast("double") + 0.5) / F.col("gt")
+    bshare = (F.col("n_bad").cast("double") + 0.5) / F.col("bt")
+    woe = F.log(gshare / bshare)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "click_bin",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((gshare - bshare) * woe, 6).alias("iv_contrib"),
+    )
+
+
+@query(
     "ab_test_analysis",
     """
     WITH assigned AS (
