@@ -722,3 +722,44 @@ def test_threshold_sweep_rides_lsh_not_allpairs(spark):
     plan = final_plan(plan_of(spark, "dedup_threshold_sweep"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_row_sample_single_shuffle_no_join(spark):
+    """The ES priority is a pure projection (array HOF over
+    sequence(1, w)) — no explode of the weight, no join; the only
+    exchange is the per-group rank window."""
+    plan = final_plan(plan_of(spark, "weighted_sample_per_source"))
+    assert "Join" not in plan, plan
+    assert "Generate explode" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_woe_iv_broadcast_totals_no_cartesian_blowup(spark):
+    """Bin totals ride a broadcast 1-row aggregate: the only
+    exchanges are the user rollup and the 4-row bin rollup — the fact
+    table is never joined."""
+    plan = final_plan(plan_of(spark, "events_woe_iv"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hourly_ffill_fact_join_is_hash_not_nlj(spark):
+    """The spine-to-rollup join must be an equi hash join on
+    (event_type, bucket); the only nested-loop in the plan is the
+    bounded dims-x-buckets spine build (time-sized, never
+    data-sized)."""
+    plan = final_plan(plan_of(spark, "events_hourly_ffill"))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jl_projection_is_projection_only(spark):
+    """jl_project must compile to a pure projection: no exchange, no
+    UDF eval node — the 64->32 cut costs one codegen'd expression."""
+    from avocado_spark.operators.similarity import jl_project
+    from avocado_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = jl_project(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
