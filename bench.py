@@ -311,6 +311,25 @@ def _build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int) -> None:
 # factor × 1.5 in the same spirit as the 10× bounds; the dedup graph
 # grows quadratically in replica count by construction (see the note
 # above), so its entries get a wider allowance.
+# Value-differential subset for the scale check: one query per
+# scale-critical family (rank/cumsum, grouped quantile-normalize, LSH
+# pairs, CC clusters, time-spine fill, wide agg); the oracle runs on
+# the SCALED parquet in DuckDB.
+# NOTE: oracles must stay near-linear in the SCALED data — the LSH
+# and recursive-CC oracles are quadratic-ish on the replica-clique 10x
+# construction and DuckDB takes tens of minutes on them, so the dedup
+# families are represented here by exact_dedup (hash groupBy) and the
+# KMV sketch replay instead; minhash/CC value-parity is covered at
+# sf0.01 by the driver gate every round.
+_SCALE_CORRECTNESS_QUERIES = [
+    "wide_agg_q1",
+    "customer_abc_analysis",
+    "events_quantile_normalize",
+    "exact_dedup",
+    "events_kmv_overlap",
+    "events_hourly_ffill",
+]
+
 _SCALE_QUERIES_100 = [
     ("wide_agg_q1", 150.0),
     ("customer_abc_analysis", 150.0),
@@ -338,12 +357,7 @@ def sf_scale_check() -> int:
     print(f"# scaled dir built in {time.perf_counter() - t0:.1f}s: {scaled_dir}",
           file=sys.stderr)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
-    # One UNTIMED warm-up query per input dir (r6 verdict #3): the
-    # first timed query otherwise absorbs codegen + parquet-footer +
-    # fixture warm-up (observed: minhash t1 29.7 s vs 3.0 s in bench,
-    # turning the growth ratio for whichever query ran first into
-    # noise). Warm both dirs so t1 and t10 start from the same state.
-    # Warm-up policy: first-run pollution (codegen, parquet footers,
+    # Warm-up policy (r6 verdict #3): first-run pollution (codegen, parquet footers,
     # Arrow/pandas-UDF worker spin-up, fixture temp views) lands on
     # whichever query touches a path first and is the size of the
     # SMALL side, so it can dominate t1 and corrupt the growth ratio
@@ -386,17 +400,76 @@ def sf_scale_check() -> int:
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
 
+    # CORRECTNESS at scale, not just timing: replay the DuckDB oracle
+    # against the SCALED directory for a cross-family subset and
+    # compare normalized values — the r6 int32-overflow lesson was
+    # that scaled data exposes value bugs sf0.1 cannot; a pure timing
+    # gate would have missed a silent wrong answer.
+    from avocado_spark.queries import get_oracles
+
+    oracles = get_oracles()
+    value_failed = []
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{scaled_dir}/{t}.parquet/*.parquet')"
+            )
+
+        def _norm(v):
+            import decimal
+            if v is None:
+                return "<null>"
+            if isinstance(v, float) and v != v:
+                return "<nan>"
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
+            if isinstance(v, float):
+                return str(round(v, 9))
+            return str(v)
+
+        for name in _SCALE_CORRECTNESS_QUERIES:
+            if name not in registry or name not in oracles:
+                continue
+            try:
+                sp = registry[name](spark, scaled_dir).toPandas()
+                du = con.execute(oracles[name]).df()
+                cols = sorted(map(str.lower, sp.columns))
+                sp.columns = map(str.lower, sp.columns)
+                du.columns = map(str.lower, du.columns)
+                a = sorted(tuple(_norm(v) for v in r)
+                           for r in sp[cols].itertuples(index=False))
+                b = sorted(tuple(_norm(v) for v in r)
+                           for r in du[cols].itertuples(index=False))
+                ok = a == b
+            except Exception as e:  # noqa: BLE001 — report, keep checking
+                ok = False
+                print(f"# value-check {name}: ERROR {e}"[:200], file=sys.stderr)
+            results.setdefault(name, {})["value_match"] = ok
+            if not ok:
+                value_failed.append(name)
+            print(f"# value-check {name} at {factor}x: "
+                  f"{'OK' if ok else 'MISMATCH'}", file=sys.stderr)
+            spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001 — duckdb missing → timing-only
+        print(f"# value-check skipped: {e}", file=sys.stderr)
+
     shutil.rmtree(scaled_dir, ignore_errors=True)
     print(json.dumps({
         "metric": "sf_scale_check_failures",
-        "value": len(failed),
+        "value": len(failed) + len(value_failed),
         "unit": "queries",
         "factor": factor,
         "queries": results,
         "failed": failed,
+        "value_failed": value_failed,
     }))
     spark.stop()
-    return 1 if failed else 0
+    return 1 if failed or value_failed else 0
 
 
 # ---------------------------------------------------------------------------

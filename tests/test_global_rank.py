@@ -246,3 +246,35 @@ def test_frozen_range_ids_interior_buckets_nonempty(spark):
     for pid in range(1, nb):
         if pid - 1 in per:
             assert per[pid][1] >= per[pid - 1][2], (pid, per[pid], per[pid - 1])
+
+
+def test_large_input_matches_window(spark):
+    """1M-row differential: frozen-boundary ranks + running sums must
+    match the single-task window exactly at a scale where boundary
+    sampling actually matters (hundreds of rows per bucket boundary,
+    duplicate order keys across bucket edges, all 32 buckets
+    populated) — the small fixtures cannot exercise sampling error."""
+    df = spark.range(1_000_000).select(
+        (F.col("id") * 2654435761 % 99991).alias("v"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.col("id").alias("k"),
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    exp = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "c",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    got = global_rank(
+        df,
+        [F.col("v"), F.col("k")],
+        "r",
+        partition_cols=["g"],
+        cumsum_cols={"c": "v"},
+    )
+    mismatch = (
+        exp.select("g", "k", "r", "c")
+        .exceptAll(got.select("g", "k", "r", "c"))
+        .count()
+    )
+    assert mismatch == 0
+    assert got.count() == 1_000_000
