@@ -1366,6 +1366,93 @@ def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_pmi_topk",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+    uni AS (
+      SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(ts) AS t FROM toks) GROUP BY t
+    ),
+    n_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS vocab FROM uni),
+    bi AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM (SELECT ts[i] AS a, ts[i+1] AS b
+            FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS t(i))
+      GROUP BY a, b
+    ),
+    n_bi AS (SELECT CAST(SUM(nab) AS BIGINT) AS total_bi FROM bi)
+    SELECT a, b, nab,
+           ROUND(LN((CAST(nab AS DOUBLE) / total_bi)
+                    / ((CAST(ua.n AS DOUBLE) / total)
+                       * (CAST(ub.n AS DOUBLE) / total))), 6) AS pmi
+    FROM bi
+    JOIN uni ua ON bi.a = ua.tok
+    JOIN uni ub ON bi.b = ub.tok
+    CROSS JOIN n_tot CROSS JOIN n_bi
+    WHERE nab >= 5
+    ORDER BY pmi DESC, a ASC, b ASC LIMIT 25
+    """,
+)
+def token_pmi_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent token pairs by pointwise
+    mutual information, PMI = ln(p(ab) / (p(a)p(b))), with a min-count
+    floor of 5 (raw PMI promotes hapax pairs). The phrase detector run
+    before tokenizer-vocabulary decisions on a pretraining corpus.
+    Shape: one unigram agg + one bigram agg (map-side partial agg
+    absorbs heavy-hitter skew); the unigram joins are left to AQE —
+    broadcast at test scale, shuffle-on-token once the vocabulary
+    outgrows the broadcast cap — totals ride broadcast 1-row
+    aggregates and top-k is TakeOrderedAndProject. The fact table is
+    scanned twice, shuffled only as (token) and (a,b) count tables."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    n_tot = uni.agg(F.sum("n").cast("bigint").alias("total"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                    F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    )
+    n_bi = bi.agg(F.sum("nab").cast("bigint").alias("total_bi"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
+    pmi = F.log(
+        (F.col("nab").cast("double") / F.col("total_bi"))
+        / (
+            (F.col("na").cast("double") / F.col("total"))
+            * (F.col("nb").cast("double") / F.col("total"))
+        )
+    )
+    return (
+        bi.where(F.col("nab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(n_bi))
+        .select("a", "b", "nab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(25)
+    )
+
+
+@query(
     "ngram_corpus_topk",
     f"""
     WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
@@ -2586,6 +2673,115 @@ def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
     return jaccard_band_histogram(
         docs, min_jaccard=0.3, n_bands=8, rows_per_band=2
+    )
+
+
+@query(
+    "er_blocking_quality",
+    """
+    WITH aug AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey + 100000, c_name || 'x', c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM aug),
+    cand AS (
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+      FROM aug a JOIN aug b
+        ON a.c_nationkey = b.c_nationkey
+        AND CAST(ROUND(a.c_acctbal * 100) AS BIGINT)
+            = CAST(ROUND(b.c_acctbal * 100) AS BIGINT)
+        AND a.c_custkey < b.c_custkey
+    ),
+    truth AS (
+      SELECT c_custkey AS a_id, c_custkey + 100000 AS b_id
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    stats AS (
+      SELECT
+        (SELECT n_records FROM n) AS n_records,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+         JOIN truth ON cand.a_id = truth.a_id AND cand.b_id = truth.b_id)
+          AS n_true_found
+    )
+    SELECT n_records, n_candidates, n_true, n_true_found,
+           ROUND(1.0 - CAST(n_candidates AS DOUBLE)
+                 / (CAST(n_records AS DOUBLE) * (n_records - 1) / 2), 6)
+             AS reduction_ratio,
+           ROUND(CAST(n_true_found AS DOUBLE) / n_true, 6)
+             AS pairs_completeness,
+           ROUND(CAST(n_true_found AS DOUBLE) / n_candidates, 6)
+             AS pairs_quality
+    FROM stats
+    """,
+)
+def er_blocking_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation for the ER pipeline: reduction ratio
+    (how much of the N-choose-2 pair space the (nation, balance-cents)
+    block key prunes), pairs completeness (what fraction of the KNOWN
+    injected duplicates survive into the candidate set — ground truth
+    is by construction), and pairs quality (candidate precision
+    before the fuzzy compare). These three numbers are how you tune a
+    blocking key BEFORE paying the match compute at 100 TB: candidates
+    are counted off the same equi-join the matcher uses, never
+    enumerated driver-side."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    cust = load_table(spark, sf_dir, "customer")
+    aug = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal").unionByName(
+        cust.where(F.col("c_custkey") % 10 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.concat(F.col("c_name"), F.lit("x")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    a = aug.select(
+        F.col("c_custkey").alias("a_id"), F.col("c_nationkey").alias("nk"),
+        bal_c.alias("bal_c"),
+    )
+    b = aug.select(
+        F.col("c_custkey").alias("b_id"), F.col("c_nationkey").alias("nk"),
+        bal_c.alias("bal_c"),
+    )
+    cand = a.join(b, ["nk", "bal_c"]).where(F.col("a_id") < F.col("b_id"))
+    truth = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") + 100000).alias("b_id"),
+    )
+    n_records = aug.agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_found = (
+        cand.join(truth, ["a_id", "b_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_found"))
+    )
+    stats = (
+        n_records.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_found))
+    )
+    return stats.select(
+        "n_records",
+        "n_candidates",
+        "n_true",
+        "n_true_found",
+        F.round(
+            1.0
+            - F.col("n_candidates").cast("double")
+            / (F.col("n_records").cast("double") * (F.col("n_records") - 1) / 2),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("n_true_found").cast("double") / F.col("n_true"), 6
+        ).alias("pairs_completeness"),
+        F.round(
+            F.col("n_true_found").cast("double") / F.col("n_candidates"), 6
+        ).alias("pairs_quality"),
     )
 
 
