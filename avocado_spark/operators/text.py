@@ -709,3 +709,84 @@ def chunk_sliding_windows(
             F.array_join(F.slice("_t", F.col("start"), window), " ").alias("chunk_text"),
         )
     )
+
+
+def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """BPE-style phrase-merge TRAINING over token sequences: repeat
+    ``n_merges`` times — count adjacent symbol pairs, take the most
+    frequent (ties: count desc, left asc, right asc), rewrite every
+    sequence with that pair merged greedily left-to-right — and return
+    the learned merge table (iteration, left, right, merged,
+    pair_count). The iterative core of tokenizer training (Sennrich et
+    al., ACL'16), here over words so merges learn phrases.
+
+    Set-oriented, not a per-row fold: sequences live as a positional
+    (doc_id, pos, sym) table; each round is LEAD for the pair, a
+    1-row argmax, and a greedy-application rewrite expressed with
+    windows — greedy left-to-right only interacts across positions
+    when left = right (runs like "the the the"), where the classic
+    scan merges at even offsets within each run, so `applied` is
+    run-membership parity (gaps-and-islands), and a position is
+    consumed iff its predecessor applied. Every window partitions by
+    doc_id (+ run keys), so rounds stay doc-parallel; the argmax is a
+    TakeOrdered of the pair counts, broadcast back — no driver-side
+    sequence state. At 100 TB each round is one pair-count shuffle +
+    doc-local windows, the same per-round discipline as the CC loop."""
+    from pyspark.sql import Window
+
+    pos = docs.select(
+        F.col("doc_id"),
+        F.posexplode(tokens(F.col("text"))).alias("pos", "sym"),
+    )
+    rules = None
+    for it in range(1, n_merges + 1):
+        wd = Window.partitionBy("doc_id").orderBy("pos")
+        cur = pos.withColumn("nxt", F.lead("sym").over(wd))
+        best = (
+            cur.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("sym").asc(), F.col("nxt").asc())
+            .limit(1)
+            .select(
+                F.lit(it).alias("iteration"),
+                F.col("sym").alias("left_sym"),
+                F.col("nxt").alias("right_sym"),
+                F.concat(F.col("sym"), F.lit(" "), F.col("nxt")).alias("merged"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        rules = best if rules is None else rules.unionByName(best)
+        j = cur.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
+        m = (F.col("sym") == F.col("left_sym")) & (
+            F.col("nxt") == F.col("right_sym")
+        )
+        j = j.withColumn("m", F.coalesce(m, F.lit(False)))
+        # greedy left-to-right: inside a run of consecutive matches
+        # (possible only when left = right), merge at even run offsets
+        wrun = Window.partitionBy("doc_id", "m").orderBy("pos")
+        j = j.withColumn("grp", F.col("pos") - F.row_number().over(wrun))
+        wgrp = Window.partitionBy("doc_id", "m", "grp")
+        j = j.withColumn(
+            "applied",
+            F.col("m") & (((F.col("pos") - F.min("pos").over(wgrp)) % 2) == 0),
+        )
+        wd2 = Window.partitionBy("doc_id").orderBy("pos")
+        j = j.withColumn(
+            "consumed", F.coalesce(F.lag("applied").over(wd2), F.lit(False))
+        )
+        nxt_pos = (
+            j.where(~F.col("consumed"))
+            .select(
+                "doc_id",
+                F.row_number().over(wd2).alias("pos"),
+                F.when(
+                    F.col("applied"),
+                    F.concat(F.col("left_sym"), F.lit(" "), F.col("right_sym")),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        pos = nxt_pos
+    return rules

@@ -1365,6 +1365,73 @@ def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(load_table(spark, sf_dir, "documents"), chunk_size=20)
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled SQL replay of bpe_phrase_merges: per round, LEAD pair
+    + 1-row argmax + greedy-application rewrite via the same
+    run-parity windows the Spark operator uses (see text.py)."""
+    ctes = [
+        f"toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)",
+        "p0 AS (SELECT doc_id, i AS pos, ts[i] AS sym"
+        " FROM toks, UNNEST(generate_series(1, len(ts))) AS t(i))",
+    ]
+    for k in range(1, n_merges + 1):
+        q = k - 1
+        ctes += [
+            f"c{k} AS (SELECT doc_id, pos, sym,"
+            f" LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt"
+            f" FROM p{q})",
+            f"b{k} AS (SELECT sym AS left_sym, nxt AS right_sym,"
+            f" CAST(COUNT(*) AS BIGINT) AS n FROM c{k}"
+            f" WHERE nxt IS NOT NULL GROUP BY sym, nxt"
+            f" ORDER BY n DESC, left_sym ASC, right_sym ASC LIMIT 1)",
+            f"m{k} AS (SELECT c.doc_id, c.pos, c.sym,"
+            f" COALESCE(c.sym = b.left_sym AND c.nxt = b.right_sym, false)"
+            f" AS m, b.left_sym, b.right_sym"
+            f" FROM c{k} c CROSS JOIN b{k} b)",
+            f"g{k} AS (SELECT *, pos - ROW_NUMBER() OVER"
+            f" (PARTITION BY doc_id, m ORDER BY pos) AS grp FROM m{k})",
+            f"a{k} AS (SELECT *, m AND ((pos - MIN(pos) OVER"
+            f" (PARTITION BY doc_id, m, grp)) % 2 = 0) AS applied"
+            f" FROM g{k})",
+            f"s{k} AS (SELECT *, COALESCE(LAG(applied) OVER"
+            f" (PARTITION BY doc_id ORDER BY pos), false) AS consumed"
+            f" FROM a{k})",
+            f"p{k} AS (SELECT doc_id, ROW_NUMBER() OVER"
+            f" (PARTITION BY doc_id ORDER BY pos) AS pos,"
+            f" CASE WHEN applied THEN left_sym || ' ' || right_sym"
+            f" ELSE sym END AS sym FROM s{k} WHERE NOT consumed)",
+        ]
+    finals = [
+        f"SELECT CAST({k} AS INT) AS iteration, left_sym, right_sym,"
+        f" left_sym || ' ' || right_sym AS merged, n AS pair_count"
+        f" FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@query("bpe_phrase_merges", _bpe_oracle(5))
+def bpe_phrase_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style phrase-merge training (5 rounds) over the corpus: the
+    iterative most-frequent-adjacent-pair merge at the core of
+    tokenizer training, run set-oriented — positional symbol table,
+    LEAD pair counts, 1-row argmax broadcast back, greedy rewrite via
+    run-parity windows (text.bpe_phrase_merges; unit-differentialed
+    against a scan-based Python reference incl. the left=right run
+    case). The oracle unrolls the same 5 rounds in SQL."""
+    from avocado_spark.operators.text import bpe_phrase_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_phrase_merges(docs, n_merges=5)
+    return out.select(
+        F.col("iteration").cast("int").alias("iteration"),
+        "left_sym",
+        "right_sym",
+        "merged",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+    )
+
+
 @query(
     "token_pmi_topk",
     f"""

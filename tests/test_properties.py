@@ -244,3 +244,46 @@ def test_jl_projection_beats_random_shortlist_baseline(spark):
     df = get_queries()["embedding_jl_recall"](spark, "/root/testdata/sf0.01")
     total = df.agg(F.sum("contained_at_20")).first()[0]
     assert total >= 25, f"containment {total}/100 — sign matrix degenerate?"
+
+
+def test_bpe_merges_match_scan_reference(spark):
+    """bpe_phrase_merges vs a literal greedy-scan Python reference,
+    including the left=right run case ("a a a a a") where greedy
+    left-to-right merges only at even run offsets."""
+    from avocado_spark.operators.text import bpe_phrase_merges
+
+    docs_py = [
+        (1, "the cat sat on the mat the cat ran"),
+        (2, "the cat sat the cat sat on a mat"),
+        (3, "a a a a a b a b the the the"),
+        (4, "x y x y x y"),
+    ]
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+
+    def merge(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + " " + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    seqs = [t.split() for _, t in docs_py]
+    expected = []
+    for it in range(1, 6):
+        counts = {}
+        for sq in seqs:
+            for x, y in zip(sq, sq[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        (a, b), n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append((it, a, b, a + " " + b, n))
+        seqs = [merge(sq, a, b) for sq in seqs]
+
+    got = sorted(
+        (r["iteration"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_phrase_merges(docs, 5).collect()
+    )
+    assert got == expected
