@@ -716,9 +716,9 @@ _GATE_PRIORITY = [
     "hybrid_retrieval_rrf", "embedding_jl_recall",
     "events_hourly_ffill", "events_woe_iv",
     "token_pmi_topk", "er_blocking_quality", "bpe_phrase_merges",
+    "sink_orc_roundtrip",
     "events_user_activity_gini", "events_encoding_advisor",
     "events_quantile_normalize",
-    "customer_abc_analysis",
     # (1) never driver-sampled (the r6 verdict's list of 37):
     "ab_test_bootstrap_ci", "cdc_chunking", "cdc_dedup_stats",
     "charset_census", "cohort_retention", "coorder_pagerank",
@@ -739,6 +739,7 @@ _GATE_PRIORITY = [
     "events_value_quantiles", "quality_reliability_table",
     "conversion_latency_quantiles", "source_pctrank_norm",
     "budget_fill_sample", "events_value_deciles",
+    "customer_abc_analysis",
     # (2) previously-green rows, least-recently-verified first:
     "dedup_threshold_sweep", "ann_pq_adc_recall", "fk_integrity_audit",
     "part_cheapest_supplier", "rendezvous_shard_moves", "events_mutual_info",

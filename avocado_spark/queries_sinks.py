@@ -209,6 +209,36 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_orc_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c
+    FROM events WHERE event_id < 20000 AND event_type = 'click'
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth beyond parquet: ORC sink + read-back
+    with a post-write predicate, exercising ORC's own predicate
+    pushdown and column pruning on the return path (the second
+    columnar format a lakehouse inevitably has to ingest). Avro is the
+    one mainstream format NOT covered: its Spark module is external
+    and absent from this container, so it is deliberately out rather
+    than stubbed."""
+    from avocado_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 20000)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="avocado_sink_"), "events_orc")
+    out.write.mode("overwrite").orc(root)
+    return spark.read.orc(root).where(F.col("event_type") == "click")
+
+
+@query(
     "sink_csv_roundtrip",
     """
     SELECT event_id, user_id, event_type,

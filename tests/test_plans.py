@@ -763,3 +763,13 @@ def test_jl_projection_is_projection_only(spark):
     plan = jl_project(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_orc_readback_pushdown(spark):
+    """The ORC return path must push the post-write predicate and prune
+    columns at the ORC scan, same as parquet — format breadth is only
+    useful if the second format keeps the scan-side economics."""
+    df = QUERIES["sink_orc_roundtrip"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert "FileScan orc" in plan, plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan, plan
