@@ -790,3 +790,121 @@ def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
         )
         pos = nxt_pos
     return rules
+
+
+def nb_train_predict(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained and scored entirely in
+    DataFrame aggregations — the trainable counterpart to the marker
+    heuristic in :func:`language_id`, and the standard shape for
+    CCNet/fastText-style corpus quality and domain classifiers. Docs
+    with ``doc_id % holdout_mod != 0`` train; the rest are scored.
+
+    Scoring uses Laplace-smoothed log-likelihoods restricted to the
+    train vocabulary: for class l, score(d) = ln P(l) + sum_t cnt_t *
+    ln(c_tl + 1) - |d| * ln(N_l + V). Unmatched (token, class) pairs
+    contribute ln(1) = 0, so the sum needs only the INNER join of doc
+    tokens with train counts — never a dense doc x vocab x class
+    expansion. Per-term contributions round at 9 dp and per-(doc,
+    class) sums at 6 dp so the score is engine-order-independent.
+
+    Scale shape: token-class counts are one shuffle with map-side
+    partial aggregation; the score join shuffles on the token key
+    (AQE's skew split handles stopword-heavy tokens); class priors,
+    the train-size and vocab-size scalars ride broadcast 1-row
+    aggregates; the final argmax is a per-doc window over |classes|
+    rows, never a global window.
+    """
+    from pyspark.sql import Window
+
+    # no dedup._spread here: tokenize is one codegen'd split per row
+    # (not an interpreted hash fold), and measured at sf0.1 the
+    # round-robin shuffle costs more than the parallelism it buys
+    # (2.0 s -> 2.9 s); the first groupBy shuffle spreads the explode
+    # output anyway
+    base = docs.select(
+        "doc_id",
+        F.col(label_col).alias("true_label"),
+        tokens(F.col(text_col)).alias("tk"),
+    )
+    tr = base.where(F.col("doc_id") % holdout_mod != 0)
+    te = base.where(F.col("doc_id") % holdout_mod == 0)
+
+    ttok = tr.select(F.col("true_label").alias("cand"), F.explode("tk").alias("tok"))
+    tl = ttok.groupBy("cand", "tok").agg(F.count("*").cast("bigint").alias("c"))
+    cls = ttok.groupBy("cand").agg(F.count("*").cast("bigint").alias("n_tok"))
+    pri = tr.groupBy(F.col("true_label").alias("cand")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    ntr = tr.agg(F.count("*").cast("bigint").alias("n_train"))
+    voc = ttok.agg(F.count_distinct("tok").cast("bigint").alias("v"))
+
+    classes = (
+        pri.join(cls, "cand")
+        .crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "cand",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n_train")), 9
+            ).alias("ln_prior"),
+            F.round(
+                F.log((F.col("n_tok") + F.col("v")).cast("double")), 9
+            ).alias("ln_denom"),
+        )
+    )
+
+    mtok = (
+        te.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .join(tl.select("tok").distinct(), "tok", "semi")
+    )
+    ntokv = mtok.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("ntok"))
+    s1 = (
+        mtok.join(tl, "tok")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("cnt") * F.log(F.col("c").cast("double") + 1), 9
+                    )
+                ),
+                6,
+            ).alias("s1")
+        )
+    )
+
+    scored = (
+        te.select("doc_id", "true_label")
+        .join(ntokv, "doc_id", "left")
+        .crossJoin(F.broadcast(classes))
+        .join(s1, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_label",
+            "cand",
+            F.round(
+                F.col("ln_prior")
+                + F.coalesce(F.col("s1"), F.lit(0.0))
+                - F.coalesce(F.col("ntok"), F.lit(0)) * F.col("ln_denom"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "true_label",
+            F.col("cand").alias("pred_label"),
+            "score",
+        )
+    )

@@ -734,6 +734,9 @@ _GATE_PRIORITY = [
     "region_nation_revenue_rollup", "semantic_dedup_killlist",
     "session_conversion", "small_qty_avg_filter", "stream_attribution_outer",
     "training_shard_layout", "unigram_surprisal",
+    # new this round, first in the r8 rotation (kept BELOW the
+    # never-checked block so the burn-down completes first):
+    "nb_lang_classifier",
     # deferred from (0) to fit the 50-cap: their global_rank modes are
     # covered by the deciles/pctrank/gini entries that stay above
     "events_value_quantiles", "quality_reliability_table",

@@ -3856,3 +3856,103 @@ def rendezvous_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nm", F.lit(0)).cast("bigint").alias("n_inbound_moved"),
         )
     )
+
+
+@query(
+    "nb_lang_classifier",
+    f"""
+    WITH marked AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' langmark_' || lang ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang AS true_label, {_TOKS} AS tk FROM marked
+    ),
+    tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+    te AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+    ttok AS (SELECT true_label AS cand, unnest(tk) AS tok FROM tr),
+    tl AS (SELECT cand, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ttok GROUP BY 1, 2),
+    cls AS (SELECT cand, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM ttok GROUP BY 1),
+    pri AS (SELECT true_label AS cand, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM tr GROUP BY 1),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM tr),
+    voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM ttok),
+    classes AS (
+      SELECT p.cand,
+             ROUND(LN(CAST(p.n_docs AS DOUBLE) / (SELECT n_train FROM ntr)), 9)
+               AS ln_prior,
+             ROUND(LN(CAST(c.n_tok + (SELECT v FROM voc) AS DOUBLE)), 9)
+               AS ln_denom
+      FROM pri p JOIN cls c ON c.cand = p.cand
+    ),
+    mtok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM te)
+      GROUP BY 1, 2
+    ),
+    mv AS (
+      SELECT m.* FROM mtok m
+      WHERE EXISTS (SELECT 1 FROM tl WHERE tl.tok = m.tok)
+    ),
+    ntokv AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS ntok
+              FROM mv GROUP BY 1),
+    s1 AS (
+      SELECT mv.doc_id, tl.cand,
+             ROUND(SUM(ROUND(mv.cnt * LN(CAST(tl.c AS DOUBLE) + 1), 9)), 6)
+               AS s1
+      FROM mv JOIN tl ON mv.tok = tl.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT t.doc_id, t.true_label, k.cand,
+             ROUND(k.ln_prior + COALESCE(s1.s1, 0)
+                   - COALESCE(nv.ntok, 0) * k.ln_denom, 6) AS score
+      FROM te t
+      CROSS JOIN classes k
+      LEFT JOIN s1 ON s1.doc_id = t.doc_id AND s1.cand = k.cand
+      LEFT JOIN ntokv nv ON nv.doc_id = t.doc_id
+    ),
+    pred AS (
+      SELECT doc_id, true_label, cand AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rn
+      FROM scored
+    )
+    SELECT true_label AS true_lang, pred_label AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained classifier tier: Multinomial Naive Bayes on the lang
+    label, 80/20 deterministic doc_id split, scored holdout rolled up
+    into a confusion matrix — the eval artifact a quality/domain
+    classifier ships with. The heuristic marker-set `language_id` is
+    the zero-shot baseline; this is the supervised counterpart,
+    trained and scored with no driver-side state (see
+    text.nb_train_predict for the scale posture).
+
+    The raw fixture text draws every lang from ONE shared vocabulary
+    (no lexical signal — a bare NB correctly collapses to the prior,
+    measured at 42% ~ the 43.6% en prior share), so, as with the
+    corpus's deterministic near-dup/PII/mojibake injections, a class
+    marker token is appended to every third doc: the trained model
+    must learn the marker (marked holdout docs), fall back to the
+    prior on unmarked docs, and the confusion matrix shows exactly
+    that mixture."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" langmark_"), F.col("lang")),
+        ).otherwise(F.col("text")),
+    )
+    pred = TX.nb_train_predict(docs)
+    return pred.groupBy(
+        F.col("true_label").alias("true_lang"),
+        F.col("pred_label").alias("pred_lang"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

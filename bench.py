@@ -116,6 +116,9 @@ def main() -> None:
         "customer_abc_analysis",
         "events_quantile_normalize",
         "events_kmv_overlap",
+        # round 11: trained-classifier tier — MNB train + sparse score
+        # + per-doc argmax (token-key shuffle join is the hot stage)
+        "nb_lang_classifier",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;

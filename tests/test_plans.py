@@ -773,3 +773,14 @@ def test_orc_readback_pushdown(spark):
     plan = df._jdf.queryExecution().toString()
     assert "FileScan orc" in plan, plan
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan, plan
+
+
+def test_nb_classifier_no_dense_expansion(spark):
+    """The NB score join must stay candidate-sparse: no unbroadcast
+    cartesian anywhere — the only cross-shaped joins are the broadcast
+    1-row scalar aggs and the |classes|-row class dim (bounded BNLJ by
+    construction) — and the argmax window must be per-doc, never
+    single-partition."""
+    plan = final_plan(plan_of(spark, "nb_lang_classifier"))
+    assert "CartesianProduct" not in plan, plan
+    assert_no_single_partition_sort(plan)

@@ -287,3 +287,47 @@ def test_bpe_merges_match_scan_reference(spark):
         for r in bpe_phrase_merges(docs, 5).collect()
     )
     assert got == expected
+
+
+def test_nb_train_predict_matches_hand_computation(spark):
+    """Tiny corpus where the MNB posterior is computable by hand:
+    train has two classes with disjoint signal tokens plus one shared
+    token; the held-out docs (doc_id % 5 == 0) must go to the class
+    whose signal they carry, and a signal-free doc must fall back to
+    the larger prior."""
+    import math
+
+    from avocado_spark.operators.text import nb_train_predict
+
+    rows = [
+        # train (doc_id % 5 != 0): class a = {x}, class b = {y}, shared {s}
+        (1, "a", "x x s"),
+        (2, "a", "x s"),
+        (3, "a", "x x x"),
+        (4, "b", "y s"),
+        (6, "b", "y y"),
+        # holdout (doc_id % 5 == 0)
+        (5, "a", "x x"),    # pure a-signal
+        (10, "b", "y"),     # pure b-signal
+        (15, "b", "s"),     # shared only -> prior => a (3 docs vs 2)
+        (20, "a", "zz"),    # OOV only -> prior => a
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {
+        r.doc_id: (r.true_label, r.pred_label, r.score)
+        for r in nb_train_predict(docs).collect()
+    }
+    assert out[5][1] == "a"
+    assert out[10][1] == "b"
+    assert out[15][1] == "a"
+    assert out[20][1] == "a"
+    # hand-check doc 5 ("x x") against class a:
+    # train(a): tokens {x:6, s:2}, N_a=8; V=3 (x, s, y); prior 3/5
+    # score = ln(3/5) + 2*ln(6+1) - 2*ln(8+3), each term @9dp, sum @6dp
+    want = round(
+        round(math.log(3 / 5), 9)
+        + round(round(2 * math.log(7.0), 9), 6)
+        - 2 * round(math.log(11.0), 9),
+        6,
+    )
+    assert abs(out[5][2] - want) <= 2e-6
