@@ -697,113 +697,54 @@ def fisher_strand_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Gate-priority order: the driver's correctness run processes the
-# registry in insertion order and caps the sample per round (50), so
-# queries whose coverage is newest/most at risk come FIRST: (0) rows
-# rewritten this round, (1) rows with no driver CORRECTNESS row in any
-# round yet, (2) previously-green rows, least recently verified first
-# (safe to drop under the cap).
-_GATE_PRIORITY = [
-    # The driver's correctness gate samples the FIRST 50 entries in
-    # this order. Round-7 rotation (r6 verdict #1): (0) the 6 queries
-    # ADDED this round plus 7 riders of the REWRITTEN frozen-boundary
-    # global_rank (3 more riders deferred just below the fold — the
-    # operator keeps 7 independent driver proofs); (1) the 37 queries
-    # that have never had a driver CORRECTNESS row in rounds 1-6 —
-    # exactly 50; (2) previously-green rows, least recently verified
-    # first.
-    # (0) added or rewritten this round:
-    "events_kmv_overlap", "weighted_sample_per_source",
-    "hybrid_retrieval_rrf", "embedding_jl_recall",
-    "events_hourly_ffill", "events_woe_iv",
-    "token_pmi_topk", "er_blocking_quality", "bpe_phrase_merges",
-    "sink_orc_roundtrip",
-    "events_user_activity_gini", "events_encoding_advisor",
-    "events_quantile_normalize",
-    # (1) never driver-sampled (the r6 verdict's list of 37):
-    "ab_test_bootstrap_ci", "cdc_chunking", "cdc_dedup_stats",
-    "charset_census", "cohort_retention", "coorder_pagerank",
-    "coorder_triangles", "dedup_cluster_size_histogram",
-    "dedup_survivorship_report", "embedding_dim_variance", "embedding_health",
-    "events_dow_hour_profile", "events_equidepth_hist", "events_expectations",
-    "events_mad_outliers", "events_partition_gaps", "events_scd2_history",
-    "events_table_fingerprint", "events_transition_matrix",
-    "events_weekly_wow_growth", "funnel_conversion_rates",
-    "incremental_agg_maintenance", "langid_confusion", "lineitem_unpivot",
-    "longgram_overlap_pairs", "multitouch_attribution", "orders_snapshot_diff",
-    "part_association_lift", "part_price_band_rollup", "ppjoin_dup_pairs",
-    "region_nation_revenue_rollup", "semantic_dedup_killlist",
-    "session_conversion", "small_qty_avg_filter", "stream_attribution_outer",
-    "training_shard_layout", "unigram_surprisal",
-    # new this round, first in the r8 rotation (kept BELOW the
-    # never-checked block so the burn-down completes first):
-    "nb_lang_classifier",
-    # deferred from (0) to fit the 50-cap: their global_rank modes are
-    # covered by the deciles/pctrank/gini entries that stay above
-    "events_value_quantiles", "quality_reliability_table",
-    "conversion_latency_quantiles", "source_pctrank_norm",
-    "budget_fill_sample", "events_value_deciles",
-    "customer_abc_analysis",
-    # (2) previously-green rows, least-recently-verified first:
-    "dedup_threshold_sweep", "ann_pq_adc_recall", "fk_integrity_audit",
-    "part_cheapest_supplier", "rendezvous_shard_moves", "events_mutual_info",
-    "bloom_pruned_join", "events_cms_user_counts", "events_hll_daily_users",
-    "dedup_canonical_keep", "orders_pareto_frontier",
-    "events_partition_fingerprint_diff", "customer_er_clusters",
-    "incremental_dedup_pairs", "cms_join_size_estimate", "compaction_plan",
-    "normalize_dedup_impact", "session_paths", "events_join_skew_report",
-    "events_hll_rolling_users", "coorder_kcore", "negative_sample_pairs",
-    "chunk_sliding_windows", "events_burst_alerts", "scd2_point_in_time_join",
-    "ann_srp_multiprobe_recall", "events_key_uniqueness_audit",
-    "lineitem_ols_two_features", "knn_label_consistency",
-    "embedding_source_drift", "ab_test_analysis", "events_value_psi",
-    "interval_union_length", "table_schema_contract", "dataset_card",
-    "orders_per_customer_distribution", "idle_rich_customers",
-    "events_volume_anomaly_days", "supplier_region_hhi",
-    "shipping_lead_time_stats", "events_daily_ohlc", "contamination_kwic",
-    "ann_srp_bucketed", "token_count", "quality_score", "language_id",
-    "doc_fingerprint", "scan_project_filter", "broadcast_equijoin_dim",
-    "multiway_union", "semi_join_cohort", "anti_join_novel",
-    "genome_sort_rank", "topk_per_group", "phred_kernels", "log_space_kernels",
-    "genotype_state_quality", "reversed_array_add", "rms_mapq_rollup",
-    "allele_trim", "mate_nullify", "sample_catalog", "ploidy_extremes",
-    "interval_join_group_right", "cnv_point_lookup", "prefilter_reads",
-    "count_filter_discovery", "merge_discovered_dedup", "exact_dedup",
-    "simhash_signatures", "ngram_jaccard_pairs", "embedding_dup_pairs",
-    "ann_topk_cosine", "biallelic_pipeline", "gvcf_jointer_e2e",
-    "biallelic_multiallelic", "dedup_clusters", "ann_ivf_kmeans_recall",
-    "sink_roundtrip_partitioned", "sink_glob_union", "sink_sorted_single_file",
-    "multimodal_features", "dedup_cap_stats", "decontaminate_ngrams",
-    "repetition_stats", "stratified_sample", "tfidf_top_terms",
-    "simhash_dup_pairs", "ann_recall_eval", "ann_ivf_probed",
-    "token_count_bpe", "multimodal_frame_sample", "events_props_parse",
-    "events_salted_agg", "gopher_quality_gate", "biallelic_pipeline_indel",
-    "gvcf_all_sites_indel", "biallelic_cnv_ploidy", "trio_from_reads",
-    "prefilter_reads_preset", "gvcf_all_sites", "gvcf_square_off",
-    "joint_recall", "trio_mendelian", "discover_variants", "score_table_gen",
-    "fisher_strand_bias", "rewrite_hets", "emit_genotype_filter",
-    "hard_filter_annotate", "variant_summary", "maf_site_quality",
-    "wide_agg_q1", "events_asof_join", "events_funnel", "stream_trending_topk",
-    "stream_tumbling_hourly", "stream_sliding_30m", "stream_session_windows",
-    "stream_dedup_first", "stream_running_total", "stream_attribution_join",
-    "interval_join_broadcast", "interval_join_binned", "coverage_cap",
-    "minhash_dedup_pairs", "realign_reads", "chunk_dedup", "ngram_corpus_topk",
-    "weighted_mix", "events_rolling_stats", "revenue_multijoin",
-    "stream_static_enrich", "bucketed_colocated_join", "dim_upsert_compact",
-    "sink_schema_evolution", "events_rollup_hierarchy", "table_profile",
-    "events_zscore_outliers", "events_interarrival", "dataset_split",
-    "split_leakage", "bm25_topk", "inverted_index", "pack_sequences",
-    "pii_scrub", "salted_skew_join", "winsorized_stats", "events_ewma",
-    "zorder_layout", "zorder_pruning", "ann_int8_recall",
-    "embedding_centroids", "events_pivot_wide", "lineitem_cube",
-    "fuzzy_dup_verify", "lineitem_corr_regression", "events_chisq",
-    "source_vocab_overlap", "sink_csv_roundtrip", "sink_json_roundtrip",
-    "source_token_entropy",
-]
+# registry in insertion order and caps the sample per round (~50), so
+# the ordering below IS the verification rotation. Policy (r7 verdict
+# #1, made self-maintaining): (0) queries with NO green driver
+# CORRECTNESS row in any committed round artifact — brand-new queries
+# land here automatically; then (1) previously-green queries ordered
+# by the round of their most recent green row, OLDEST FIRST, so every
+# query re-verifies within ~4 rounds of 50-draws with zero manual
+# curation. Computed at get_queries() time from the committed
+# CORRECTNESS_r*.json artifacts at the repo root; name breaks ties
+# deterministically. If no artifacts are readable (fresh tree before
+# round 1), registration order is kept unchanged.
+
+
+def _gate_priority(names) -> list[str]:
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    last_green: dict[str, int] = {}
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        digits = "".join(ch for ch in Path(f).stem.rsplit("_r", 1)[-1] if ch.isdigit())
+        try:
+            rnd = int(digits)
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            # hash_match None = the rows-only check for non-SQL oracles
+            # (the driver records it weaker but green); err trumps all
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return sorted(names, key=lambda q: (last_green.get(q, 0), q))
 
 
 def _gate_ordered(d: dict) -> dict:
-    out = {n: d[n] for n in _GATE_PRIORITY if n in d}
-    out.update({n: v for n, v in d.items() if n not in out})
+    out = {n: d[n] for n in _gate_priority(list(d))}
     return out
 
 
