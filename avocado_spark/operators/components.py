@@ -37,17 +37,27 @@ def _persistent_rdd_ids(df: DataFrame) -> set[int]:
 
 
 def _tracked_checkpoint(df: DataFrame, owned: set[int]) -> DataFrame:
-    """Eager ``localCheckpoint`` that RECORDS the RDD ids it pinned, so
+    """Eager ``localCheckpoint`` that RECORDS the RDD id it pinned, so
     iterative callers can release each round's blocks once the next
     round is materialized. Driver-side GC does not reliably reach
     RDD-level checkpoint blocks through the py4j boundary (observed:
     blocks live for the session), so iterative operators must free
     superseded rounds explicitly or a long session accumulates one edge
-    table per round per query. Assumes calls within one session are not
-    concurrent (the bench/driver execution model)."""
+    table per round per query.
+
+    Ownership is captured DIRECTLY from the returned Dataset's plan
+    (``localCheckpoint`` returns a ``LogicalRDD`` over exactly the RDD
+    it persisted), not by diffing the session-global persistent-RDD
+    set — so two queries running concurrently in one SparkSession can
+    never claim (and then unpersist) each other's checkpoint blocks.
+    A set-diff fallback covers Spark builds where the plan shape
+    differs; it is only reachable if the direct capture fails."""
     before = _persistent_rdd_ids(df)
     out = df.localCheckpoint(eager=True)
-    owned.update(_persistent_rdd_ids(out) - before)
+    try:
+        owned.add(int(out._jdf.queryExecution().analyzed().rdd().id()))
+    except Exception:  # pragma: no cover — non-LogicalRDD plan shape
+        owned.update(_persistent_rdd_ids(out) - before)
     return out
 
 
@@ -60,6 +70,22 @@ def _release_rdds(df: DataFrame, ids: set[int]) -> None:
     for i in ids:
         sc.unpersistRDD(i, False)
     ids.clear()
+
+
+def release_result(spark, residual_rdd_ids: set[int]) -> None:
+    """Free the checkpoint blocks a graph operator's RESULT still
+    reads, once the caller has fully consumed it (collected / written
+    out). Every iterative operator here releases superseded rounds
+    itself, but the final round's blocks necessarily outlive the call
+    — a long analytics session running many graph queries should call
+    this with the ``residual_rdd_ids`` each operator reports in its
+    ``stats`` dict, or those final tables accumulate for the session
+    lifetime. After this call the result DataFrame is DEAD (lineage was
+    cut at the checkpoint): re-consuming it raises, not recomputes."""
+    sc = spark.sparkContext._jsc.sc()
+    for i in set(residual_rdd_ids):
+        sc.unpersistRDD(i, False)
+    residual_rdd_ids.clear()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -147,10 +173,15 @@ def connected_components(
     # nodes stays pinned until the caller consumes the result (the root
     # rows read it); with the per-round release below, the steady-state
     # footprint is 2 edge tables (current round + nodes), not one per
-    # round per call
-    nodes = e.select(F.col("u").alias("node")).unionByName(
-        e.select(F.col("v").alias("node"))
-    ).distinct().localCheckpoint(eager=True)
+    # round per call. Tracked so the residual is reported (and
+    # releasable via release_result) once the caller is done.
+    residual: set[int] = set()
+    nodes = _tracked_checkpoint(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct(),
+        residual,
+    )
 
     sig = _signature(e)
     rounds = 0
@@ -172,6 +203,10 @@ def connected_components(
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     if stats is not None:  # telemetry: scale-growth diagnosis (r6 #6)
         stats["rounds"] = rounds
+        # the blocks the RESULT still reads (final star forest + node
+        # list) — pass to release_result after consuming (r7 advice)
+        residual.update(prev_ids)
+        stats["residual_rdd_ids"] = residual
 
     # converged edge set is a star forest: (member → root). Roots have
     # no outgoing edge — they are their own component.
@@ -205,7 +240,9 @@ def dedup_clusters(
 
 
 def triangle_counts(
-    edges: DataFrame, broadcast_max_edges: int = 5_000_000
+    edges: DataFrame,
+    broadcast_max_edges: int = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-oriented node-iterator
     (Suri & Vassilvitskii, WWW'11 — the MapReduce-era answer to the
@@ -233,10 +270,14 @@ def triangle_counts(
     The adjacency-array groupBy is safe on any power-law graph because
     orientation bounds every out-list at O(sqrt(m)).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = edges.count()  # bounded driver scalar; also warms the cache
+    # edges is read three times (degree agg, orientation join, wedge
+    # closure): one eager tracked checkpoint, RELEASED after the final
+    # per-node counts materialize — not DataFrame.persist, which pinned
+    # it in the session CacheManager for the session lifetime (the r7
+    # leak)
+    edge_ids: set[int] = set()
+    edges = _tracked_checkpoint(edges, edge_ids)
+    n_edges = edges.count()  # bounded driver scalar
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -274,7 +315,20 @@ def triangle_counts(
     nodes = tri.select(
         F.explode(F.array("s", "x", "y")).alias("node")
     )
-    return nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))
+    counts = nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    # materialize the (small: nodes-in-triangles-sized) result table,
+    # then free the edge blocks — the returned plan no longer reads
+    # them. Residual footprint = the counts table only, reported for
+    # release_result.
+    residual: set[int] = set()
+    counts = _tracked_checkpoint(counts, residual)
+    _release_rdds(counts, edge_ids)
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["residual_rdd_ids"] = residual
+    return counts
 
 
 def coorder_edges(lineitem: DataFrame) -> DataFrame:
@@ -302,6 +356,7 @@ def pagerank_exact(
     edges: DataFrame,
     n_iter: int = 5,
     damping_u: int = 850_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge set in EXACT fixed-point
     arithmetic: ranks are integer micro-units, each push is
@@ -362,10 +417,14 @@ def pagerank_exact(
     # all rounds are materialized — the adjacency blocks are done too;
     # only the final ranks table stays pinned until the caller consumes
     _release_rdds(ranks, adj_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = prev_ids  # free via release_result
     return ranks.select(F.col("u").alias("node"), "rank_u")
 
 
-def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 6) -> DataFrame:
+def k_core(
+    edges: DataFrame, k: int = 3, n_rounds: int = 6, stats: dict | None = None
+) -> DataFrame:
     """k-core membership via ``n_rounds`` of synchronous peeling:
     each round drops every node whose degree within the surviving
     subgraph is < k, exactly like the textbook decomposition but with a
@@ -399,6 +458,8 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 6) -> DataFrame:
         )
         _release_rdds(live, prev_ids)  # superseded round — free its blocks
         prev_ids = cur_ids
+    if stats is not None:
+        stats["residual_rdd_ids"] = prev_ids  # free via release_result
     return (
         live.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))

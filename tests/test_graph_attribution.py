@@ -129,3 +129,52 @@ def test_kcore_fixture_reaches_fixpoint(spark):
     b = k_core(edges, k=80, n_rounds=6)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def _live_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_triangle_counts_releases_all_blocks(spark):
+    """r7 verdict #2: triangle_counts must not pin edge blocks for the
+    session lifetime — after the call, only the reported residual
+    (the small counts table) survives, and release_result frees it."""
+    from avocado_spark.operators.components import release_result, triangle_counts
+
+    spark.catalog.clearCache()
+    before = _live_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], ["u", "v"]
+    )
+    stats: dict = {}
+    out = triangle_counts(edges, stats=stats)
+    got = {r.node: r.n_triangles for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+    leaked = _live_rdd_ids(spark) - before
+    assert leaked == stats["residual_rdd_ids"], (
+        f"blocks pinned beyond the reported residual: {leaked}"
+    )
+    release_result(spark, stats["residual_rdd_ids"])
+    assert _live_rdd_ids(spark) - before == set()
+
+
+def test_connected_components_residual_is_releasable(spark):
+    from avocado_spark.operators.components import (
+        connected_components,
+        release_result,
+    )
+
+    spark.catalog.clearCache()
+    before = _live_rdd_ids(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["a_id", "b_id"]
+    )
+    stats: dict = {}
+    cc = connected_components(pairs, stats=stats)
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    leaked = _live_rdd_ids(spark) - before
+    assert leaked == stats["residual_rdd_ids"]
+    release_result(spark, stats["residual_rdd_ids"])
+    assert _live_rdd_ids(spark) - before == set()
