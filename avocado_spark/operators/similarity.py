@@ -65,23 +65,42 @@ def srp_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
 MAX_EVAL_QUERIES = 10_000
 
 
+def _static_row_bound(queries: DataFrame) -> int | None:
+    """Plan-time upper bound on the row count, if one is provable
+    WITHOUT running a job: Catalyst's size-only stats propagate an
+    exact ``rowCount`` through LocalLimit/GlobalLimit (and projections
+    above them), so a queries side built as ``df.limit(n)`` — the
+    recommended eval-sample shape — is statically bounded. Returns
+    None when the plan carries no row-count statistic (plain
+    filter-over-scan), in which case the caller must measure."""
+    try:
+        rc = queries._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(str(rc.get())) if rc.isDefined() else None
+    except Exception:  # pragma: no cover — plan access is best-effort
+        return None
+
+
 def _guard_eval_queries(queries: DataFrame, allow_full_scan: bool, op: str) -> None:
-    """NOTE: this guard runs an EAGER Spark job (limit(N+1).count()) at
-    builder time — brute_force_topk/int8_topk plan construction is
-    therefore not lazy, and the queries-side plan is scanned once more
-    than the final execution needs. That is the accepted price of
-    refusing O(q·n) full scans before they are shipped; pass
-    allow_full_scan=True to skip the job (EXPLAIN-only paths and plan-
-    shape tests should do so, or expect the extra action)."""
+    """Refuses O(q·n) full scans before they are shipped. LAZY when the
+    bound is statically provable: a plan-time rowCount ≤ the cap (any
+    ``.limit(n)``-topped queries side) costs no Spark job. Only the
+    gray zone — no statistic in the plan — pays the one-off
+    ``limit(N+1).count()`` probe (the same consult-plan-stats-first
+    pattern as interval_join._auto_strategy). Pass allow_full_scan=True
+    to skip entirely (EXPLAIN-only paths and plan-shape tests)."""
     if allow_full_scan:
         return
-    if queries.limit(MAX_EVAL_QUERIES + 1).count() > MAX_EVAL_QUERIES:
-        raise ValueError(
-            f"{op}: queries side exceeds MAX_EVAL_QUERIES={MAX_EVAL_QUERIES}; "
-            "this operator is an O(q·n) evaluation baseline, not a serving "
-            "path — use the SRP/IVF bucketed indexes, or pass "
-            "allow_full_scan=True if the all-pairs cost is intended"
-        )
+    bound = _static_row_bound(queries)
+    if bound is not None and bound <= MAX_EVAL_QUERIES:
+        return
+    if bound is None and queries.limit(MAX_EVAL_QUERIES + 1).count() <= MAX_EVAL_QUERIES:
+        return
+    raise ValueError(
+        f"{op}: queries side exceeds MAX_EVAL_QUERIES={MAX_EVAL_QUERIES}; "
+        "this operator is an O(q·n) evaluation baseline, not a serving "
+        "path — use the SRP/IVF bucketed indexes, or pass "
+        "allow_full_scan=True if the all-pairs cost is intended"
+    )
 
 
 def brute_force_topk(

@@ -565,7 +565,7 @@ def hybrid_retrieval_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sem = (
-        SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=20)
+        SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0).limit(1), k=20)
         .select(F.col("n_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
     )
     fused = (
@@ -611,7 +611,7 @@ def hybrid_retrieval_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exactness baseline for ANN)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 10).limit(10), k=5)
 
 
 @query(
@@ -702,11 +702,11 @@ def embedding_jl_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping vectors to an index: 2x less to shuffle and store."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = SIM.brute_force_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5
+        emb, emb.where(F.col("vec_id") < 20).limit(20), k=5
     ).select("q_id", "n_id")
     pemb = SIM.jl_project(emb, out_dim=32)
     appr = SIM.brute_force_topk(
-        pemb, pemb.where(F.col("vec_id") < 20), k=20
+        pemb, pemb.where(F.col("vec_id") < 20).limit(20), k=20
     ).select("q_id", "n_id")
     hit = (
         exact.join(appr, ["q_id", "n_id"], "left_semi")
@@ -765,7 +765,7 @@ def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a 25-query sample — the quality gauge for the approximate
     index family."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25), k=5, method="srp")
+    return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25).limit(25), k=5, method="srp")
 
 
 def _sha_word_le(word: int) -> str:
@@ -1047,7 +1047,9 @@ def ann_ivf_kmeans_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avocado_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 30)
+    # .limit(n) = row-wise no-op on the unique key, but it puts a
+    # provable rowCount in the plan so the eval guard needs no job
+    q = emb.where(F.col("vec_id") < 30).limit(30)
     exact = S.brute_force_topk(emb, q, k=5).select("q_id", "n_id")
     first = S.ivf_topk(emb, q, k=5).select("q_id", F.col("n_id").alias("f_id"))
     km = S.ivf_kmeans_topk(emb, q, k=5).select("q_id", F.col("n_id").alias("k_id"))
@@ -1968,7 +1970,7 @@ def ann_int8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes in [-127,127], ranked on dequantized cosine) vs the exact
     float top-5 — quantifies what the 4-8x memory cut costs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25), k=5, method="int8")
+    return SIM.recall_eval(emb, emb.where(F.col("vec_id") < 25).limit(25), k=5, method="int8")
 
 
 @query(
@@ -3176,7 +3178,7 @@ def ann_srp_multiprobe_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_kmeans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.recall_eval(
-        emb, emb.where(F.col("vec_id") < 25), k=5, method="srp_multi"
+        emb, emb.where(F.col("vec_id") < 25).limit(25), k=5, method="srp_multi"
     )
 
 
@@ -3273,7 +3275,7 @@ def knn_label_consistency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W  # noqa: N814
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 50)
+    q = emb.where(F.col("vec_id") < 50).limit(50)
     nn = SIM.brute_force_topk(emb, q, k=5)
     labels = emb.select("vec_id", "label")
     j = (
@@ -3728,7 +3730,9 @@ def ann_pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm of the ANN scale family: SRP buckets the corpus, IVF prunes
     the probe set, int8 shrinks the scan, PQ shrinks the INDEX."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 30)
+    # .limit(n) = row-wise no-op on the unique key, but it puts a
+    # provable rowCount in the plan so the eval guard needs no job
+    q = emb.where(F.col("vec_id") < 30).limit(30)
     cb = SIM.train_pq_codebooks(emb)  # one Lloyd run shared by both arms
     adc5 = SIM.pq_adc_topk(emb, q, k=5, codebooks=cb).select(
         "q_id", F.col("n_id").alias("a_id")

@@ -35,3 +35,39 @@ def test_large_query_side_refused(spark, op, monkeypatch):
         op(emb, emb, k=3)
     # the explicit override keeps the documented escape hatch working
     assert op(emb, emb.limit(60), k=1, allow_full_scan=True).count() == 60
+
+
+def test_static_bound_triggers_no_job(spark, monkeypatch):
+    """r7 verdict #6: a .limit(n)-topped queries side carries a
+    plan-time rowCount, so builder construction must be job-free —
+    any count() during the build is the bug."""
+    import pyspark.sql.dataframe as pdf
+
+    emb = _emb(spark, 200)
+    bounded = emb.limit(5)
+
+    def _boom(self):
+        raise AssertionError("eval guard ran an eager job on a statically bounded side")
+
+    monkeypatch.setattr(pdf.DataFrame, "count", _boom)
+    out = S.brute_force_topk(emb, bounded, k=3)  # must not raise
+    out2 = S.int8_topk(emb, bounded, k=3)
+    monkeypatch.undo()
+    assert out.count() == 15
+    assert out2.count() == 15
+
+
+def test_static_over_bound_refused_without_job(spark, monkeypatch):
+    """A statically-provable bound ABOVE the cap refuses immediately —
+    also without running the probe job."""
+    import pyspark.sql.dataframe as pdf
+
+    monkeypatch.setattr(S, "MAX_EVAL_QUERIES", 50)
+    emb = _emb(spark, 200)
+
+    def _boom(self):
+        raise AssertionError("probe job ran despite a static over-bound")
+
+    monkeypatch.setattr(pdf.DataFrame, "count", _boom)
+    with pytest.raises(ValueError, match="MAX_EVAL_QUERIES"):
+        S.brute_force_topk(emb, emb.limit(60), k=3)
