@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from avocado_spark.session import set_phase as _set_phase
+
 
 def _persistent_rdd_ids(df: DataFrame) -> set[int]:
     jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
@@ -187,6 +189,7 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        _set_phase(e, f"avocado:connected_components:round {rounds}")
         cur_ids: set[int] = set()
         e = _tracked_checkpoint(_small_star(_large_star(e)), cur_ids)
         # the new round is materialized with lineage cut — the previous
@@ -243,6 +246,7 @@ def triangle_counts(
     edges: DataFrame,
     broadcast_max_edges: int = 5_000_000,
     stats: dict | None = None,
+    materialize_result: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-oriented node-iterator
     (Suri & Vassilvitskii, WWW'11 — the MapReduce-era answer to the
@@ -318,13 +322,19 @@ def triangle_counts(
     counts = nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
-    # materialize the (small: nodes-in-triangles-sized) result table,
-    # then free the edge blocks — the returned plan no longer reads
-    # them. Residual footprint = the counts table only, reported for
-    # release_result.
-    residual: set[int] = set()
-    counts = _tracked_checkpoint(counts, residual)
-    _release_rdds(counts, edge_ids)
+    if materialize_result:
+        # materialize the (small: nodes-in-triangles-sized) result
+        # table, then free the edge blocks — the returned plan no
+        # longer reads them. Residual footprint = the counts table
+        # only, reported for release_result.
+        residual: set[int] = set()
+        counts = _tracked_checkpoint(counts, residual)
+        _release_rdds(counts, edge_ids)
+    else:
+        # lazy form (plan inspection / callers who compose further):
+        # the returned plan still reads the checkpointed edges, so the
+        # edge blocks ARE the residual — release after consuming.
+        residual = edge_ids
     if stats is not None:
         stats["n_edges"] = n_edges
         stats["residual_rdd_ids"] = residual
@@ -389,7 +399,8 @@ def pagerank_exact(
     ranks = deg.select("u", F.lit(PAGERANK_SCALE).cast("long").alias("rank_u"))
     base_u = PAGERANK_SCALE - damping_u
     prev_ids: set[int] = set()
-    for _ in range(n_iter):
+    for i in range(n_iter):
+        _set_phase(adj, f"avocado:pagerank_exact:iter {i + 1}")
         # true integer division (`div`), NOT floor(double /): for large
         # operands a double quotient can round up across an integer
         # boundary and silently disagree with the oracle's `//`
@@ -446,7 +457,8 @@ def k_core(
     )
     prev_ids: set[int] = set()
     live = _tracked_checkpoint(und, prev_ids)
-    for _ in range(n_rounds):
+    for i in range(n_rounds):
+        _set_phase(live, f"avocado:k_core:round {i + 1}")
         deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("u")
         cur_ids: set[int] = set()

@@ -35,7 +35,24 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        from avocado_spark.session import set_job_attribution
+
+        # every registered query self-attributes: the driver thread's
+        # job group/description is set at build time and sticks to the
+        # caller's subsequent action, so Spark UI / event logs name
+        # every stage after the query that owns it (reference P9,
+        # Timers.scala:25-69). No plan impact.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                set_job_attribution(spark, name)
+            except Exception:  # pragma: no cover — attribution is best-effort
+                pass
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -61,6 +61,29 @@ def get_spark(
     return spark
 
 
+def set_job_attribution(spark: SparkSession, name: str, phase: str | None = None) -> None:
+    """Stage attribution — the DataFrame-era replacement for the
+    reference's named per-stage timers (avocado-core/.../Timers.scala:25-69):
+    every Spark job launched from this driver thread after the call is
+    tagged in the UI / event logs with the operator that owns it, so a
+    100-query pipeline on a real cluster is attributable without
+    reverse-engineering plan fragments. Job GROUP = the query/operator
+    name (stable across its internal phases, cancellable as a unit);
+    job DESCRIPTION = group plus the optional phase suffix (iterative
+    operators stamp per-round phases). Purely cosmetic to Catalyst —
+    zero plan changes."""
+    desc = f"avocado:{name}" + (f":{phase}" if phase else "")
+    sc = spark.sparkContext
+    sc.setJobGroup(f"avocado:{name}", desc, interruptOnCancel=False)
+    sc.setJobDescription(desc)
+
+
+def set_phase(df, phase: str) -> None:
+    """Rename only the job DESCRIPTION (keeps the enclosing query's job
+    group) — for per-round stamps inside iterative operators."""
+    df.sparkSession.sparkContext.setJobDescription(phase)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Scan one driver-provided parquet table (S1-S4: all reference scans
     are columnar Parquet reads; projection/filter pushdown is Catalyst's

@@ -55,3 +55,22 @@ def test_never_green_queries_gate_head():
 def test_priority_is_deterministic():
     names = list(get_queries())
     assert _gate_priority(names) == _gate_priority(list(reversed(names)))
+
+
+def test_query_invocation_sets_job_attribution(spark):
+    """r7 verdict #7 (reference P9, Timers.scala:25-69): every
+    registered query stamps the driver thread's job group/description
+    so event logs attribute stages to the owning query; iterative
+    operators refine the description per round but keep the group."""
+    qs = get_queries()
+    from tests.conftest import SF_SMOKE
+
+    qs["wide_agg_q1"](spark, SF_SMOKE)
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.job.description") == "avocado:wide_agg_q1"
+    assert sc.getLocalProperty("spark.jobGroup.id") == "avocado:wide_agg_q1"
+    qs["dedup_clusters"](spark, SF_SMOKE).count()
+    assert sc.getLocalProperty("spark.jobGroup.id") == "avocado:dedup_clusters"
+    assert sc.getLocalProperty("spark.job.description").startswith(
+        "avocado:connected_components:round"
+    )

@@ -449,12 +449,25 @@ def test_ppjoin_no_nlj_broadcast_dfreq(spark):
 
 def test_triangles_no_cartesian_reuses_cached_edges(spark):
     """Triangle counting: wedge build and close are equi joins; the
-    edge table is built once and re-read from cache, not re-planned
-    per reference."""
-    plan = final_plan(plan_of(spark, "coorder_triangles"))
+    edge table is materialized once (tracked localCheckpoint, r8 —
+    the r7 session-lifetime persist is gone) and re-read as an
+    ExistingRDD scan, not re-planned per reference. Inspected in the
+    lazy form — the registry query materializes the final counts, so
+    its returned plan is a bare result scan."""
+    from avocado_spark.operators.components import coorder_edges, triangle_counts
+    from avocado_spark.session import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    stats: dict = {}
+    df = triangle_counts(coorder_edges(li), stats=stats, materialize_result=False)
+    df.collect()
+    plan = final_plan(df._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    from avocado_spark.operators.components import release_result
+
+    release_result(spark, stats["residual_rdd_ids"])
 
 
 def test_scd2_single_key_shuffle(spark):
