@@ -1378,11 +1378,26 @@ def _range_boundaries(
         .orderBy("_gr_bpid")
         .collect()
     )
+    def _canon(x):
+        """Canonicalize driver-side values whose Python repr diverges
+        from engine equality before deduping boundary tuples: -0.0 vs
+        0.0 and Decimal scale variants (1 vs 1.00) are engine-equal,
+        and keeping both would create an empty interior bucket —
+        breaking the documented 'every bucket >= 1 is non-empty'
+        invariant that adjacent-bucket run stitching relies on."""
+        import decimal
+
+        if isinstance(x, float):
+            return repr(x + 0.0) if x == 0.0 else repr(x)
+        if isinstance(x, decimal.Decimal):
+            return f"dec:{x.normalize()}" if x.is_finite() else f"dec:{x}"
+        return repr(x)
+
     bounds: list[tuple] = []
     seen: set = set()
     for r in firsts:
         t = tuple(r[f"_gr_k{i}"] for i in range(k))
-        marker = tuple(repr(x) for x in t)
+        marker = tuple(_canon(x) for x in t)
         if marker in seen:
             continue
         seen.add(marker)
@@ -1449,6 +1464,19 @@ def frozen_range_ids(
     return df.withColumn(id_col, pid), len(bounds) + 1
 
 
+def _plan_is_deterministic(df: DataFrame) -> bool:
+    """Catalyst's own expression-determinism flag on the analyzed plan
+    (rand()/uuid()/shuffle()/non-deterministic UDFs ⇒ False). A
+    fixed-seed sample() passes — it replays identically when both
+    branches re-read the same source files, the only way global_rank
+    executes it. Best-effort: an inaccessible plan is treated as
+    deterministic rather than blocking the caller."""
+    try:
+        return bool(df._jdf.queryExecution().analyzed().deterministic())
+    except Exception:  # pragma: no cover — py4j surface drift
+        return True
+
+
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[Column | tuple[Column, str]],
@@ -1490,7 +1518,23 @@ def global_rank(
 
     Calling this runs two small driver jobs (count + boundary sample);
     the returned DataFrame itself stays lazy and holds no cached data.
+
+    REQUIRES A DETERMINISTIC INPUT: the rank branch and the per-bucket
+    offset branch re-execute ``df`` independently (nothing is
+    persisted), so they agree only when every re-execution yields the
+    same rows. A ``df`` embedding ``sample()`` / ``rand()`` /
+    non-deterministic UDFs would be silently mis-ranked — materialize
+    such inputs (localCheckpoint / write-out) before calling. Enforced
+    at build time via the plan's deterministic flag.
     """
+    if not _plan_is_deterministic(df):
+        raise ValueError(
+            "global_rank requires a deterministic input: the rank and "
+            "offset branches re-execute the plan independently, so a "
+            "sample()/rand()/non-deterministic-UDF input would be "
+            "silently mis-ranked. localCheckpoint() or write the input "
+            "out first."
+        )
     cumsum_cols = cumsum_cols or {}
     pcols = list(partition_cols)
     _vals, _dirs, sorts = _order_spec(order_cols)

@@ -278,3 +278,34 @@ def test_large_input_matches_window(spark):
     )
     assert mismatch == 0
     assert got.count() == 1_000_000
+
+
+def test_global_rank_rejects_nondeterministic_input(spark):
+    """r7 advice: the rank and offset branches re-execute the input
+    independently — a nondeterministic df must be refused at build
+    time, not silently mis-ranked."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.relational import global_rank
+
+    nd = spark.range(100).withColumn("v", F.rand(7))
+    with pytest.raises(ValueError, match="deterministic"):
+        global_rank(nd, [F.col("v"), F.col("id")])
+    # materialized nondeterminism is fine: lineage is cut
+    fixed = nd.localCheckpoint(eager=True)
+    out = global_rank(fixed, [F.col("v"), F.col("id")])
+    assert out.count() == 100
+
+
+def test_boundary_dedup_canonicalizes_negative_zero(spark):
+    """-0.0 and 0.0 are engine-equal; both surviving the boundary
+    dedup would fabricate an empty interior bucket (r7 advice)."""
+    from avocado_spark.operators.relational import _range_boundaries
+    from pyspark.sql import functions as F
+
+    rows = [(float(x),) for x in ([-0.0] * 500 + [0.0] * 500 + [1.0] * 500)]
+    df = spark.createDataFrame(rows, ["v"])
+    bounds = _range_boundaries(df, [F.col("v")], ["asc"], buckets=6)
+    markers = [tuple(repr(x + 0.0) if isinstance(x, float) and x == 0.0 else repr(x) for x in b) for b in bounds]
+    assert len(markers) == len(set(markers)), bounds
