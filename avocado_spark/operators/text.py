@@ -728,17 +728,29 @@ def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     scan merges at even offsets within each run, so `applied` is
     run-membership parity (gaps-and-islands), and a position is
     consumed iff its predecessor applied. Every window partitions by
-    doc_id (+ run keys), so rounds stay doc-parallel; the argmax is a
-    TakeOrdered of the pair counts, broadcast back — no driver-side
-    sequence state. At 100 TB each round is one pair-count shuffle +
-    doc-local windows, the same per-round discipline as the CC loop."""
+    doc_id (+ run keys), so rounds stay doc-parallel.
+
+    Iterative-dataflow discipline (the same as the CC loop, r7
+    advice): the positional table is eagerly ``localCheckpoint``ed per
+    round with the superseded round's blocks released, so round k's
+    plan is one rewrite over a materialized table — not a k-deep nest
+    re-executing every prior rewrite. The per-round argmax is ONE row,
+    collected to the driver and frozen into the next rewrite as
+    literals (no crossJoin); the returned merge table is built from
+    those literals, so the operator ends with ZERO pinned blocks."""
     from pyspark.sql import Window
 
-    pos = docs.select(
-        F.col("doc_id"),
-        F.posexplode(tokens(F.col("text"))).alias("pos", "sym"),
+    from avocado_spark.operators.components import _release_rdds, _tracked_checkpoint
+
+    prev_ids: set[int] = set()
+    pos = _tracked_checkpoint(
+        docs.select(
+            F.col("doc_id"),
+            F.posexplode(tokens(F.col("text"))).alias("pos", "sym"),
+        ),
+        prev_ids,
     )
-    rules = None
+    rule_rows: list[tuple] = []
     for it in range(1, n_merges + 1):
         wd = Window.partitionBy("doc_id").orderBy("pos")
         cur = pos.withColumn("nxt", F.lead("sym").over(wd))
@@ -748,20 +760,15 @@ def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), F.col("sym").asc(), F.col("nxt").asc())
             .limit(1)
-            .select(
-                F.lit(it).alias("iteration"),
-                F.col("sym").alias("left_sym"),
-                F.col("nxt").alias("right_sym"),
-                F.concat(F.col("sym"), F.lit(" "), F.col("nxt")).alias("merged"),
-                F.col("n").alias("pair_count"),
-            )
+            .collect()
         )
-        rules = best if rules is None else rules.unionByName(best)
-        j = cur.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
-        m = (F.col("sym") == F.col("left_sym")) & (
-            F.col("nxt") == F.col("right_sym")
-        )
-        j = j.withColumn("m", F.coalesce(m, F.lit(False)))
+        if not best:  # corpus exhausted (every doc merged to one symbol)
+            break
+        left, right, n_pair = best[0]["sym"], best[0]["nxt"], int(best[0]["n"])
+        merged = f"{left} {right}"
+        rule_rows.append((it, left, right, merged, n_pair))
+        m = (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right))
+        j = cur.withColumn("m", F.coalesce(m, F.lit(False)))
         # greedy left-to-right: inside a run of consecutive matches
         # (possible only when left = right), merge at even run offsets
         wrun = Window.partitionBy("doc_id", "m").orderBy("pos")
@@ -780,16 +787,21 @@ def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             .select(
                 "doc_id",
                 F.row_number().over(wd2).alias("pos"),
-                F.when(
-                    F.col("applied"),
-                    F.concat(F.col("left_sym"), F.lit(" "), F.col("right_sym")),
-                )
+                F.when(F.col("applied"), F.lit(merged))
                 .otherwise(F.col("sym"))
                 .alias("sym"),
             )
         )
-        pos = nxt_pos
-    return rules
+        cur_ids: set[int] = set()
+        pos = _tracked_checkpoint(nxt_pos, cur_ids)
+        _release_rdds(pos, prev_ids)  # superseded round — free its blocks
+        prev_ids = cur_ids
+    _release_rdds(pos, prev_ids)  # rules are driver literals — free all
+    return docs.sparkSession.createDataFrame(
+        rule_rows,
+        "iteration int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
 
 
 def nb_train_predict(
