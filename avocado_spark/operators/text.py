@@ -920,3 +920,98 @@ def nb_train_predict(
             "score",
         )
     )
+
+
+def bigram_backoff_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al., EMNLP'07 —
+    "Large Language Models in Machine Translation": at web scale, an
+    unnormalized count-ratio backoff matches Kneser-Ney) — the standard
+    held-out-perplexity quality signal a pretraining pipeline runs over
+    every document (the CCNet recipe scores with an LM where
+    :func:`unigram_surprisal` is the degenerate order-0 form).
+
+    Train/score split on ``doc_id % holdout_mod`` (train ≠ 0, score
+    = 0), same as :func:`nb_train_predict`, so unseen bigrams genuinely
+    occur and the backoff path is exercised. Integer-exact bits (the
+    unigram_surprisal trick — floor(log2) as binary-string length, no
+    libm in the differential):
+
+      * seen bigram:  bits = floor(log2(c(w1) / c(w1 w2)))
+      * backoff:      bits = floor(log2(2·(N+V) / (c(w2)+1)))
+        (λ = 0.5 backoff = exactly 1 extra bit; +1-Laplace unigram so
+        OOV words score as the rarest class instead of dividing by 0)
+
+    Per scored doc: (doc_id, n_bigrams, bits_total, mean_bits,
+    n_backoff). Docs with < 2 tokens have no bigram and no output row.
+
+    Scale shape: the two model tables are Zipf-sized (bigram types ≪
+    corpus tokens, vocabulary ≪ bigram types) — declared as plain
+    equi-joins so Catalyst/AQE broadcasts them when they fit; the score
+    side streams. One explode per side, two joins, one per-doc agg —
+    no window, no UDF, no collect."""
+    from avocado_spark.operators.dedup import _spread
+
+    spread = _spread(docs)
+    arr = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    train = spread.where(F.col("doc_id") % holdout_mod != 0)
+    score = spread.where(F.col("doc_id") % holdout_mod == 0)
+
+    uni = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    totals = uni.agg(
+        F.sum("c_uni").cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("v_types"),
+    )
+    bi = (
+        train.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c_uni").alias("c2"))
+
+    sp = score.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    scored = (
+        sp.join(bi, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(c2, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.length(F.bin(F.expr("c1 div c12"))) - 1,
+            )
+            .otherwise(
+                F.length(
+                    F.bin(
+                        F.expr("(2 * (n_tok + v_types)) div (coalesce(c2, 0) + 1)")
+                    )
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("bits"),
+            F.col("c12").isNull().cast("int").alias("is_backoff"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("bits_total"),
+        F.round(F.sum("bits").cast("double") / F.count("*"), 6).alias("mean_bits"),
+        F.sum("is_backoff").cast("bigint").alias("n_backoff"),
+    )

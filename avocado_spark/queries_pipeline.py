@@ -3960,3 +3960,59 @@ def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").alias("true_lang"),
         F.col("pred_label").alias("pred_lang"),
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+@query(
+    "bigram_backoff_lm",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    train AS (SELECT doc_id, t FROM toks WHERE doc_id % 5 != 0),
+    score AS (SELECT doc_id, t FROM toks WHERE doc_id % 5 = 0),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_uni
+      FROM (SELECT UNNEST(t) AS tok FROM train) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_tok,
+                   CAST(COUNT(*) AS BIGINT) AS v_types FROM uni),
+    bi AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        SELECT UNNEST([{{'w1': t[i], 'w2': t[i+1]}}
+                       for i in generate_series(1, len(t)-1)]) AS p
+        FROM train
+      ) GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, UNNEST([{{'w1': t[i], 'w2': t[i+1]}}
+                               for i in generate_series(1, len(t)-1)]) AS p
+        FROM score
+      )
+    ),
+    scored AS (
+      SELECT sp.doc_id,
+             CASE WHEN bi.c12 IS NOT NULL
+                  THEN length(bin(c1.c_uni // bi.c12)) - 1
+                  ELSE length(bin((2 * (tot.n_tok + tot.v_types))
+                                  // (COALESCE(c2.c_uni, 0) + 1))) - 1
+             END AS bits,
+             CASE WHEN bi.c12 IS NULL THEN 1 ELSE 0 END AS is_backoff
+      FROM sp
+      LEFT JOIN bi ON sp.w1 = bi.w1 AND sp.w2 = bi.w2
+      LEFT JOIN uni c1 ON sp.w1 = c1.tok
+      LEFT JOIN uni c2 ON sp.w2 = c2.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS bits_total,
+           ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS mean_bits,
+           CAST(SUM(is_backoff) AS BIGINT) AS n_backoff
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_backoff_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid-Backoff bigram LM scoring over the corpus (the
+    CCNet-style LM-perplexity quality signal; see
+    text.bigram_backoff_scores for the integer-exact bits formulation
+    and the Zipf-sized-model scale posture)."""
+    return TX.bigram_backoff_scores(load_table(spark, sf_dir, "documents"))

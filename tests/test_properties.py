@@ -331,3 +331,53 @@ def test_nb_train_predict_matches_hand_computation(spark):
         6,
     )
     assert abs(out[5][2] - want) <= 2e-6
+
+
+def test_bigram_backoff_matches_python_reference(spark):
+    """bigram_backoff_scores vs a literal Python Stupid-Backoff
+    replay (independent of both Spark expressions and the SQL
+    oracle), on a corpus crafted so both the seen-bigram and the
+    backoff path fire."""
+    from collections import Counter
+
+    from avocado_spark.operators.text import bigram_backoff_scores
+
+    rows = [
+        (1, "a b a b c"),        # train
+        (2, "b c b c"),          # train
+        (0, "a b zz c"),         # score: a-b seen; b-zz, zz-c backoff
+        (5, "c b a"),            # score: c-b seen, b-a unseen bigram
+        (10, "solo"),            # score: <2 tokens -> no output row
+        (3, "a a a"),            # train
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.bits_total, r.n_backoff)
+        for r in bigram_backoff_scores(docs).collect()
+    }
+
+    train = [t for i, t in rows if i % 5 != 0]
+    uni = Counter(w for t in train for w in t.split())
+    n_tok, v = sum(uni.values()), len(uni)
+    bi = Counter(
+        (ws[i], ws[i + 1])
+        for t in train
+        for ws in [t.split()]
+        for i in range(len(ws) - 1)
+    )
+    expect = {}
+    for i, t in rows:
+        if i % 5 != 0:
+            continue
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        bits = n_back = 0
+        for a, b in zip(ws, ws[1:]):
+            if bi[(a, b)]:
+                bits += (uni[a] // bi[(a, b)]).bit_length() - 1
+            else:
+                bits += ((2 * (n_tok + v)) // (uni.get(b, 0) + 1)).bit_length() - 1
+                n_back += 1
+        expect[i] = (len(ws) - 1, bits, n_back)
+    assert got == expect
