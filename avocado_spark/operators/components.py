@@ -477,3 +477,66 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .where(F.col("deg") >= k)
     )
+
+
+def label_propagation(
+    edges: DataFrame, n_rounds: int = 3, stats: dict | None = None
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., 2007): every node starts as its own label; each round every
+    node adopts the most frequent label among its NEIGHBORS, ties
+    broken by the smallest label — fully deterministic, so a SQL oracle
+    can unroll the same rounds. Fixed round budget for replayability
+    (the k_core stance: determinism over adaptivity; synchronous LPA
+    can 2-cycle on bipartite structures, and a fixed budget makes that
+    a defined answer instead of nontermination).
+
+    Returns (node, community) for every node in the edge set.
+
+    Scale shape: per round ONE equi-join (labels onto the symmetrized
+    edges, both sides keyed by node — exchange-free after round one on
+    a pre-partitioned cluster) + one hash agg per (node, label) + one
+    deterministic argmax agg (max of (cnt, -label) struct — no window
+    sort). Lineage truncated per round with the tracked-checkpoint /
+    release discipline shared by every iterative operator here; the
+    residual (final label table) is reported via ``stats`` for
+    release_result."""
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj_ids: set[int] = set()
+    adj = _tracked_checkpoint(und, adj_ids)
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_ids: set[int] = set()
+    for i in range(n_rounds):
+        _set_phase(adj, f"avocado:label_propagation:round {i + 1}")
+        votes = (
+            adj.join(labels, adj["u"] == labels["node"])
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(count desc, label asc) as ONE hash agg: max of the
+        # (cnt, -label) struct selects highest count, then lowest label
+        labels = (
+            votes.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"),
+                        (-F.col("label")).alias("neg"),
+                        F.col("label"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+        cur_ids: set[int] = set()
+        labels = _tracked_checkpoint(labels, cur_ids)
+        _release_rdds(labels, prev_ids)
+        prev_ids = cur_ids
+    _release_rdds(labels, adj_ids)  # rounds done — adjacency blocks free
+    if stats is not None:
+        stats["residual_rdd_ids"] = prev_ids
+    return labels.select("node", F.col("label").alias("community"))

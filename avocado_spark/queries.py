@@ -1663,6 +1663,60 @@ def _kcore_oracle(k: int, n_rounds: int) -> str:
     )
 
 
+def _lpa_oracle(n_rounds: int) -> str:
+    """Unrolled synchronous label-propagation oracle: per round, join
+    labels onto the symmetric edge set, count votes per (node, label),
+    argmax with (count desc, label asc) tie-break — exactly the
+    deterministic rule components.label_propagation applies."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT u, v FROM coedges UNION ALL SELECT v, u FROM coedges
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e0)"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.v AS node, l.label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.v ORDER BY COUNT(*) DESC, l.label ASC
+               ) AS rn
+        FROM e0 e JOIN l{i} l ON e.u = l.node
+        GROUP BY e.v, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        """
+    WITH coedges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(label AS BIGINT) AS community FROM l{n_rounds}
+    """
+    )
+
+
+@query("coorder_communities", _lpa_oracle(3))
+def coorder_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities on the co-order part graph by 3 rounds of
+    synchronous label propagation (Raghavan et al. 2007) — the
+    near-linear community detector the iterative graph family was
+    missing (components finds connectivity, LPA finds DENSITY
+    structure inside one giant component). Fixed round budget for
+    oracle replayability; see components.label_propagation for the
+    per-round join+agg shape and the checkpoint/release discipline."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.label_propagation(C.coorder_edges(li), n_rounds=3)
+
+
 @query("coorder_kcore", _kcore_oracle(k=80, n_rounds=6))
 def coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the co-order part graph via 6 synchronous peeling

@@ -178,3 +178,31 @@ def test_connected_components_residual_is_releasable(spark):
     assert leaked == stats["residual_rdd_ids"]
     release_result(spark, stats["residual_rdd_ids"])
     assert _live_rdd_ids(spark) - before == set()
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must settle each
+    clique on its minimum id, and the bridge must not merge them."""
+    from avocado_spark.operators.components import label_propagation, release_result
+
+    clique = lambda base: [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)]  # noqa: E731
+    edges = spark.createDataFrame(clique(0) + clique(10) + [(3, 10)], ["u", "v"])
+    stats: dict = {}
+    got = {r.node: r.community for r in label_propagation(edges, n_rounds=3, stats=stats).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
+    release_result(spark, stats["residual_rdd_ids"])
+
+
+def test_label_propagation_releases_blocks(spark):
+    from avocado_spark.operators.components import label_propagation, release_result
+
+    spark.catalog.clearCache()
+    before = _live_rdd_ids(spark)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["u", "v"])
+    stats: dict = {}
+    out = label_propagation(edges, n_rounds=2, stats=stats)
+    out.collect()
+    assert _live_rdd_ids(spark) - before == stats["residual_rdd_ids"]
+    release_result(spark, stats["residual_rdd_ids"])
+    assert _live_rdd_ids(spark) - before == set()
