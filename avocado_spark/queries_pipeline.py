@@ -4016,3 +4016,86 @@ def bigram_backoff_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.bigram_backoff_scores for the integer-exact bits formulation
     and the Zipf-sized-model scale posture)."""
     return TX.bigram_backoff_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_retrieval_metrics",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      [CAST(x AS DOUBLE) for x in embedding] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+             ROUND({_cos("q.v", "e.v")}, 9) AS cos
+      FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= 10),
+    qrels AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS doc_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ),
+    nrel AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+             FROM qrels GROUP BY q_id),
+    j AS (
+      SELECT t.q_id, t.rank,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM topk t LEFT JOIN qrels r
+        ON t.q_id = r.q_id AND t.doc_id = r.doc_id
+    ),
+    perq AS (
+      SELECT q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_retrieved_at_k,
+             CAST(SUM(rel) AS BIGINT) AS n_hits_at_k,
+             COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0) AS mrr_raw,
+             SUM(CASE WHEN rel = 1
+                      THEN 1.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+                      ELSE 0.0 END) AS dcg
+      FROM j GROUP BY q_id
+    )
+    SELECT n.q_id, n.n_relevant,
+           COALESCE(p.n_retrieved_at_k, 0) AS n_retrieved_at_k,
+           COALESCE(p.n_hits_at_k, 0) AS n_hits_at_k,
+           ROUND(CAST(COALESCE(p.n_hits_at_k, 0) AS DOUBLE) / 10, 6)
+             AS precision_at_k,
+           ROUND(CAST(COALESCE(p.n_hits_at_k, 0) AS DOUBLE)
+                 / LEAST(n.n_relevant, 10), 6) AS recall_at_k,
+           ROUND(COALESCE(p.mrr_raw, 0.0), 6) AS mrr,
+           ROUND(COALESCE(p.dcg, 0.0)
+                 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [1.0 / log2(CAST(i AS DOUBLE) + 1.0)
+                      for i in generate_series(1, LEAST(n.n_relevant, 10))]),
+                     (x, y) -> x + y), 6) AS ndcg_at_k
+    FROM nrel n LEFT JOIN perq p ON n.q_id = p.q_id
+    """,
+)
+def ann_retrieval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval metrics (MRR / nDCG@10 / P@10 / R@10) for the
+    exact-cosine ranking against a same-label relevance oracle — the
+    quality harness a retrieval stack regresses against per release
+    (see operators.ranking for the join+fold shape)."""
+    from avocado_spark.operators import ranking as RK
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).limit(20)
+    ranked = SIM.brute_force_topk(emb, q, k=10).select(
+        "q_id", F.col("n_id").alias("doc_id"), "rank"
+    )
+    labels = emb.select("vec_id", "label")
+    qrels = (
+        labels.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.col("label").alias("_ql"))
+        .join(
+            labels.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("_dl")),
+            F.col("_ql") == F.col("_dl"),
+        )
+        .where(F.col("q_id") != F.col("doc_id"))
+        .select("q_id", "doc_id")
+    )
+    return RK.retrieval_metrics(ranked, qrels, k=10)

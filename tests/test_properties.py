@@ -381,3 +381,30 @@ def test_bigram_backoff_matches_python_reference(spark):
                 n_back += 1
         expect[i] = (len(ws) - 1, bits, n_back)
     assert got == expect
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """retrieval_metrics vs hand-computed MRR/nDCG on a tiny fixture."""
+    import math
+
+    from avocado_spark.operators.ranking import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        ["q_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        # q1: docs 11, 12 relevant (ranks 2, 3); q2: doc 99 relevant,
+        # never retrieved; q3: relevant but q3 absent from ranking
+        [(1, 11), (1, 12), (2, 99), (3, 30)],
+        ["q_id", "doc_id"],
+    )
+    got = {r.q_id: r.asDict() for r in retrieval_metrics(ranked, qrels, k=2).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert (r1["n_relevant"], r1["n_hits_at_k"]) == (2, 1)
+    assert r1["mrr"] == 0.5
+    idcg = 1.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert r1["ndcg_at_k"] == round((1.0 / math.log2(3)) / idcg, 6)
+    assert got[2]["mrr"] == 0.0 and got[2]["ndcg_at_k"] == 0.0
+    assert got[3]["n_retrieved_at_k"] == 0 and got[3]["recall_at_k"] == 0.0
