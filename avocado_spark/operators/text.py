@@ -711,7 +711,40 @@ def chunk_sliding_windows(
     )
 
 
-def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+def _greedy_apply(cur: DataFrame, left: str, right: str, merged: str) -> DataFrame:
+    """One greedy left-to-right merge application over a positional
+    (doc_id, pos, sym, nxt) table, as run-parity windows: inside a run
+    of consecutive matches (possible only when left = right) merge at
+    even run offsets; a position is consumed iff its predecessor
+    applied. Shared by BPE training (one round per learned rule) and
+    by apply-time encoding (one round per frozen rule)."""
+    from pyspark.sql import Window
+
+    m = (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right))
+    j = cur.withColumn("m", F.coalesce(m, F.lit(False)))
+    wrun = Window.partitionBy("doc_id", "m").orderBy("pos")
+    j = j.withColumn("grp", F.col("pos") - F.row_number().over(wrun))
+    wgrp = Window.partitionBy("doc_id", "m", "grp")
+    j = j.withColumn(
+        "applied",
+        F.col("m") & (((F.col("pos") - F.min("pos").over(wgrp)) % 2) == 0),
+    )
+    wd2 = Window.partitionBy("doc_id").orderBy("pos")
+    j = j.withColumn(
+        "consumed", F.coalesce(F.lag("applied").over(wd2), F.lit(False))
+    )
+    return j.where(~F.col("consumed")).select(
+        "doc_id",
+        F.row_number().over(wd2).alias("pos"),
+        F.when(F.col("applied"), F.lit(merged))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+
+
+def bpe_phrase_merges(
+    docs: DataFrame, n_merges: int = 5, encoded_out: dict | None = None
+) -> DataFrame:
     """BPE-style phrase-merge TRAINING over token sequences: repeat
     ``n_merges`` times — count adjacent symbol pairs, take the most
     frequent (ties: count desc, left asc, right asc), rewrite every
@@ -767,36 +800,18 @@ def bpe_phrase_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
         left, right, n_pair = best[0]["sym"], best[0]["nxt"], int(best[0]["n"])
         merged = f"{left} {right}"
         rule_rows.append((it, left, right, merged, n_pair))
-        m = (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right))
-        j = cur.withColumn("m", F.coalesce(m, F.lit(False)))
-        # greedy left-to-right: inside a run of consecutive matches
-        # (possible only when left = right), merge at even run offsets
-        wrun = Window.partitionBy("doc_id", "m").orderBy("pos")
-        j = j.withColumn("grp", F.col("pos") - F.row_number().over(wrun))
-        wgrp = Window.partitionBy("doc_id", "m", "grp")
-        j = j.withColumn(
-            "applied",
-            F.col("m") & (((F.col("pos") - F.min("pos").over(wgrp)) % 2) == 0),
-        )
-        wd2 = Window.partitionBy("doc_id").orderBy("pos")
-        j = j.withColumn(
-            "consumed", F.coalesce(F.lag("applied").over(wd2), F.lit(False))
-        )
-        nxt_pos = (
-            j.where(~F.col("consumed"))
-            .select(
-                "doc_id",
-                F.row_number().over(wd2).alias("pos"),
-                F.when(F.col("applied"), F.lit(merged))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-        )
         cur_ids: set[int] = set()
-        pos = _tracked_checkpoint(nxt_pos, cur_ids)
+        pos = _tracked_checkpoint(_greedy_apply(cur, left, right, merged), cur_ids)
         _release_rdds(pos, prev_ids)  # superseded round — free its blocks
         prev_ids = cur_ids
-    _release_rdds(pos, prev_ids)  # rules are driver literals — free all
+    if encoded_out is not None:
+        # hand the final ENCODED positional table (and its pinned
+        # blocks) to the caller — bpe_encode_stats reads it instead of
+        # re-running every rewrite round
+        encoded_out["encoded"] = pos
+        encoded_out["residual_rdd_ids"] = prev_ids
+    else:
+        _release_rdds(pos, prev_ids)  # rules are driver literals — free all
     return docs.sparkSession.createDataFrame(
         rule_rows,
         "iteration int, left_sym string, right_sym string, "
@@ -1015,3 +1030,91 @@ def bigram_backoff_scores(
         F.round(F.sum("bits").cast("double") / F.count("*"), 6).alias("mean_bits"),
         F.sum("is_backoff").cast("bigint").alias("n_backoff"),
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply-time BPE encoding: rewrite every document with a FROZEN
+    ordered merge list (the production shape — rules trained offline
+    once, applied to the full corpus on every ingest). One greedy
+    rewrite round per rule in rule order, exactly the tokenizer-apply
+    semantics of the training loop; returns the encoded positional
+    table (doc_id, pos, sym).
+
+    Same iterative discipline as training: per-rule tracked
+    ``localCheckpoint`` with the superseded round's blocks released.
+    The final encoded table stays pinned for the caller (it IS the
+    result); release via components.release_result semantics if the
+    session is long-lived."""
+    from avocado_spark.operators.components import _release_rdds, _tracked_checkpoint
+    from pyspark.sql import Window
+
+    prev_ids: set[int] = set()
+    pos = _tracked_checkpoint(
+        docs.select(
+            F.col("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "sym"),
+        ),
+        prev_ids,
+    )
+    for left, right in merges:
+        wd = Window.partitionBy("doc_id").orderBy("pos")
+        cur = pos.withColumn("nxt", F.lead("sym").over(wd))
+        cur_ids: set[int] = set()
+        pos = _tracked_checkpoint(
+            _greedy_apply(cur, left, right, f"{left} {right}"), cur_ids
+        )
+        _release_rdds(pos, prev_ids)
+        prev_ids = cur_ids
+    return pos
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Train ``n_merges`` BPE phrase rules on the corpus, apply them,
+    and report per-document compression — the sizing artifact a
+    tokenizer change ships with (how many fewer symbols does the new
+    merge table buy, per doc):
+
+        (doc_id, n_tokens_before, n_tokens_after, compression)
+
+    Docs with zero tokens have nothing to encode and no output row.
+    Train and apply share one pass: the training loop's final
+    positional table IS the encoded corpus (handed back via
+    ``encoded_out``), so this costs exactly the training rounds plus
+    two tiny aggs — no re-encoding. The per-doc result is eagerly
+    materialized so the encoded table's blocks can be released before
+    returning (zero residual)."""
+    from avocado_spark.operators.components import _release_rdds, _tracked_checkpoint
+
+    enc: dict = {}
+    bpe_phrase_merges(docs, n_merges=n_merges, encoded_out=enc)
+    before = docs.select(
+        "doc_id", F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens_before")
+    ).where(F.col("n_tokens_before") > 0)
+    after = enc["encoded"].groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens_after")
+    )
+    out = before.join(after, "doc_id").select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.round(
+            F.col("n_tokens_after").cast("double") / F.col("n_tokens_before"), 6
+        ).alias("compression"),
+    )
+    result_ids: set[int] = set()
+    out = _tracked_checkpoint(out, result_ids)
+    _release_rdds(out, enc["residual_rdd_ids"])
+    if stats is not None:
+        # the (per-doc-sized) result table's blocks — free via
+        # components.release_result once consumed
+        stats["residual_rdd_ids"] = result_ids
+    return out

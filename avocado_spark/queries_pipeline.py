@@ -4099,3 +4099,36 @@ def ann_retrieval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "doc_id")
     )
     return RK.retrieval_metrics(ranked, qrels, k=10)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Per-doc compression replay: the training oracle's p{n} CTE IS
+    the encoded corpus — count symbols before (p0) and after (p{n})."""
+    # _bpe_oracle ends with the UNION ALL of rule rows; rebuild from
+    # its WITH-chain by swapping the final SELECT for the compression agg
+    base = _bpe_oracle(n_merges)
+    head, _sep, _tail = base.partition("\nSELECT CAST(1 AS INT)")
+    return (
+        head
+        + f"""
+    SELECT b.doc_id,
+           b.n_tokens_before,
+           a.n_tokens_after,
+           ROUND(CAST(a.n_tokens_after AS DOUBLE) / b.n_tokens_before, 6)
+             AS compression
+    FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_before
+          FROM p0 GROUP BY doc_id) b
+    JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_after
+          FROM p{n_merges} GROUP BY doc_id) a USING (doc_id)
+    """
+    )
+
+
+@query("bpe_encode_compression", _bpe_encode_oracle(5))
+def bpe_encode_compression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train→apply round trip: learn 5 BPE phrase rules, hold
+    the final encoded positional table from the training pass (no
+    re-encoding), and report per-document symbol compression — the
+    sizing artifact a tokenizer change ships with
+    (text.bpe_encode_stats)."""
+    return TX.bpe_encode_stats(load_table(spark, sf_dir, "documents"), n_merges=5)

@@ -408,3 +408,23 @@ def test_retrieval_metrics_hand_computed(spark):
     assert r1["ndcg_at_k"] == round((1.0 / math.log2(3)) / idcg, 6)
     assert got[2]["mrr"] == 0.0 and got[2]["ndcg_at_k"] == 0.0
     assert got[3]["n_retrieved_at_k"] == 0 and got[3]["recall_at_k"] == 0.0
+
+
+def test_bpe_apply_frozen_rules_matches_training_encoding(spark):
+    """bpe_apply with the trained rule list reproduces the training
+    loop's own final encoding (train→freeze→apply is lossless)."""
+    from avocado_spark.operators.text import bpe_apply, bpe_phrase_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c b c a b"), (3, "x"), (4, "")],
+        ["doc_id", "text"],
+    )
+    enc: dict = {}
+    rules = bpe_phrase_merges(docs, n_merges=3, encoded_out=enc)
+    merges = [(r["left_sym"], r["right_sym"]) for r in rules.orderBy("iteration").collect()]
+    trained = {(r.doc_id, r.pos): r.sym for r in enc["encoded"].collect()}
+    applied = {(r.doc_id, r.pos): r.sym for r in bpe_apply(docs, merges).collect()}
+    assert trained == applied
+    from avocado_spark.operators.components import release_result
+
+    release_result(spark, enc["residual_rdd_ids"])
