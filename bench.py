@@ -119,6 +119,14 @@ def main() -> None:
         # round 11: trained-classifier tier — MNB train + sparse score
         # + per-doc argmax (token-key shuffle join is the hot stage)
         "nb_lang_classifier",
+        # round 12 (r8): held-out bigram-LM scoring (two explodes +
+        # two Zipf-table joins + per-doc agg) and the retrieval-eval
+        # join+fold. coorder_communities (16 s, 3 LPA rounds) and
+        # bpe_encode_compression (10 s, 5 merge rounds) stay OUT for
+        # the same reason as coorder_pagerank/kcore: iterative loops
+        # whose per-round plan the correctness gate covers at sf0.01.
+        "bigram_backoff_lm",
+        "ann_retrieval_metrics",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;
