@@ -1118,3 +1118,70 @@ def bpe_encode_stats(
         # components.release_result once consumed
         stats["residual_rdd_ids"] = result_ids
     return out
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    epochs_x: int = 10,
+    alpha_scale: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planning for multi-source pretraining: α=0.5 temperature
+    sampling (Conneau & Lample, NeurIPS'19 XLM; mT5's α-smoothed
+    mixture) — target share of source i ∝ tokens_i^0.5, which
+    up-weights small sources relative to their natural share without
+    letting any source dominate. Given a token budget of ``epochs_x``
+    corpus-epochs, report per source how hard it must be over/under-
+    sampled:
+
+        (source, n_docs, n_tokens, natural_share_bp, target_share_bp,
+         epochs_milli)
+
+    All shares are integer-exact: the α-weight is fixed-pointed
+    per-row as floor(sqrt(tokens)·alpha_scale) — IEEE sqrt is
+    correctly rounded, so the floor is engine-portable — then every
+    share and the milli-epoch factor is integer cross-multiplication
+    (no float sums whose order could drift between engines).
+    epochs_milli > 1000·epochs_x means the source repeats more than the
+    budgeted epoch count (the small-source repetition risk this report
+    exists to surface).
+
+    Scale shape: one tokenize+agg to a source-sized table, one
+    broadcast of the 1-row totals — the plan is scan-bound, everything
+    after the first agg is negligible."""
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "w_u",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * alpha_scale).cast(
+                "long"
+            ),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.sum("w_u").cast("long").alias("tot_w"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("(10000 * n_tokens) div tot_tokens")
+            .cast("bigint")
+            .alias("natural_share_bp"),
+            F.expr("(10000 * w_u) div tot_w").cast("bigint").alias("target_share_bp"),
+            # budget = epochs_x · tot_tokens; this source receives
+            # budget · w_u / tot_w tokens over n_tokens of material
+            F.expr(
+                f"({epochs_x} * 1000 * tot_tokens * w_u) div (tot_w * n_tokens)"
+            )
+            .cast("bigint")
+            .alias("epochs_milli"),
+        )
+    )

@@ -4132,3 +4132,33 @@ def bpe_encode_compression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing artifact a tokenizer change ships with
     (text.bpe_encode_stats)."""
     return TX.bpe_encode_stats(load_table(spark, sf_dir, "documents"), n_merges=5)
+
+
+@query(
+    "token_budget_plan",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_u
+      FROM per_src
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(SUM(w_u) AS BIGINT) AS tot_w FROM w)
+    SELECT source, n_docs, n_tokens,
+           (10000 * n_tokens) // tot_tokens AS natural_share_bp,
+           (10000 * w_u) // tot_w AS target_share_bp,
+           (10 * 1000 * tot_tokens * w_u) // (tot_w * n_tokens) AS epochs_milli
+    FROM w CROSS JOIN tot
+    """,
+)
+def token_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-sampled mixture plan over the corpus sources
+    for a 10-epoch token budget (text.token_budget_plan): the
+    oversampling/repetition report a multi-source pretraining run is
+    configured from."""
+    return TX.token_budget_plan(load_table(spark, sf_dir, "documents"), epochs_x=10)
