@@ -797,3 +797,40 @@ def test_nb_classifier_no_dense_expansion(spark):
     plan = final_plan(plan_of(spark, "nb_lang_classifier"))
     assert "CartesianProduct" not in plan, plan
     assert_no_single_partition_sort(plan)
+
+
+def test_bigram_lm_no_window_partial_agg(spark):
+    """Bigram LM scoring: model tables come off hash aggs with map-side
+    partials; scoring is equi-joins + one per-doc agg — no window sort,
+    no cartesian anywhere."""
+    plan = final_plan(plan_of(spark, "bigram_backoff_lm"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_retrieval_metrics_single_agg_no_window(spark):
+    """retrieval_metrics is ONE equi-join + ONE per-query hash agg;
+    the rank-ordered folds are per-row terms, never a sort."""
+    from avocado_spark.operators.ranking import retrieval_metrics
+
+    ranked = spark.createDataFrame([(1, 10, 1), (1, 11, 2)], ["q_id", "doc_id", "rank"])
+    qrels = spark.createDataFrame([(1, 11)], ["q_id", "doc_id"])
+    df = retrieval_metrics(ranked, qrels, k=5)
+    df.collect()
+    plan = final_plan(df._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "SMJ"), plan
+
+
+def test_label_propagation_no_window(spark):
+    """LPA's deterministic argmax is max-of-struct in a hash agg — the
+    per-round plan carries no window sort."""
+    from avocado_spark.operators.components import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    df = label_propagation(edges, n_rounds=1)
+    df.collect()
+    plan = final_plan(df._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
