@@ -204,13 +204,29 @@ def main() -> None:
             # number was contention from the two new heavy neighbors
             # (ann_pq_adc_recall, dedup_threshold_sweep), code unchanged.
             "simhash_dup_pairs": "r6 2.10s was bench contention; isolated best 1.45s (~r5)",
-            # r6 stretch #8: `python bench.py --streaming-bench` at
-            # sf0.1 (100k events, 8 file micro-batches, availableNow):
+            # r8 (r7 verdict #8): two batch sizes + availableNow isolate
+            # fixed trigger overhead from per-row cost — the tier is
+            # overhead-bound, not per-row-bound (STREAMBENCH_r08):
             "streaming": (
-                "burst_alerts_stream 7242 rows/s (avg batch 1.68s), "
-                "attribution_join 4864 rows/s (avg batch 2.56s); "
-                "latency dominated by fixed micro-batch overhead at "
-                "12.5k rows/batch"
+                "at 12.5k rows/batch: burst_alerts 7.6k rows/s, "
+                "attribution 4.6k rows/s; at 100k rows/batch: 73.1k and "
+                "17.0k rows/s. Decomposed: fixed ~1.67s/trigger (burst) "
+                "/ ~2.27s (attribution), per-row cost ~0/ ~36us — "
+                "throughput scales with batch size, so cluster-side "
+                "batch sizing recovers it"
+            ),
+            # r8 (r7 verdict #5): dedup_threshold_sweep's r7 10x ratio
+            # 4.51 was first-touch misattribution — it was the first
+            # scale-check query to read the SCALED documents.parquet.
+            # Warmed (scaled tables now pre-touched): 3.4s -> 8.3s =
+            # 2.44x against a 160x candidate-pair blowup (4.4k -> 709k,
+            # verified pairs 1.4k -> 407k) that the replica-clique test
+            # construction creates by design; stage walls are
+            # shingle 4.1->4.3s, candidates 2.4->2.8s, verify 1.0->2.5s.
+            "dedup_threshold_sweep": (
+                "10x ratio 2.44 warmed (r7's 4.51 was scaled-dir "
+                "first-touch); candidates grow 160x by replica-clique "
+                "construction, wall grows 2.4x — caps working"
             ),
         },
     }
