@@ -2351,3 +2351,84 @@ def ab_test_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo_bp",
         "ci_hi_bp",
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    """
+    WITH ev AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_id FROM events
+    ),
+    feed AS (
+      SELECT * FROM ev WHERE NOT (day >= '2024-01-20' AND event_id % 2 = 0)
+    ),
+    d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events FROM feed GROUP BY day),
+    c AS (
+      SELECT day, n_events,
+             CAST(SUM(n_events) OVER (ORDER BY day) AS BIGINT) AS s_i,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(n_events) OVER () AS BIGINT) AS s_n,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM d
+    ),
+    dev AS (SELECT *, ABS(n * s_i - i * s_n) AS d_i FROM c),
+    best AS (
+      SELECT * FROM dev ORDER BY d_i DESC, day ASC LIMIT 1
+    )
+    SELECT day AS change_day, d_i AS d_max,
+           CAST(n AS BIGINT) AS n_days,
+           (1000 * s_i) // i AS pre_mean_milli,
+           CASE WHEN n > i THEN (1000 * (s_n - s_i)) // (n - i) END
+             AS post_mean_milli
+    FROM best
+    """,
+)
+def events_cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point location over the daily event volume — the
+    statistical-process-control primitive a pipeline monitor runs to
+    LOCATE a level shift (the MAD anomaly flags that a day is odd;
+    CUSUM says where the regime changed). Integer-exact: deviation
+    D_i = |n·S_i − i·S_n| (cross-multiplied, no float mean), argmax by
+    (D desc, day asc) as ONE min-of-struct agg — no driver logic, no
+    sort of the full table. A deterministic REGIME SHIFT is injected
+    (half volume on every day from 2024-01-20 on — the level-shift
+    analog of events_volume_anomaly_days' single-day drop) so the
+    located boundary is a true change, not noise.
+
+    Scale shape: one groupBy(day) agg shrinks the stream to a
+    days-sized table; the cumsum window runs over that tiny rollup
+    (never the raw events), and the argmax is a hash agg."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    feed = ev.where(
+        ~((F.col("day") >= "2024-01-20") & (F.col("event_id") % 2 == 0))
+    )
+    d = feed.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    c = (
+        d.withColumn("s_i", F.sum("n_events").over(W.orderBy("day")).cast("long"))
+        .withColumn("i", F.row_number().over(W.orderBy("day")).cast("long"))
+        .withColumn("s_n", F.sum("n_events").over(W.partitionBy()).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy()).cast("long"))
+    )
+    dev = c.withColumn("d_i", F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")))
+    best = dev.agg(
+        F.min(
+            F.struct((-F.col("d_i")).alias("neg"), "day", "d_i", "s_i", "i", "s_n", "n")
+        ).alias("m")
+    ).select("m.*")
+    return best.select(
+        F.col("day").alias("change_day"),
+        F.col("d_i").cast("bigint").alias("d_max"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr("(1000 * s_i) div i").cast("bigint").alias("pre_mean_milli"),
+        F.when(
+            F.col("n") > F.col("i"),
+            F.expr("(1000 * (s_n - s_i)) div (n - i)"),
+        )
+        .cast("bigint")
+        .alias("post_mean_milli"),
+    )
