@@ -413,7 +413,14 @@ def sf_scale_check() -> int:
     # (cheap — base-side cost) plus the first query at the scaled dir
     # (footer/view warm-up for that path; scaled-side fixed overheads
     # are noise relative to t10).
-    warm = [(n, sf_dir) for n, _ in queries] + [(queries[0][0], scaled_dir)]
+    # r8: warm EVERY query at BOTH dirs — t1 was already a warm rerun
+    # (the base warms execute the full query) while t10 was a first
+    # execution, so first-touch cost (shuffle-file setup, Arrow worker
+    # spin-up at the larger width, page-cache fill) read as
+    # superlinearity. Symmetric warming measures warm-vs-warm, the
+    # honest asymptotic growth ratio; it costs one extra pass of the
+    # scaled list (~2 min), fine for a once-per-round artifact.
+    warm = [(n, d) for n, _ in queries for d in (sf_dir, scaled_dir)]
     for warm_name, d in warm:
         try:
             t0 = time.perf_counter()
