@@ -2432,3 +2432,40 @@ def events_cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("post_mean_milli"),
     )
+
+
+@query(
+    "stream_cusum_alerts",
+    """
+    WITH d AS (
+      SELECT event_type, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) - 5500 AS d_i
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(d_i) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS s_i
+      FROM d
+    ),
+    c AS (
+      SELECT *, s_i - LEAST(0, MIN(s_i) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)) AS c_val
+      FROM s
+    ),
+    x AS (
+      SELECT *, LAG(c_val) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pc
+      FROM c
+    )
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(c_val AS BIGINT) AS c_val
+    FROM x WHERE c_val > 50000 AND COALESCE(pc <= 50000, TRUE)
+    """,
+)
+def stream_cusum_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shadow of the streaming CUSUM drift detector
+    (EV.cusum_alerts_stream — O(1) per-key state): one-sided CUSUM via
+    the Lindley closed form (C = S − min(0, running min S)), alerting
+    on upward threshold crossings; every window rides one
+    hashpartitioning(event_type) exchange."""
+    return EV.cusum_alerts_batch(load_table(spark, sf_dir, "events"))

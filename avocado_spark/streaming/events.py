@@ -28,7 +28,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from avocado_spark.functions.time_fns import normalize_timestamps, ts_us
 
@@ -621,6 +621,122 @@ def burst_alerts_stream(
     return prepped.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=BURST_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alerts (r8): the streaming counterpart of the batch
+# change-point monitor — one-sided CUSUM with a fixed target, alerting
+# on upward threshold CROSSINGS. The Lindley recursion
+# C_i = max(0, C_{i-1} + (x_i − target)) has the closed form
+# C_i = S_i − min(0, min_{j≤i} S_j), so the batch shadow is two windows
+# + a lag (fully SQL-replayable, no reset), and the stream carries O(1)
+# state per key: (s, min_s, prev_c).
+# ---------------------------------------------------------------------------
+
+CUSUM_TARGET_C = 5_500  # cents — the in-control per-event value mean
+CUSUM_H_C = 50_000  # cents — alert threshold on the CUSUM statistic
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("c_val", LongType()),
+    ]
+)
+
+
+def cusum_alerts_batch(
+    events: DataFrame,
+    target_c: int = CUSUM_TARGET_C,
+    h_c: int = CUSUM_H_C,
+) -> DataFrame:
+    """Batch shadow: per event_type ordered by (ts, event_id),
+    d = cents − target; S = running sum; C = S − min(0, running min S);
+    alert rows are the upward crossings (C > h, previous C ≤ h). All
+    windows share ONE hashpartitioning(event_type) exchange."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.round(F.col("value") * 100).cast("long") - target_c).alias("d_i"),
+    )
+    s = d.withColumn("s_i", F.sum("d_i").over(wrows))
+    c = s.withColumn(
+        "c_val", F.col("s_i") - F.least(F.lit(0), F.min("s_i").over(wrows))
+    )
+    x = c.withColumn("pc", F.lag("c_val").over(w))
+    return (
+        x.where((F.col("c_val") > h_c) & F.coalesce(F.col("pc") <= h_c, F.lit(True)))
+        .select(
+            "event_type",
+            "event_id",
+            ts_us("ts").alias("ts_us"),
+            F.col("c_val").cast("long"),
+        )
+    )
+
+
+def cusum_alerts_stream(
+    events: DataFrame,
+    target_c: int = CUSUM_TARGET_C,
+    h_c: int = CUSUM_H_C,
+) -> DataFrame:
+    """Streaming CUSUM drift detector: per-event_type state is THREE
+    longs — (s, min_s, prev_c) — independent of stream length, the
+    O(1)-state shape that survives any horizon (contrast the burst
+    detector's trailing-window list state). Rows are folded in
+    (ts_us, event_id) order inside each micro-batch; with a time-split
+    source the emitted crossings equal cusum_alerts_batch exactly
+    (tests/test_streaming.py)."""
+    import pandas as pd  # noqa: F401 — Arrow batch interface
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("min_s", LongType()),
+            StructField("prev_c", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        s, min_s, prev_c = state.get if state.exists else (0, 0, 0)
+        incoming = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                incoming.append((int(r["u"]), int(r["event_id"]), int(r["cents"])))
+        out = []
+        for u, eid, cents in sorted(incoming):
+            s += cents - target_c
+            if s < min_s:
+                min_s = s
+            c = s - min(0, min_s)
+            if c > h_c and prev_c <= h_c:
+                out.append((str(key[0]), eid, u, c))
+            prev_c = c
+        state.update((s, min_s, prev_c))
+        yield pd.DataFrame(out, columns=["event_type", "event_id", "ts_us", "c_val"])
+
+    prepped = events.select(
+        "event_type",
+        "event_id",
+        ts_us("ts").alias("u"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_SCHEMA,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

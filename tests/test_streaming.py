@@ -406,3 +406,38 @@ def test_running_total_tws_matches_batch_or_skips(spark, events_stream):
         for r in EV.running_total_batch(load_table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == want
+
+
+def test_streaming_cusum_multibatch_converges(spark, tmp_path):
+    """CUSUM drift detector across multiple micro-batches: per-type
+    (s, min_s, prev_c) state genuinely carries across batch boundaries
+    on a time-split source; emitted crossings must equal the batch
+    Lindley-closed-form shadow over the full input, and a crossing
+    whose run spans the batch boundary must still fire exactly once."""
+    import glob as g
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.parquet(src + "/p1")
+    ev.where(F.col("ts") > cut).coalesce(1).write.parquet(src + "/p2")
+    srcdir = str(tmp_path / "stream_in")
+    os.makedirs(srcdir)
+    for i, part in enumerate(["p1", "p2"]):
+        [f] = g.glob(f"{src}/{part}/part-*.parquet")
+        shutil.copy(f, f"{srcdir}/{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(srcdir)
+    )
+    out = _run_stream(spark, EV.cusum_alerts_stream(stream), "t_cusum", "append")
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in EV.cusum_alerts_batch(ev).collect())
+    assert got == want and len(want) > 0
