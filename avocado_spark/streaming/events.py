@@ -714,8 +714,12 @@ def cusum_alerts_stream(
         s, min_s, prev_c = state.get if state.exists else (0, 0, 0)
         incoming = []
         for pdf in pdfs:
-            for _, r in pdf.iterrows():
-                incoming.append((int(r["u"]), int(r["event_id"]), int(r["cents"])))
+            # itertuples: the fold is per-row Python either way, but
+            # tuple access is ~3x cheaper than iterrows' Series build
+            incoming.extend(
+                (int(u), int(eid), int(cents))
+                for u, eid, cents in zip(pdf["u"], pdf["event_id"], pdf["cents"])
+            )
         out = []
         for u, eid, cents in sorted(incoming):
             s += cents - target_c
