@@ -4162,3 +4162,108 @@ def token_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversampling/repetition report a multi-source pretraining run is
     configured from."""
     return TX.token_budget_plan(load_table(spark, sf_dir, "documents"), epochs_x=10)
+
+
+@query(
+    "dedup_pair_quality",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    samp AS (SELECT * FROM aug WHERE doc_id % 1000000 < 400),
+    sh AS (SELECT doc_id, {_shingles(_th(_TOKS), 3)} AS s FROM samp),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    truth AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             [list_min(list_transform(s, x -> ((2*(i-1)+3) * x + (5*(i-1)+7)) % 1000000007))
+              for i in generate_series(1, 16)] AS sg
+      FROM shn
+    ),
+    bands AS (
+      SELECT doc_id, s, b.b AS band, list_slice(sg, b.b*4 + 1, b.b*4 + 4) AS key
+      FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM bands
+      ) WHERE bsz <= 200
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    found AS (SELECT c.* FROM cand c JOIN truth t USING (a_id, b_id)),
+    n AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM shn) AS n_sample_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_lsh_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found_pairs
+    )
+    SELECT n_sample_docs, n_true_pairs, n_lsh_candidates, n_found_pairs,
+           (10000 * n_found_pairs) // n_true_pairs AS recall_bp,
+           (10000 * n_found_pairs) // n_lsh_candidates AS candidate_efficiency_bp
+    FROM n
+    """,
+)
+def dedup_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index quality evaluation — the MinHash analog of
+    ann_recall_eval, closing the 'measure, don't guess' loop for the
+    dedup tier: against EXACT all-pairs Jaccard ground truth on a
+    FIXED-SIZE sample (doc ids < 400 plus their injected near-copies —
+    constant work at any corpus scale, the recall_eval stance that you
+    never brute-force the full corpus), report the banded-LSH
+    candidate recall (what the 4×16 banding geometry misses below its
+    S-curve knee) and candidate efficiency (what fraction of generated
+    candidates are true dups — the verify-join's hit rate). Integer
+    basis points; verified pairs are exact-Jaccard-checked so found ⊆
+    truth by construction and recall is THE quality number."""
+    from avocado_spark.operators.dedup import (
+        _lsh_candidates,
+        shingle_hashes,
+    )
+
+    samp = _aug_docs(load_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % 1000000 < 400
+    )
+    sh = (
+        samp.select("doc_id", shingle_hashes(F.col("text")).alias("s"))
+        .where(F.size("s") > 0)
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    inter = F.size(F.array_intersect("a_s", "b_s"))
+    union = F.size("a_s") + F.size("b_s") - inter
+    # bounded all-pairs: the sample is ≤ ~480 docs BY CONSTRUCTION
+    # (fixed id range), so the broadcast cross join is constant work
+    truth = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(inter.cast("double") / union >= 0.5)
+        .select("a_id", "b_id")
+    )
+    cand = _lsh_candidates(sh.withColumnRenamed("s", "shingles"))
+    found = cand.join(truth, ["a_id", "b_id"], "left_semi")
+    counts = (
+        sh.agg(F.count("*").cast("long").alias("n_sample_docs"))
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true_pairs")))
+        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_lsh_candidates")))
+        .crossJoin(found.agg(F.count("*").cast("long").alias("n_found_pairs")))
+    )
+    return counts.select(
+        F.col("n_sample_docs").cast("bigint"),
+        F.col("n_true_pairs").cast("bigint"),
+        F.col("n_lsh_candidates").cast("bigint"),
+        F.col("n_found_pairs").cast("bigint"),
+        F.expr("(10000 * n_found_pairs) div n_true_pairs")
+        .cast("bigint")
+        .alias("recall_bp"),
+        F.expr("(10000 * n_found_pairs) div n_lsh_candidates")
+        .cast("bigint")
+        .alias("candidate_efficiency_bp"),
+    )
