@@ -127,6 +127,11 @@ def main() -> None:
         # whose per-round plan the correctness gate covers at sf0.01.
         "bigram_backoff_lm",
         "ann_retrieval_metrics",
+        # r8b: CUSUM batch shadow (stacked running windows on one
+        # event_type exchange) and the fixed-sample LSH-recall eval
+        # (bounded broadcast cross join + band self-join)
+        "stream_cusum_alerts",
+        "dedup_pair_quality",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;
