@@ -1185,3 +1185,98 @@ def token_budget_plan(
             .alias("epochs_milli"),
         )
     )
+
+
+def dup_span_coverage(
+    docs: DataFrame, text_col: str = "text", k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document EXACT-substring duplication audit (the signal
+    behind suffix-array substring dedup, "Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): slide a k-token
+    window over every document, keep the windows whose gram hash
+    occurs in >= ``min_docs`` DISTINCT documents, merge each doc's
+    surviving windows into maximal duplicated spans (gaps-and-islands
+    over window start positions), and report per-doc coverage.
+
+    Complements the existing dedup family: repetition_stats is
+    INTRA-doc, chunk_dedup is fixed-boundary exact chunks; this finds
+    cross-doc duplicated regions at ANY alignment, which is what
+    boilerplate/quotation contamination looks like in a web corpus.
+
+    Scale shape: gram emission is per-row HOF arithmetic riding the
+    scan (O(n_tokens * k) hashed-long folds, JVM codegen); the only
+    shuffles are one hash agg on the gram key (map-side partials) +
+    one shuffle join back on the same key, then a per-doc window.
+    Boilerplate hot grams skew the gram groups, but the agg is a
+    count-distinct over doc_id (bounded state per group) and the join
+    output is bounded by the original position count — no pair
+    explosion anywhere, unlike a naive self-join on gram.
+
+    Output: doc_id, n_tokens, n_dup_spans, dup_tokens, dup_fraction.
+    """
+    from pyspark.sql import Window
+
+    th = F.transform(tokens(F.col(text_col)), token_hash)
+    base = docs.select("doc_id", th.alias("h")).withColumn(
+        "n_tokens", F.size("h")
+    )
+    npos = F.col("n_tokens") - (k - 1)
+    pos_arr = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                pos_arr,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.aggregate(
+                        F.slice(F.col("h"), i, k),
+                        F.lit(0).cast("long"),
+                        lambda a, x: (a * 131 + x) % P,
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "brk",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    islands = marked.withColumn("isl", F.sum("brk").over(w))
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long"))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens"),
+                8,
+            ).alias("dup_fraction"),
+        )
+    )

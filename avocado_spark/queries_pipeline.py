@@ -4267,3 +4267,61 @@ def dedup_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("candidate_efficiency_bp"),
     )
+
+
+@query(
+    "dup_span_coverage",
+    f"""
+    WITH aug AS ({_AUG_DOCS}),
+    toks AS (SELECT doc_id, {_th(_TOKS)} AS h FROM aug),
+    pos AS (
+      SELECT doc_id, h, unnest(generate_series(1, len(h) - 7)) AS pos
+      FROM toks WHERE len(h) >= 8
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
+                         (a, x) -> (a * 131 + x) % 1000000007) AS gram
+      FROM pos
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM islands GROUP BY doc_id, isl
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_dup_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.h) AS INTEGER) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.h), 8)
+             AS dup_fraction
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN coverage per document (Lee et al. 2022
+    substring-dedup signal): 8-token sliding grams that occur in >= 2
+    distinct docs, merged into maximal spans. The augmented corpus's
+    dropped-last-token near-copies guarantee long true duplicated
+    regions for the detector to find."""
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    return TX.dup_span_coverage(docs, k=8, min_docs=2)
