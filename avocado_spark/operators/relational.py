@@ -1717,3 +1717,130 @@ def ols_two_features(
         F.when(safe, F.round(det1 / det, 6)).alias("b1"),
         F.when(safe, F.round(det2 / det, 6)).alias("b2"),
     )
+
+
+def target_encoding_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_cents_col: str,
+    fold_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Leakage-safe K-fold (out-of-fold) target encoding — the feature-
+    engineering primitive behind categorical → numeric model inputs:
+    for each (category, fold), the encoded value is computed from every
+    OTHER fold's rows only, so a row never sees its own target. The
+    smoothed estimate shrinks sparse categories toward the global mean:
+
+        enc(c, f) = (oof_sum + m·global_mean) / (oof_count + m)
+
+    ``target_cents_col`` must be an exact-integer target (e.g. cents):
+    the per-fold partials, their complements, and the global mean are
+    then order-independent, which keeps the result deterministic under
+    Spark's nondeterministic partial-aggregation order (floats enter
+    only at the final division).
+
+    Scale shape: ONE hash agg on (cat, fold) — map-side partials crush
+    the fact table to |cats|·K rows — then a window over cat (tiny) and
+    a broadcast 1-row global aggregate. Nothing shuffles the fact table
+    beyond the single agg; encoded output is broadcast-joinable back to
+    the facts at apply time.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(cat_col).alias("cat"),
+        F.col(fold_col).cast("int").alias("fold"),
+        F.col(target_cents_col).cast("long").alias("y_cents"),
+    )
+    pf = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y_cents").cast("long").alias("s"),
+    )
+    wc = Window.partitionBy("cat")
+    tot = pf.withColumn("tcnt", F.sum("cnt").over(wc)).withColumn(
+        "ts", F.sum("s").over(wc)
+    )
+    g = base.agg(
+        F.sum("y_cents").cast("long").alias("g_s"),
+        F.count(F.lit(1)).cast("long").alias("g_n"),
+    )
+    oof_cnt = F.col("tcnt") - F.col("cnt")
+    oof_sum = (F.col("ts") - F.col("s")).cast("double")
+    gmean = F.col("g_s").cast("double") / F.col("g_n")
+    return (
+        tot.crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            "fold",
+            F.col("cnt").alias("n_in_fold"),
+            oof_cnt.alias("oof_count"),
+            F.round(
+                F.when(oof_cnt > 0, oof_sum / oof_cnt / 100.0), 6
+            ).alias("oof_mean"),
+            F.round(
+                (oof_sum + smoothing * gmean)
+                / (oof_cnt + smoothing)
+                / 100.0,
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    y_col: str,
+    n_sample: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sampling PLAN: allocate a fixed sample
+    budget across strata proportional to N_h·S_h (stratum size times
+    stratum standard deviation) — the variance-minimizing allocation
+    for estimating the population mean, and the principled upgrade to
+    proportional stratified sampling when strata differ in spread.
+
+    ``y_col`` must be exact-integer valued: S_h is derived from exact
+    integer SUM/SUM-of-squares partials (σ² = (Σy² − (Σy)²/n)/(n−1)),
+    so the plan is deterministic under any aggregation order. The
+    per-stratum weight is quantized to integer micro-units before the
+    grand total so the allocation arithmetic is exact integer division
+    end-to-end (no float-sum order sensitivity across strata).
+
+    Scale shape: one hash agg on the strata key with map-side partials
+    (three integer sums), then a broadcast 1-row total. The output is
+    |strata| rows — the plan feeds hash_sample_per_group / stratified
+    sampling as per-stratum caps.
+    """
+    base = df.select(*strata_cols, F.col(y_col).cast("long").alias("y"))
+    per = base.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    var = F.when(
+        F.col("n_h") > 1,
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n_h")
+        )
+        / (F.col("n_h") - 1),
+    ).otherwise(F.lit(0.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    wq = F.round(F.col("n_h") * sd * 1e6).cast("long")
+    scored = per.withColumn("stddev_y", F.round(sd, 6)).withColumn("wq", wq)
+    tot = scored.agg(F.sum("wq").cast("long").alias("tot_wq"))
+    alloc = F.expr(f"({n_sample} * wq) div tot_wq").cast("long")
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            *strata_cols,
+            F.col("n_h").alias("stratum_n"),
+            "stddev_y",
+            F.col("wq").alias("weight_micro"),
+            alloc.alias("alloc_n"),
+            F.round(alloc.cast("double") / F.col("n_h"), 8).alias(
+                "sampling_rate"
+            ),
+        )
+    )

@@ -2256,3 +2256,91 @@ def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(s.select(F.col("s_suppkey"), F.col("s_name").alias("supplier_name"))),
         F.col("best_suppkey") == F.col("s_suppkey"),
     ).select("partkey", "best_suppkey", "best_price_c", "supplier_name")
+
+
+@query(
+    "target_encoding_oof",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             CAST(o_orderkey % 5 AS INTEGER) AS fold,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y_cents
+      FROM orders
+    ),
+    pf AS (
+      SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y_cents) AS BIGINT) AS s
+      FROM base GROUP BY cat, fold
+    ),
+    tot AS (
+      SELECT cat, fold, cnt, s,
+             SUM(cnt) OVER (PARTITION BY cat) AS tcnt,
+             SUM(s) OVER (PARTITION BY cat) AS ts
+      FROM pf
+    ),
+    g AS (SELECT CAST(SUM(y_cents) AS DOUBLE) / COUNT(*) AS gmean FROM base)
+    SELECT cat, fold,
+           cnt AS n_in_fold,
+           CAST(tcnt - cnt AS BIGINT) AS oof_count,
+           ROUND(CASE WHEN tcnt - cnt > 0
+                      THEN CAST(ts - s AS DOUBLE) / (tcnt - cnt) / 100.0 END, 6)
+             AS oof_mean,
+           ROUND((CAST(ts - s AS DOUBLE) + 20.0 * gmean)
+                 / ((tcnt - cnt) + 20.0) / 100.0, 6) AS encoded
+    FROM tot CROSS JOIN g
+    """,
+)
+def target_encoding_oof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of order priority against order
+    value (integer-cent target, 5 hash folds on the order key):
+    leakage-safe per-(category, fold) encodings with m=20 shrinkage
+    toward the global mean."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    return R.target_encoding_oof(base, "cat", "y_cents", "fold", smoothing=20.0)
+
+
+@query(
+    "neyman_allocation",
+    """
+    WITH per AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS s2
+      FROM documents GROUP BY source, lang
+    ),
+    sdv AS (
+      SELECT source, lang, n_h, s1, s2,
+             SQRT(GREATEST(CASE WHEN n_h > 1
+                  THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)
+                  ELSE 0.0 END, 0.0)) AS sd
+      FROM per
+    ),
+    wts AS (
+      SELECT source, lang, n_h, ROUND(sd, 6) AS stddev_y,
+             CAST(ROUND(n_h * sd * 1000000) AS BIGINT) AS wq
+      FROM sdv
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot_wq FROM wts)
+    SELECT source, lang,
+           n_h AS stratum_n, stddev_y,
+           wq AS weight_micro,
+           CAST((1000 * wq) // tot_wq AS BIGINT) AS alloc_n,
+           ROUND(CAST((1000 * wq) // tot_wq AS DOUBLE) / n_h, 8) AS sampling_rate
+    FROM wts CROSS JOIN tot
+    """,
+)
+def neyman_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan over (source, lang)
+    strata of the document corpus, budget 1000, spread = doc length in
+    chars. Exact-integer variance partials keep the plan deterministic
+    under any aggregation order."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return R.neyman_allocation(docs, ["source", "lang"], "n_chars", n_sample=1000)

@@ -4325,3 +4325,75 @@ def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions for the detector to find."""
     docs = _aug_docs(load_table(spark, sf_dir, "documents"))
     return TX.dup_span_coverage(docs, k=8, min_docs=2)
+
+
+@query(
+    "dup_weighted_tokens",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM cc GROUP BY cluster_id),
+    toks AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS nt FROM aug),
+    weighted AS (
+      SELECT t.doc_id, t.source, t.nt,
+             COALESCE(z.cluster_size, 1) AS cs
+      FROM toks t
+      LEFT JOIN cc ON t.doc_id = cc.doc_id
+      LEFT JOIN csz z ON cc.cluster_id = z.cluster_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+           ROUND(CAST(SUM((1000000 * nt) // cs) AS DOUBLE) / 1000000.0, 6)
+             AS effective_tokens,
+           ROUND(CAST(SUM(1000000 // cs) AS DOUBLE) / 1000000.0, 6)
+             AS effective_docs
+    FROM weighted GROUP BY source
+    """,
+)
+def dup_weighted_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware corpus accounting (the SOFT-dedup alternative to
+    canonical-keep: keep every copy but weight each doc 1/cluster_size,
+    so a cluster contributes one doc's worth of training mass): per
+    source, raw vs effective docs/tokens. Weights are quantized to
+    integer micro-units BEFORE the per-source sum, so the result is
+    deterministic under Spark's unordered aggregation (floats never
+    accumulate). Scale shape: rides the existing LSH→CC chain, then one
+    cluster_size agg, two doc-key joins, one source agg — all on keys
+    the dedup family already shuffles on."""
+    from avocado_spark.operators.components import dedup_clusters
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    csz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    weighted = (
+        toks.join(cc, "doc_id", "left")
+        .join(csz, "cluster_id", "left")
+        .withColumn("cs", F.coalesce("cluster_size", F.lit(1).cast("long")))
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("raw_tokens"),
+        F.round(
+            F.sum(F.expr("(1000000 * nt) div cs")).cast("double") / 1000000.0, 6
+        ).alias("effective_tokens"),
+        F.round(
+            F.sum(F.expr("1000000 div cs")).cast("double") / 1000000.0, 6
+        ).alias("effective_docs"),
+    )

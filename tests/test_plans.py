@@ -834,3 +834,38 @@ def test_label_propagation_no_window(spark):
     df.collect()
     plan = final_plan(df._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan, plan
+
+
+def test_target_encoding_single_fact_shuffle(spark):
+    """The fact table is crushed by ONE (cat, fold) hash agg with
+    map-side partials; the global mean rides a broadcast 1-row
+    aggregate — no fact-side join, no cartesian blowup."""
+    plan = final_plan(plan_of(spark, "target_encoding_oof"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_neyman_plan_is_one_agg_plus_broadcast(spark):
+    """One strata-key hash agg (integer partials) + a broadcast 1-row
+    total; the documents scan must read only the three needed columns."""
+    plan = final_plan(plan_of(spark, "neyman_allocation"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    analyzed = analyzed_of(spark, "neyman_allocation")
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", analyzed)
+    assert m, analyzed
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "lang", "n_chars"}, cols
+
+
+def test_dup_span_no_pair_explosion(spark):
+    """The dup-gram restriction is an agg + equi-join on the gram key —
+    never a gram-keyed SELF-join of positions (which explodes on
+    boilerplate): exactly one join in the gram chain plus the final
+    doc_id stitch, and no nested-loop anywhere."""
+    plan = plan_of(spark, "dup_span_coverage")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
