@@ -141,6 +141,14 @@ def main() -> None:
         # ~2.5 min re-measuring a loop whose per-round plan is already
         # covered by dedup_clusters; the correctness gate still runs it
         # at sf0.01 every round.
+        # r8c: exact duplicated-span coverage (gram-key agg + equi-join
+        # + per-doc islands window — the substring-dedup workload) and
+        # the two single-agg feature-engineering plans. dup_weighted_
+        # tokens stays OUT: its Spark side rides the same LSH→CC chain
+        # dedup_clusters/dedup_canonical_keep already time.
+        "dup_span_coverage",
+        "target_encoding_oof",
+        "neyman_allocation",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
