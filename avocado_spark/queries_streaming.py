@@ -2469,3 +2469,171 @@ def stream_cusum_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     on upward threshold crossings; every window rides one
     hashpartitioning(event_type) exchange."""
     return EV.cusum_alerts_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "purged_timeseries_folds",
+    """
+    WITH days AS (
+      SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS day_cnt
+      FROM events GROUP BY day
+    ),
+    ranked AS (
+      SELECT day, day_cnt,
+             ROW_NUMBER() OVER (ORDER BY day) AS r,
+             COUNT(*) OVER () AS d
+      FROM days
+    ),
+    folds AS (SELECT *, CAST(((r - 1) * 5) // d AS INTEGER) AS fold FROM ranked),
+    bounds AS (
+      SELECT fold, MIN(day) AS test_start, MAX(day) AS test_end
+      FROM folds GROUP BY fold
+    ),
+    classified AS (
+      SELECT b.fold, b.test_start, b.test_end, f.day, f.day_cnt,
+             CASE
+               WHEN f.day BETWEEN b.test_start AND b.test_end THEN 'test'
+               WHEN CAST(f.day AS DATE) >= CAST(b.test_start AS DATE) - INTERVAL 1 DAY
+                AND CAST(f.day AS DATE) <= CAST(b.test_end AS DATE) + INTERVAL 1 DAY
+                 THEN 'embargo'
+               ELSE 'train'
+             END AS role
+      FROM bounds b CROSS JOIN folds f
+    )
+    SELECT fold, test_start, test_end,
+           CAST(SUM(CASE WHEN role = 'test' THEN day_cnt ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN role = 'embargo' THEN day_cnt ELSE 0 END) AS BIGINT) AS n_embargo,
+           CAST(SUM(CASE WHEN role = 'train' THEN day_cnt ELSE 0 END) AS BIGINT) AS n_train
+    FROM classified GROUP BY fold, test_start, test_end
+    """,
+)
+def purged_timeseries_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold temporal cross-validation plan with a 1-day
+    embargo (the leakage-safe splitter for time-series models: each
+    fold's test window is contiguous in time, and events within the
+    embargo margin of the test window join NEITHER side): 5 folds
+    assigned by exact integer division over the ranked day index.
+
+    Scale shape: the fact table is crushed to a per-day rollup by ONE
+    hash agg (map-side partials); everything after — the rank window,
+    fold bounds, the 5×D day-classification cross join — runs on the
+    tiny day dimension (D rows), so the single-partition rank window
+    is over a pre-aggregated dimension, never the facts."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("day_cnt")
+    )
+    wr = W.orderBy("day")
+    ranked = days.select(
+        "day",
+        "day_cnt",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("d"),
+    )
+    folds = ranked.withColumn(
+        "fold", F.expr("((r - 1) * 5) div d").cast("int")
+    )
+    bounds = folds.groupBy("fold").agg(
+        F.min("day").alias("test_start"), F.max("day").alias("test_end")
+    )
+    c = bounds.crossJoin(
+        folds.select(F.col("day").alias("dday"), "day_cnt")
+    ).withColumn(
+        "role",
+        F.when(
+            F.col("dday").between(F.col("test_start"), F.col("test_end")),
+            F.lit("test"),
+        )
+        .when(
+            (F.to_date("dday") >= F.date_sub(F.to_date("test_start"), 1))
+            & (F.to_date("dday") <= F.date_add(F.to_date("test_end"), 1)),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("train")),
+    )
+    return c.groupBy("fold", "test_start", "test_end").agg(
+        F.sum(F.when(F.col("role") == "test", F.col("day_cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(F.col("role") == "embargo", F.col("day_cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_embargo"),
+        F.sum(F.when(F.col("role") == "train", F.col("day_cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+    )
+
+
+@query(
+    "decayed_heavy_hitters",
+    """
+    WITH t AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS t_max FROM events),
+    w AS (
+      SELECT event_type,
+             t_max - CAST(FLOOR(epoch(ts)) AS BIGINT) AS age_s
+      FROM events CROSS JOIN t
+    ),
+    decayed AS (
+      SELECT event_type,
+             CASE WHEN age_s // 604800 >= 40 THEN 0
+                  ELSE (1000000 * (1209600 - age_s % 604800))
+                       // (1209600 * (1 << CAST(age_s // 604800 AS INTEGER)))
+             END AS w_micro
+      FROM w
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(w_micro) AS BIGINT) AS dw_micro
+      FROM decayed GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           ROUND(CAST(dw_micro AS DOUBLE) / 1000000.0, 6) AS decayed_weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY dw_micro DESC, event_type) AS INTEGER) AS rank
+    FROM agg
+    """,
+)
+def decayed_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed heavy hitters ("trending now"): per-event-type mass
+    under a 7-day half-life decay anchored at the corpus max timestamp.
+    The decay is piecewise-LINEAR within each half-life period —
+    w = (2H − (age mod H)) / 2H · 2^−⌊age/H⌋ in integer micro-units —
+    so every weight is exact integer arithmetic (no transcendental
+    whose last-ulp rounding differs across engines) and the per-type
+    sums are order-independent. Ages beyond 40 half-lives floor to 0
+    before the shift could overflow.
+
+    Scale shape: the anchor is a broadcast 1-row max; weights are
+    map-side row arithmetic; ONE event_type hash agg with integer
+    partials; the rank window runs over the tiny type dimension."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(F.unix_timestamp(F.max("ts")).cast("long").alias("t_max"))
+    w = ev.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        (F.col("t_max") - F.unix_timestamp("ts").cast("long")).alias("age_s"),
+    )
+    h = 604800  # 7-day half-life in seconds
+    w_micro = F.when(F.expr(f"age_s div {h}") >= 40, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            f"(1000000 * ({2 * h} - age_s % {h})) div "
+            f"({2 * h} * shiftleft(1L, CAST(age_s div {h} AS INT)))"
+        )
+    )
+    agg = w.select("event_type", w_micro.alias("w_micro")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("w_micro").cast("long").alias("dw_micro"),
+    )
+    wr = W.orderBy(F.desc("dw_micro"), F.asc("event_type"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("dw_micro").cast("double") / 1e6, 6).alias("decayed_weight"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

@@ -114,3 +114,61 @@ def test_neyman_singleton_stratum_gets_zero_weight(spark):
     }
     assert out["a"]["weight_micro"] == 0 and out["a"]["alloc_n"] == 0
     assert out["b"]["alloc_n"] == 10
+
+
+def test_decayed_heavy_hitters_piecewise_linear_decay(spark, tmp_path):
+    # Anchor at the max ts; ages 0, H, 1.5H must weight 1.0, 0.5, 0.375
+    # (piecewise-linear within each half-life, halved across periods).
+    import datetime as dt
+
+    h = 604800
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, t0, 1, "now", 1.0, ""),
+        (2, t0 - dt.timedelta(seconds=h), 1, "one_hl", 1.0, ""),
+        (3, t0 - dt.timedelta(seconds=int(1.5 * h)), 1, "mid", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    from avocado_spark.queries import get_queries
+
+    out = {
+        r["event_type"]: r
+        for r in get_queries()["decayed_heavy_hitters"](spark, str(tmp_path)).collect()
+    }
+    assert out["now"]["decayed_weight"] == 1.0
+    assert out["one_hl"]["decayed_weight"] == 0.5
+    assert out["mid"]["decayed_weight"] == 0.375
+    assert out["now"]["rank"] == 1
+
+
+def test_purged_folds_embargo_separates_train_from_test(spark, tmp_path):
+    # 10 consecutive days, 1 event each, K=5 -> each fold tests 2 days;
+    # the 1-day embargo on each side removes up to 2 more days from
+    # train; totals must account for every event exactly once per fold.
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "e", 1.0, "") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from avocado_spark.queries import get_queries
+
+    out = get_queries()["purged_timeseries_folds"](spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_test"] == 2
+        assert r["n_test"] + r["n_embargo"] + r["n_train"] == 10
+    # middle folds lose exactly 2 days to embargo; edge folds lose 1
+    by_fold = {r["fold"]: r for r in out}
+    assert by_fold[0]["n_embargo"] == 1 and by_fold[4]["n_embargo"] == 1
+    assert by_fold[2]["n_embargo"] == 2
