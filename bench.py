@@ -302,6 +302,11 @@ _SCALE_QUERIES = [
     ("interval_join_binned", 15.0),
     ("interval_join_group_right", 15.0),
     ("realign_reads", 15.0),
+    # round 8c: duplicated-span coverage — the gram-key agg + join is
+    # the risk class (replica near-dup construction multiplies the
+    # shared-gram groups the same way it multiplies LSH pairs, so the
+    # allowance follows the dedup family's)
+    ("dup_span_coverage", 15.0),
 ]
 
 
