@@ -1844,3 +1844,76 @@ def neyman_allocation(
             ),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_a: Column,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    where ``is_a`` holds (sample A) and the rest (sample B), over the
+    integer column ``value_col`` — the binning-free companion to the
+    PSI monitor (events_value_psi): D is the exact sup-distance
+    between the two ECDFs, plus WHERE it occurs.
+
+    Returns ONE row: (n_a, n_b bigint; d_num DECIMAL(38,0) — the
+    integer numerator max|n_b·cumA(v) − n_a·cumB(v)|; ks_bp bigint —
+    ⌊10000·D⌋; d_at_value bigint — the smallest value attaining the
+    max, so drift reports point at a concrete threshold).
+
+    Scale shape: one hash agg to DISTINCT values (bounded by the value
+    domain, not the row count), running ECDF counts via
+    :func:`global_rank`'s frozen-boundary cumsum (no
+    Exchange SinglePartition anywhere), 1-row totals broadcast back,
+    and a final max-of-struct agg for the argmax. All arithmetic is
+    exact: the cross-multiplied products live in DECIMAL(38,0), which
+    holds n ≈ 1e18 per side — far past 100 TB row counts.
+    """
+    v = F.col(value_col)
+    g = df.groupBy(v.alias("_ks_v")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("_ks_ca"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("_ks_cb"),
+    )
+    r = global_rank(
+        g,
+        [F.col("_ks_v")],
+        rank_col="_ks_rk",
+        cumsum_cols={"_ks_cuma": "_ks_ca", "_ks_cumb": "_ks_cb"},
+        buckets=buckets,
+    )
+    totals = g.agg(
+        F.sum("_ks_ca").cast("bigint").alias("n_a"),
+        F.sum("_ks_cb").cast("bigint").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    d = F.abs(
+        F.col("n_b").cast(dec) * F.col("_ks_cuma").cast(dec)
+        - F.col("n_a").cast(dec) * F.col("_ks_cumb").cast(dec)
+    )
+    scored = r.crossJoin(F.broadcast(totals)).select(
+        "n_a", "n_b", d.alias("_ks_d"), F.col("_ks_v")
+    )
+    # argmax with smallest-value tiebreak, as one max-of-struct agg
+    best = scored.groupBy("n_a", "n_b").agg(
+        F.max("_ks_d").alias("d_num"),
+        F.max(
+            F.struct(F.col("_ks_d").alias("d"), (-F.col("_ks_v")).alias("nv"))
+        ).alias("_ks_best"),
+    )
+    # exact ⌊10000·d/(n_a·n_b)⌋: Spark decimal division rounds HALF_UP
+    # at result scale before floor, so a quotient within 5e-7 below an
+    # integer would round across it — the q·prod > num check repairs
+    # that (DuckDB replays the division in HUGEINT, which truncates).
+    ten_d = F.lit(10000).cast(dec) * F.col("d_num").cast(dec)
+    prod = F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    q0 = F.floor(ten_d / prod).cast(dec)
+    ks_bp = (q0 - F.when(q0 * prod > ten_d, 1).otherwise(0)).cast("bigint")
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("d_num").cast(dec).alias("d_num"),
+        ks_bp.alias("ks_bp"),
+        (-F.col("_ks_best.nv")).cast("bigint").alias("d_at_value"),
+    )

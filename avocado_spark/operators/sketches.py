@@ -371,3 +371,57 @@ def kmv_pairwise_overlap(
         .cast("bigint")
         .alias("est_overlap"),
     )
+
+
+def log2_hist_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Mergeable log2-histogram quantile sketch (the HDR-histogram /
+    DDSketch idea with power-of-two buckets, γ = 2): positive integer
+    values collapse into their BIT-LENGTH bin — computed as
+    ``length(bin(v))``, an exact integer in both engines, never a
+    floating log whose last-ulp rounding could differ — so per-group
+    state is ≤ 64 exact counters: associatively mergeable across
+    partitions, days, or streams, with quantile estimates carrying a
+    bounded 2× relative error (the bin upper edge 2^b−1 is reported).
+
+    This is the deterministic, oracle-checkable member of the sketch
+    family (Bloom/CMS/HLL/KMV live above); Spark's built-in
+    ``percentile_approx`` covers the generic approximate path but is
+    not engine-portable bit-for-bit (tests/test_approx_quantiles.py
+    bounds it instead).
+
+    Output: group_cols + (n, est_p{q}_c per requested integer
+    percentile). ONE hash agg over the data; the cumulative pass runs
+    on ≤ 64 rows per group. Requires ``value_col`` >= 1.
+    """
+    from pyspark.sql import Window as W  # noqa: N814
+
+    b = df.groupBy(
+        *group_cols,
+        F.expr(f"CAST(length(bin({value_col})) AS INT)").alias("_lh_bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_lh_c"))
+    wcum = (
+        W.partitionBy(*group_cols)
+        .orderBy("_lh_bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy(*group_cols)
+    cum = b.select(
+        *group_cols,
+        "_lh_bin",
+        F.sum("_lh_c").over(wcum).alias("_lh_cum"),
+        F.sum("_lh_c").over(wn).alias("_lh_n"),
+    )
+    ub = F.expr("shiftleft(CAST(1 AS BIGINT), _lh_bin) - 1")
+    aggs = [F.max("_lh_n").cast("bigint").alias("n")]
+    for q in quantiles:
+        aggs.append(
+            F.min(F.when(100 * F.col("_lh_cum") >= q * F.col("_lh_n"), ub))
+            .cast("bigint")
+            .alias(f"est_p{q}_c")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -2344,3 +2344,365 @@ def neyman_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
     return R.neyman_allocation(docs, ["source", "lang"], "n_chars", n_sample=1000)
+
+
+@query(
+    "local_supply_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 AND s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — "local supplier volume": revenue where the
+    customer and the supplier sit in the SAME nation, grouped by that
+    nation. The interesting scale property is that the
+    customer-nation = supplier-nation predicate rides the two
+    broadcast dim chains and collapses to a filter on the fact row —
+    no extra shuffle beyond the orders equi-join; supplier, customer,
+    nation are all broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        R.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue_c"
+        ),
+    )
+
+
+@query(
+    "nation_trade_matrix",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS volume_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-border trade volume: revenue between
+    every (supplier nation, customer nation) pair per ship year,
+    domestic flows excluded. TWO independent broadcast dim chains hang
+    off one fact scan (supplier→nation and orders→customer→nation), so
+    the only fact-table shuffle is the orders equi-join followed by
+    the final rollup; the nation dim joins twice under different
+    aliases — the self-alias pattern Catalyst must disambiguate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        R.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "volume_c"
+        )
+    )
+
+
+@query(
+    "regional_market_share",
+    """
+    WITH flows AS (
+      SELECT ns.n_name AS supp_nation,
+             CAST(year(l.l_shipdate) AS INT) AS ship_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS v_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    agg AS (
+      SELECT supp_nation, ship_year,
+             CAST(SUM(v_c) AS BIGINT) AS nation_rev_c
+      FROM flows GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT ship_year, CAST(SUM(nation_rev_c) AS BIGINT) AS year_rev_c
+      FROM agg GROUP BY 1
+    )
+    SELECT a.supp_nation, a.ship_year, a.nation_rev_c, t.year_rev_c,
+           CAST((10000 * a.nation_rev_c) // t.year_rev_c AS BIGINT) AS share_bp
+    FROM agg a JOIN tot t ON a.ship_year = t.ship_year
+    """,
+)
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: of everything sold INTO the ASIA
+    region, each supplier nation's revenue share per year in exact
+    basis points. The share denominator re-aggregates the (already
+    tiny) nation×year rollup and joins back broadcast — the fact table
+    is scanned and shuffled exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = reg.where(F.col("r_name") == "ASIA").select("r_regionkey")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(asia), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    )
+    agg = j.groupBy(
+        "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        R.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "nation_rev_c"
+        )
+    )
+    tot = agg.groupBy("ship_year").agg(
+        F.sum("nation_rev_c").cast("bigint").alias("year_rev_c")
+    )
+    return agg.join(F.broadcast(tot), "ship_year").select(
+        "supp_nation",
+        "ship_year",
+        "nation_rev_c",
+        "year_rev_c",
+        F.expr("CAST((10000 * nation_rev_c) div year_rev_c AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
+
+
+@query(
+    "customer_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k,
+           CAST(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS BIGINT)
+             AS records_at_risk,
+           CAST(SUM(class_size) AS BIGINT) AS n_records
+    FROM classes
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: k-anonymity census over the quasi-identifier pair
+    (nation, market segment) at k=10 — how many equivalence classes
+    fall below k and how many records they expose. The release-gate
+    check every PII-bearing training corpus needs before publication.
+    Two stacked hash aggs, the second over the tiny class table; at
+    100 TB the class count is bounded by the QI domain, not rows."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    k = 10
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_below_k"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("records_at_risk"),
+        F.sum("class_size").cast("bigint").alias("n_records"),
+    )
+
+
+# Benford first-digit expectations, ⌊10000·log10(1+1/d)⌋ basis points —
+# frozen literals so neither engine evaluates a transcendental.
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+@query(
+    "orders_benford_digits",
+    f"""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                            1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    agg AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM agg),
+    exp_bp(digit, benford_bp) AS (
+      VALUES {", ".join(f"({d}, {bp})" for d, bp in _BENFORD_BP.items())}
+    )
+    SELECT e.digit, COALESCE(a.n_d, 0) AS n_d,
+           CAST((10000 * COALESCE(a.n_d, 0)) // t.n AS BIGINT) AS share_bp,
+           CAST(e.benford_bp AS BIGINT) AS benford_bp,
+           CAST((10000 * COALESCE(a.n_d, 0)) // t.n - e.benford_bp AS BIGINT) AS dev_bp
+    FROM exp_bp e LEFT JOIN agg a ON e.digit = a.digit CROSS JOIN tot t
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / unit-mixup detector for financial facts. The
+    first significant digit comes from the CENT integer's decimal
+    string (never floating log10); expected shares are frozen
+    ⌊10000·log10(1+1/d)⌋ literals so no engine evaluates a
+    transcendental. One hash agg to 9 rows + a broadcast 1-row total;
+    deviations reported in exact basis points."""
+    o = _t(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    agg = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    tot = agg.agg(F.sum("n_d").cast("bigint").alias("n"))
+    exp = spark.createDataFrame(
+        [(d, bp) for d, bp in _BENFORD_BP.items()], "digit int, benford_bp bigint"
+    )
+    out = (
+        exp.join(agg, "digit", "left")
+        .withColumn("n_d", F.coalesce("n_d", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "digit",
+        "n_d",
+        F.expr("CAST((10000 * n_d) div n AS BIGINT)").alias("share_bp"),
+        F.col("benford_bp").cast("bigint").alias("benford_bp"),
+        F.expr("CAST((10000 * n_d) div n - benford_bp AS BIGINT)").alias("dev_bp"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', MAX(o_orderdate), (SELECT a FROM anchor))
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_cust),
+    ranked AS (
+      SELECT p.*,
+             ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS r_rk,
+             ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS f_rk,
+             ROW_NUMBER() OVER (ORDER BY monetary_c, o_custkey) AS m_rk
+      FROM per_cust p
+    ),
+    scored AS (
+      SELECT CAST(5 - (5 * (r_rk - 1)) // n.n AS INT) AS r_score,
+             CAST(1 + (5 * (f_rk - 1)) // n.n AS INT) AS f_score,
+             CAST(1 + (5 * (m_rk - 1)) // n.n AS INT) AS m_score,
+             monetary_c
+      FROM ranked CROSS JOIN n
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_monetary_c
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles,
+    score 5 = best): the classic CRM cube, built scale-first — all
+    three quintile ranks come from chained relational.global_rank
+    calls (frozen-boundary two-phase rank, NO single-partition window
+    over the customer rollup), the quintile cut is the exact integer
+    formula 1 + ⌊5(rank−1)/n⌋ (NOT engine-specific NTILE remainder
+    semantics), and the output is the tiny ≤125-cell segment cube."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("_a"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            R.money_sum(F.col("o_totalprice")).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_a"), F.col("_last")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    ranked = R.global_rank(
+        per_cust, [F.col("recency_days"), F.col("o_custkey")], rank_col="r_rk"
+    )
+    ranked = R.global_rank(
+        ranked, [F.col("frequency"), F.col("o_custkey")], rank_col="f_rk"
+    )
+    ranked = R.global_rank(
+        ranked, [F.col("monetary_c"), F.col("o_custkey")], rank_col="m_rk"
+    )
+    n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        F.expr("CAST(5 - (5 * (r_rk - 1)) div n AS INT)").alias("r_score"),
+        F.expr("CAST(1 + (5 * (f_rk - 1)) div n AS INT)").alias("f_score"),
+        F.expr("CAST(1 + (5 * (m_rk - 1)) div n AS INT)").alias("m_score"),
+        "monetary_c",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_c").cast("bigint").alias("segment_monetary_c"),
+    )

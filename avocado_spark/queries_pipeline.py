@@ -4397,3 +4397,76 @@ def dup_weighted_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1000000 div cs")).cast("double") / 1000000.0, 6
         ).alias("effective_docs"),
     )
+
+
+@query(
+    "corpus_zipf_slope",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rk FROM freq
+    ),
+    top AS (
+      SELECT CAST(LENGTH(bin(rk)) - 1 AS BIGINT) AS x,
+             CAST(LENGTH(bin(f)) - 1 AS BIGINT) AS y
+      FROM ranked WHERE rk <= 4096
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM top
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                 CAST(MAX(f) AS BIGINT) AS max_freq FROM freq)
+    SELECT s.n AS n_terms, v.vocab_size, v.max_freq,
+           CAST((1000 * (n * sxy - sx * sy)) // NULLIF(n * sxx - sx * sx, 0)
+                AS BIGINT) AS zipf_slope_milli
+    FROM s CROSS JOIN v
+    """,
+)
+def corpus_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus unigram distribution: OLS slope of
+    floor-log2(freq) on floor-log2(rank) over the top-4096 terms — a
+    healthy natural-language corpus sits near −1000 milli; boilerplate
+    floods or tokenizer breakage bend it. Both logs are integer BIT
+    LENGTHS (length(bin(x))−1), never floating log, so the fit is
+    engine-exact; ranks come from global_rank (freq desc, term asc —
+    no single-partition sort over the vocabulary), and the regression
+    is the five-bigint-moment closed form on the 4096-row head."""
+    from avocado_spark.operators.relational import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = global_rank(
+        freq, [(F.col("f"), "desc"), F.col("term")], rank_col="rk"
+    )
+    top = ranked.where(F.col("rk") <= 4096).select(
+        F.expr("CAST(length(bin(rk)) - 1 AS BIGINT)").alias("x"),
+        F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("y"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    v = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.max("f").cast("bigint").alias("max_freq"),
+    )
+    return s.crossJoin(F.broadcast(v)).select(
+        F.col("n").alias("n_terms"),
+        "vocab_size",
+        "max_freq",
+        F.expr(
+            "CAST((1000 * (n * sxy - sx * sy)) div "
+            "nullif(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("zipf_slope_milli"),
+    )

@@ -2637,3 +2637,320 @@ def decayed_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dw_micro").cast("double") / 1e6, 6).alias("decayed_weight"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+_US_DAY = 86_400_000_000
+_KS_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+@query(
+    "events_ks_drift",
+    f"""
+    WITH g AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             SUM(CASE WHEN epoch_us(ts) < {_KS_SPLIT_US} THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN epoch_us(ts) < {_KS_SPLIT_US} THEN 0 ELSE 1 END) AS c_b
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b FROM g),
+    cum AS (
+      SELECT v_c,
+             SUM(c_a) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(c_b) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM g
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             ABS(CAST(n_b AS DECIMAL(38,0)) * CAST(cum_a AS DECIMAL(38,0))
+                 - CAST(n_a AS DECIMAL(38,0)) * CAST(cum_b AS DECIMAL(38,0))) AS dd,
+             v_c
+      FROM cum CROSS JOIN t
+    ),
+    m AS (SELECT n_a, n_b, MAX(dd) AS d_num FROM d GROUP BY 1, 2)
+    SELECT m.n_a, m.n_b,
+           CAST(m.d_num AS DECIMAL(38,0)) AS d_num,
+           CAST((CAST(10000 AS HUGEINT) * CAST(m.d_num AS HUGEINT))
+                // (CAST(m.n_a AS HUGEINT) * CAST(m.n_b AS HUGEINT)) AS BIGINT)
+             AS ks_bp,
+           CAST((SELECT MIN(v_c) FROM d WHERE d.dd = m.d_num) AS BIGINT) AS d_at_value
+    FROM m
+    """,
+)
+def events_ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    first and second half of the month (split at Jan 16): the
+    distribution-shift monitor PSI can't provide (KS is binning-free
+    and gives the exact sup-distance plus WHERE it occurs). Shape: one
+    hash agg to distinct cents (bounded by the value domain, not row
+    count), running ECDFs via global_rank's frozen-boundary cumsum (no
+    single-partition window anywhere), 1-row totals broadcast; the D
+    numerator is exact DECIMAL(38,0) cross-multiplication — counts to
+    ~1e18 per side cannot overflow, the events_quantile_normalize
+    convention."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        ts_us("ts").alias("t_us"),
+    )
+    return ks_two_sample(ev, "v_c", F.col("t_us") < F.lit(_KS_SPLIT_US))
+
+
+@query(
+    "events_type_trend_slope",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_US_DAY} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT event_type,
+             day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS x, y
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM centered GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((1000 * (n_days * sxy - sx * sy))
+                // NULLIF(n_days * sxx - sx * sx, 0) AS BIGINT) AS slope_milli
+    FROM s
+    """,
+)
+def events_type_trend_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS trend: daily event volume regressed on
+    the (per-type min-centered) day index, slope from the five exact
+    bigint moments n·Σxy−ΣxΣy over n·Σx²−(Σx)² — associatively
+    mergeable partials, so the whole regression is two hash aggs plus
+    a window over the tiny day dimension. slope_milli uses truncating
+    integer division, which Spark's `div` and DuckDB's `//` agree on
+    for negative slopes too. Days with zero events are absent from the
+    fit (observed-days regression), documented behavior."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (ts_us("ts") - (ts_us("ts") % F.lit(_US_DAY)))
+            .cast("bigint")
+            .alias("_day_us"),
+        )
+        .withColumn("day_idx", (F.col("_day_us") / F.lit(_US_DAY)).cast("bigint"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wmin = W.partitionBy("event_type")
+    centered = daily.select(
+        "event_type",
+        (F.col("day_idx") - F.min("day_idx").over(wmin)).alias("x"),
+        "y",
+    )
+    s = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n_days",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.expr(
+            "CAST((1000 * (n_days * sxy - sx * sy)) div "
+            "nullif(n_days * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+
+
+@query(
+    "events_quantile_sketch",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events
+    ),
+    b AS (
+      SELECT event_type, CAST(LENGTH(bin(v_c)) AS INTEGER) AS bin_id,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin_id, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin_id
+                          ROWS UNBOUNDED PRECEDING) AS cumc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    est AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN 100 * cumc >= 50 * n
+                           THEN (CAST(1 AS BIGINT) << bin_id) - 1 END) AS BIGINT)
+               AS est_p50_c,
+             CAST(MIN(CASE WHEN 100 * cumc >= 95 * n
+                           THEN (CAST(1 AS BIGINT) << bin_id) - 1 END) AS BIGINT)
+               AS est_p95_c,
+             CAST(MIN(CASE WHEN 100 * cumc >= 99 * n
+                           THEN (CAST(1 AS BIGINT) << bin_id) - 1 END) AS BIGINT)
+               AS est_p99_c
+      FROM cum GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, v_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_c) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(MAX(CASE WHEN rk = (95 * n + 99) // 100 THEN v_c END) AS BIGINT)
+               AS exact_p95_c
+      FROM r GROUP BY 1
+    )
+    SELECT est.event_type, est.n, est_p50_c, est_p95_c, est_p99_c, exact_p95_c,
+           CAST((10000 * ABS(est_p95_c - exact_p95_c)) // exact_p95_c AS BIGINT)
+             AS p95_err_bp
+    FROM est JOIN ex USING (event_type)
+    """,
+)
+def events_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-histogram quantile sketch (the HDR-histogram /
+    DDSketch idea with power-of-two buckets): per event_type, values
+    collapse into ⌈log2⌉ bins — the bin id is the BIT LENGTH of the
+    cent value via length(bin(v)), an exact integer in both engines,
+    never floating log — giving a fixed-size mergeable state (≤ 64
+    counters per group) whose quantile estimates carry a bounded
+    2× relative error. One hash agg builds the sketch; the cumulative
+    pass runs over ≤ 64 rows per group. The EXACT p95 (via
+    global_rank, no single-partition sort) is computed alongside as
+    the evaluation column, with the estimate's error in basis points —
+    at 100 TB you'd ship only the sketch agg and drop the eval side."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import global_rank
+    from avocado_spark.operators.sketches import log2_hist_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+    est = log2_hist_quantiles(v, ["event_type"], "v_c", quantiles=(50, 95, 99))
+    ranked = global_rank(
+        v,
+        [F.col("v_c"), F.col("event_id")],
+        rank_col="rk",
+        partition_cols=["event_type"],
+    )
+    totals = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    ex = (
+        ranked.join(F.broadcast(totals), "event_type")
+        .where(F.col("rk") == F.expr("(95 * nt + 99) div 100"))
+        .groupBy("event_type")
+        .agg(F.max("v_c").cast("bigint").alias("exact_p95_c"))
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        "n",
+        "est_p50_c",
+        "est_p95_c",
+        "est_p99_c",
+        "exact_p95_c",
+        F.expr(
+            "CAST((10000 * ABS(est_p95_c - exact_p95_c)) div exact_p95_c AS BIGINT)"
+        ).alias("p95_err_bp"),
+    )
+
+
+_US_WEEK = 604_800_000_000
+
+
+@query(
+    "events_user_churn_weekly",
+    f"""
+    WITH active AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_WEEK} AS week
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, MIN(week) AS first_w, MAX(week) AS last_w
+      FROM active GROUP BY 1
+    ),
+    weekly AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active FROM active GROUP BY 1
+    ),
+    births AS (
+      SELECT first_w AS week, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM per_user GROUP BY 1
+    ),
+    deaths AS (
+      SELECT last_w AS week, CAST(COUNT(*) AS BIGINT) AS n_lost
+      FROM per_user GROUP BY 1
+    )
+    SELECT w.week, w.n_active,
+           COALESCE(b.n_new, 0) AS n_new,
+           COALESCE(d.n_lost, 0) AS n_lost,
+           COALESCE(b.n_new, 0) - COALESCE(d.n_lost, 0) AS net_change
+    FROM weekly w
+    LEFT JOIN births b ON w.week = b.week
+    LEFT JOIN deaths d ON w.week = d.week
+    """,
+)
+def events_user_churn_weekly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user births/deaths ledger: per epoch-week, active users,
+    users whose FIRST-ever activity lands in that week (new), and
+    users whose LAST-ever activity lands there (churned — they never
+    return within the observed range; the trailing week is therefore
+    boundary-censored, standard for this report). One distinct
+    (user, week) shuffle feeds everything downstream; births/deaths
+    aggregate the per-user extremes and join back BROADCAST on the
+    tiny week dimension."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        (ts_us("ts") - (ts_us("ts") % F.lit(_US_WEEK)))
+        .cast("bigint")
+        .alias("_wus"),
+    ).withColumn("week", (F.col("_wus") / F.lit(_US_WEEK)).cast("bigint")).select(
+        "user_id", "week"
+    ).distinct()
+    per_user = active.groupBy("user_id").agg(
+        F.min("week").alias("first_w"), F.max("week").alias("last_w")
+    )
+    weekly = active.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    births = per_user.groupBy(F.col("first_w").alias("week")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    deaths = per_user.groupBy(F.col("last_w").alias("week")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lost")
+    )
+    out = (
+        weekly.join(F.broadcast(births), "week", "left")
+        .join(F.broadcast(deaths), "week", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("bigint"))
+        .withColumn("n_lost", F.coalesce("n_lost", F.lit(0)).cast("bigint"))
+    )
+    return out.select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_lost",
+        (F.col("n_new") - F.col("n_lost")).cast("bigint").alias("net_change"),
+    )

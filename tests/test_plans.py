@@ -710,6 +710,10 @@ GLOBAL_RANK_FIXED = [
     "events_quantile_normalize",
     "source_pctrank_norm",
     "customer_abc_analysis",
+    "events_ks_drift",
+    "events_quantile_sketch",
+    "customer_rfm_segments",
+    "corpus_zipf_slope",
 ]
 
 
@@ -869,3 +873,43 @@ def test_dup_span_no_pair_explosion(spark):
     plan = plan_of(spark, "dup_span_coverage")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_trade_matrix_dims_broadcast_one_fact_shuffle(spark):
+    """TPC-H Q7 shape: both dim chains (supplier→nation, orders→
+    customer→nation) must broadcast — no nested loop, no cartesian,
+    and at most the one lineitem⨝orders join is shuffle-based."""
+    plan = final_plan(plan_of(spark, "nation_trade_matrix"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_local_supply_same_nation_is_filter_not_join(spark):
+    """TPC-H Q5 shape: the cust-nation = supp-nation predicate rides
+    the broadcast chains as a row filter — never a join explosion."""
+    plan = final_plan(plan_of(spark, "local_supply_revenue"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_regional_market_share_denominator_broadcast(spark):
+    """TPC-H Q8 shape: the per-year total re-aggregates the tiny
+    nation×year rollup and joins back BROADCAST — the fact table is
+    shuffled once, never joined against itself."""
+    plan = final_plan(plan_of(spark, "regional_market_share"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_churn_weekly_week_dim_broadcast(spark):
+    """births/deaths join back on the tiny week dimension BROADCAST;
+    one distinct (user, week) shuffle feeds everything."""
+    plan = final_plan(plan_of(spark, "events_user_churn_weekly"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

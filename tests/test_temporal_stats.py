@@ -1,0 +1,86 @@
+"""Unit semantics for the round-8 monitoring additions: exact
+two-sample KS (relational.ks_two_sample) and the mergeable
+log2-histogram quantile sketch (sketches.log2_hist_quantiles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avocado_spark.operators.relational import ks_two_sample
+from avocado_spark.operators.sketches import log2_hist_quantiles
+
+
+def _ks_brute(a: list[int], b: list[int]) -> tuple[int, int]:
+    """(d_num, d_at_value) by brute force: max over distinct values of
+    |n_b·cumA − n_a·cumB|, smallest attaining value."""
+    na, nb = len(a), len(b)
+    best, at = -1, None
+    for v in sorted(set(a) | set(b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d = abs(nb * ca - na * cb)
+        if d > best:
+            best, at = d, v
+    return best, at
+
+
+def test_ks_two_sample_matches_brute(spark):
+    a = [1, 2, 2, 3, 7, 7, 9]
+    b = [2, 3, 4, 4, 8]
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v long, tag int")
+    out = ks_two_sample(df, "v", F.col("tag") == 1).collect()[0]
+    d_num, at = _ks_brute(a, b)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert int(out["d_num"]) == d_num
+    assert out["d_at_value"] == at
+    assert out["ks_bp"] == (10000 * d_num) // (len(a) * len(b))
+
+
+def test_ks_two_sample_identical_samples_zero(spark):
+    rows = [(v, t) for v in (1, 5, 5, 9) for t in (0, 1)]
+    df = spark.createDataFrame(rows, "v long, tag int")
+    out = ks_two_sample(df, "v", F.col("tag") == 1).collect()[0]
+    assert int(out["d_num"]) == 0 and out["ks_bp"] == 0
+
+
+def test_ks_two_sample_disjoint_full_separation(spark):
+    # A entirely below B: D = 1 exactly at A's max
+    rows = [(v, 1) for v in (1, 2, 3)] + [(v, 0) for v in (10, 11)]
+    df = spark.createDataFrame(rows, "v long, tag int")
+    out = ks_two_sample(df, "v", F.col("tag") == 1).collect()[0]
+    assert int(out["d_num"]) == 3 * 2  # n_a * n_b
+    assert out["ks_bp"] == 10000
+    assert out["d_at_value"] == 3
+
+
+def test_log2_hist_quantiles_exact_small_case(spark):
+    # group g: values 1..8 — bins: 1→1, {2,3}→2, {4..7}→3, 8→4
+    # cum: 1,3,7,8 of n=8; p50 first cum≥4 → bin 3 → est 7;
+    # p95/p99 first cum≥7.6/7.92 → bin 4 → est 15
+    df = spark.createDataFrame([("g", v) for v in range(1, 9)], "g string, v long")
+    out = log2_hist_quantiles(df, ["g"], "v").collect()[0]
+    assert out["n"] == 8
+    assert out["est_p50_c"] == 7
+    assert out["est_p95_c"] == 15 and out["est_p99_c"] == 15
+
+
+def test_log2_hist_quantiles_relative_error_bound(spark):
+    # sketch guarantee: exact quantile lies in the est's bin, so
+    # est/2 < true quantile <= est for every group and percentile
+    import random
+
+    rng = random.Random(8)
+    rows = [(f"g{i % 3}", rng.randrange(1, 50_000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    est = {r["g"]: r for r in log2_hist_quantiles(df, ["g"], "v").collect()}
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for q in (50, 95, 99):
+            true = vals[(q * n + 99) // 100 - 1]
+            e = est[g][f"est_p{q}_c"]
+            assert true <= e < 2 * (true + 1), (g, q, true, e)
