@@ -4470,3 +4470,76 @@ def corpus_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nullif(n * sxx - sx * sx, 0) AS BIGINT)"
         ).alias("zipf_slope_milli"),
     )
+
+
+def _mmr_oracle_sql(n_candidates: int = 20, k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle: round t's CTE scores every
+    remaining candidate against the union of prior picks — the same
+    k−1 unrolled rounds the Spark operator runs."""
+    cos_rel = _cos("q.v", "e.v")
+    cos_sim = _cos("ea.v", "eb.v")
+    sql = f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored0 AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id, ROUND({cos_rel}, 9) AS rel
+      FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+    ),
+    cand AS (
+      SELECT q_id, c_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+        FROM scored0) WHERE rn <= {n_candidates}
+    ),
+    sims AS (
+      SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id, ROUND({cos_sim}, 9) AS sim
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+      JOIN e ea ON a.c_id = ea.vec_id
+      JOIN e eb ON b.c_id = eb.vec_id
+    ),
+    sel1 AS (
+      SELECT q_id, c_id AS vec_id, rel AS score, 1 AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    selu1 AS (SELECT * FROM sel1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+    ms{t} AS (
+      SELECT s.q_id, s.a_id, MAX(s.sim) AS msim
+      FROM sims s JOIN selu{t - 1} x ON s.q_id = x.q_id AND s.b_id = x.vec_id
+      GROUP BY 1, 2
+    ),
+    sc{t} AS (
+      SELECT c.q_id, c.c_id,
+             ROUND(CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * m.msim, 9)
+               AS score
+      FROM cand c JOIN ms{t} m ON c.q_id = m.q_id AND c.c_id = m.a_id
+      WHERE NOT EXISTS (SELECT 1 FROM selu{t - 1} x
+                        WHERE x.q_id = c.q_id AND x.vec_id = c.c_id)
+    ),
+    sel{t} AS (
+      SELECT q_id, c_id AS vec_id, score, {t} AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+        FROM sc{t}) WHERE rn = 1
+    ),
+    selu{t} AS (SELECT * FROM selu{t - 1} UNION ALL SELECT * FROM sel{t})"""
+    sql += f"""
+    SELECT q_id, CAST(mmr_rank AS INT) AS mmr_rank,
+           CAST(vec_id AS BIGINT) AS vec_id, score
+    FROM selu{k}
+    """
+    return sql
+
+
+@query("ann_mmr_diversified", _mmr_oracle_sql())
+def ann_mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR diversified retrieval (λ=0.5, top-20 shortlist →
+    5 picks) over the standard 10-query eval sample: the
+    redundancy-suppression re-rank RAG stacks run after ANN. Pairwise
+    work is bounded at candidates² per query; the greedy loop is k−1
+    unrolled JVM rounds (join + max-of-struct argmax each) — see
+    similarity.mmr_diversify_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.mmr_diversify_topk(
+        emb, emb.where(F.col("vec_id") < 10).limit(10), n_candidates=20, k=5
+    )
