@@ -809,39 +809,49 @@ def mmr_diversify_topk(
     Scale shape: relevance shortlists come from the existing top-k
     machinery (rank window per query); the ONLY pairwise work is the
     candidate×candidate similarity table — n_candidates² rows per
-    query, a driver-known bound, never corpus×corpus. The greedy loop
-    is k−1 UNROLLED DataFrame rounds (a join + hash agg over the tiny
-    candidate table each), so the whole operator stays JVM-side with
-    a plan depth of O(k) — no Python loop over collected rows.
+    query, a driver-known bound, never corpus×corpus. Both bounded
+    tables are eagerly checkpointed ONCE (tracked ids, released before
+    return — the components-module discipline), and each greedy round
+    collects only its per-query argmax (≤ |queries| rows, bounded by
+    MAX_EVAL_QUERIES) and freezes it as plan literals — the same
+    materialize-per-round rule the BPE trainer follows, so round t
+    never re-executes rounds 1..t−1 and plan depth stays flat.
 
     Determinism contract (both engines replay it): rel and sim are
     round(cos, 9); each round's score re-rounds to 9dp; argmax ties
     break on the smaller candidate id via one max-of-struct agg.
 
     Output: (q_id, mmr_rank 1..k, vec_id, score) — rank 1's score is
-    its relevance; later ranks carry the MMR margin.
+    its relevance; later ranks carry the MMR margin. The result is a
+    literal (LocalTableScan) DataFrame; no checkpoint blocks survive.
     """
-    cand = brute_force_topk(
-        embeddings, queries, k=n_candidates, allow_full_scan=allow_full_scan
-    ).select("q_id", F.col("n_id").alias("c_id"), F.col("cos").alias("rel"))
-    e = embeddings.select(
-        F.col("vec_id").alias("_e_id"), _as_double("embedding").alias("_e_v")
-    ).withColumn("_e_n", norm(F.col("_e_v")))
-    ca = cand.join(e, cand["c_id"] == e["_e_id"]).select(
-        "q_id",
-        F.col("c_id").alias("a_id"),
-        F.col("_e_v").alias("a_v"),
-        F.col("_e_n").alias("a_n"),
-    )
-    cb = cand.join(e, cand["c_id"] == e["_e_id"]).select(
-        F.col("q_id").alias("qb_id"),
-        F.col("c_id").alias("b_id"),
-        F.col("_e_v").alias("b_v"),
-        F.col("_e_n").alias("b_n"),
-    )
-    sims = (
-        ca.join(cb, (ca["q_id"] == cb["qb_id"]) & (ca["a_id"] != cb["b_id"]))
-        .select(
+    from avocado_spark.operators.components import _release_rdds, _tracked_checkpoint
+
+    spark = embeddings.sparkSession
+    owned: set[int] = set()
+    try:
+        cand = brute_force_topk(
+            embeddings, queries, k=n_candidates, allow_full_scan=allow_full_scan
+        ).select("q_id", F.col("n_id").alias("c_id"), F.col("cos").alias("rel"))
+        cand = _tracked_checkpoint(cand, owned)
+        e = embeddings.select(
+            F.col("vec_id").alias("_e_id"), _as_double("embedding").alias("_e_v")
+        ).withColumn("_e_n", norm(F.col("_e_v")))
+        ca = cand.join(e, cand["c_id"] == e["_e_id"]).select(
+            "q_id",
+            F.col("c_id").alias("a_id"),
+            F.col("_e_v").alias("a_v"),
+            F.col("_e_n").alias("a_n"),
+        )
+        cb = cand.join(e, cand["c_id"] == e["_e_id"]).select(
+            F.col("q_id").alias("qb_id"),
+            F.col("c_id").alias("b_id"),
+            F.col("_e_v").alias("b_v"),
+            F.col("_e_n").alias("b_n"),
+        )
+        sims = ca.join(
+            cb, (ca["q_id"] == cb["qb_id"]) & (ca["a_id"] != cb["b_id"])
+        ).select(
             "q_id",
             "a_id",
             "b_id",
@@ -852,45 +862,59 @@ def mmr_diversify_topk(
                 9,
             ).alias("sim"),
         )
-    )
+        sims = _tracked_checkpoint(sims, owned)
 
-    def _pick(scored: DataFrame, rank: int) -> DataFrame:
-        best = scored.groupBy("q_id").agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("c_id")).alias("nid"))
-            ).alias("_b")
-        )
-        return best.select(
-            "q_id",
-            (-F.col("_b.nid")).cast("long").alias("vec_id"),
-            F.col("_b.score").alias("score"),
-            F.lit(rank).cast("int").alias("mmr_rank"),
-        )
-
-    selected = _pick(cand.select("q_id", "c_id", F.col("rel").alias("score")), 1)
-    out = selected
-    for t in range(2, k + 1):
-        ms = (
-            sims.join(
-                out.select(F.col("q_id").alias("qs_id"), F.col("vec_id").alias("s_id")),
-                (sims["q_id"] == F.col("qs_id")) & (sims["b_id"] == F.col("s_id")),
+        def _argmax(scored: DataFrame) -> list:
+            # (q_id, vec_id, score) rows: max score, smaller-id tiebreak
+            return (
+                scored.groupBy("q_id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score"), (-F.col("c_id")).alias("nid"))
+                    ).alias("_b")
+                )
+                .select(
+                    "q_id",
+                    (-F.col("_b.nid")).cast("long").alias("vec_id"),
+                    F.col("_b.score").alias("score"),
+                )
+                .collect()
             )
-            .groupBy("q_id", "a_id")
-            .agg(F.max("sim").alias("msim"))
-        )
-        remaining = cand.join(
-            out.select(F.col("q_id").alias("qs_id"), F.col("vec_id").alias("s_id")),
-            (cand["q_id"] == F.col("qs_id")) & (cand["c_id"] == F.col("s_id")),
-            "left_anti",
-        )
-        scored = remaining.join(
-            ms, (remaining["q_id"] == ms["q_id"]) & (remaining["c_id"] == ms["a_id"])
-        ).select(
-            remaining["q_id"],
-            "c_id",
-            F.round(
-                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim"), 9
-            ).alias("score"),
-        )
-        out = out.unionByName(_pick(scored, t))
-    return out.select("q_id", "mmr_rank", "vec_id", "score")
+
+        picks: list[tuple] = []  # (q_id, mmr_rank, vec_id, score)
+        sel = _argmax(cand.select("q_id", "c_id", F.col("rel").alias("score")))
+        picks.extend((r["q_id"], 1, r["vec_id"], r["score"]) for r in sel)
+        for t in range(2, k + 1):
+            sel_df = spark.createDataFrame(
+                [(q, v) for q, _, v, _ in picks], "qs_id long, s_id long"
+            )
+            ms = (
+                sims.join(
+                    F.broadcast(sel_df),
+                    (sims["q_id"] == F.col("qs_id")) & (sims["b_id"] == F.col("s_id")),
+                )
+                .groupBy("q_id", "a_id")
+                .agg(F.max("sim").alias("msim"))
+            )
+            remaining = cand.join(
+                F.broadcast(sel_df),
+                (cand["q_id"] == F.col("qs_id")) & (cand["c_id"] == F.col("s_id")),
+                "left_anti",
+            )
+            scored = remaining.join(
+                ms, (remaining["q_id"] == ms["q_id"]) & (remaining["c_id"] == ms["a_id"])
+            ).select(
+                remaining["q_id"],
+                "c_id",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim"), 9
+                ).alias("score"),
+            )
+            picks.extend(
+                (r["q_id"], t, r["vec_id"], r["score"]) for r in _argmax(scored)
+            )
+    finally:
+        _release_rdds(embeddings, owned)
+    return spark.createDataFrame(
+        picks, "q_id long, mmr_rank int, vec_id long, score double"
+    )

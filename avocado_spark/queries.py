@@ -2686,17 +2686,32 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    ranked = R.global_rank(
-        per_cust, [F.col("recency_days"), F.col("o_custkey")], rank_col="r_rk"
+    # the three ranks are INDEPENDENT — rank each narrow projection
+    # separately and join back on the key, instead of chaining
+    # global_rank calls (whose branches would re-execute every earlier
+    # window 2^depth times). One count job is shared as rows_hint so
+    # each global_rank skips its own count, and doubles as the literal
+    # n in the quintile formula.
+    n_customers = per_cust.count()
+    ranks = {}
+    for rk_col, metric in (
+        ("r_rk", "recency_days"),
+        ("f_rk", "frequency"),
+        ("m_rk", "monetary_c"),
+    ):
+        ranks[rk_col] = R.global_rank(
+            per_cust.select("o_custkey", metric),
+            [F.col(metric), F.col("o_custkey")],
+            rank_col=rk_col,
+            rows_hint=n_customers,
+        ).select("o_custkey", rk_col)
+    ranked = (
+        per_cust.select("o_custkey", "monetary_c")
+        .join(ranks["r_rk"], "o_custkey")
+        .join(ranks["f_rk"], "o_custkey")
+        .join(ranks["m_rk"], "o_custkey")
     )
-    ranked = R.global_rank(
-        ranked, [F.col("frequency"), F.col("o_custkey")], rank_col="f_rk"
-    )
-    ranked = R.global_rank(
-        ranked, [F.col("monetary_c"), F.col("o_custkey")], rank_col="m_rk"
-    )
-    n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    scored = ranked.crossJoin(F.broadcast(n)).select(
+    scored = ranked.withColumn("n", F.lit(n_customers).cast("bigint")).select(
         F.expr("CAST(5 - (5 * (r_rk - 1)) div n AS INT)").alias("r_score"),
         F.expr("CAST(1 + (5 * (f_rk - 1)) div n AS INT)").alias("f_score"),
         F.expr("CAST(1 + (5 * (m_rk - 1)) div n AS INT)").alias("m_score"),

@@ -132,6 +132,15 @@ def main() -> None:
         # (bounded broadcast cross join + band self-join)
         "stream_cusum_alerts",
         "dedup_pair_quality",
+        # r8c: exact KS drift (distinct-value agg + frozen-boundary
+        # ECDF cumsum), TPC-H Q7 trade matrix (two broadcast dim
+        # chains off one fact shuffle), RFM cube (three chained
+        # global_ranks over the customer rollup), MMR re-rank (k−1
+        # unrolled join+argmax rounds over the candidates² table)
+        "events_ks_drift",
+        "nation_trade_matrix",
+        "customer_rfm_segments",
+        "ann_mmr_diversified",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;
@@ -307,6 +316,14 @@ _SCALE_QUERIES = [
     # shared-gram groups the same way it multiplies LSH pairs, so the
     # allowance follows the dedup family's)
     ("dup_span_coverage", 15.0),
+    # r8d: exact KS drift — work is bounded by DISTINCT cent values
+    # (fixed domain), so 10× rows should grow only the first agg
+    ("events_ks_drift", 15.0),
+    # r8d: TPC-H Q7 — one fact shuffle + broadcast dims; the canonical
+    # near-linear join shape
+    ("nation_trade_matrix", 15.0),
+    # r8d: three chained global_ranks over a 10× customer rollup
+    ("customer_rfm_segments", 15.0),
 ]
 
 

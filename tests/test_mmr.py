@@ -54,3 +54,13 @@ def test_mmr_short_candidate_list_truncates(spark):
     out = mmr_diversify_topk(emb, q, n_candidates=5, k=5).collect()
     assert sorted(r["mmr_rank"] for r in out) == [1, 2, 3]
     assert len({r["vec_id"] for r in out}) == 3
+
+
+def test_mmr_leaves_no_persistent_blocks(spark):
+    # the operator checkpoints cand/sims internally and must release
+    # them before returning (its output is a literal table)
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") == 1).limit(1)
+    mmr_diversify_topk(emb, q, n_candidates=3, k=2).collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0, jmap
