@@ -1917,3 +1917,71 @@ def ks_two_sample(
         ks_bp.alias("ks_bp"),
         (-F.col("_ks_best.nv")).cast("bigint").alias("d_at_value"),
     )
+
+
+def isotonic_calibrate(
+    buckets: DataFrame,
+    x_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Weighted isotonic regression (PAVA) over a BUCKETED calibration
+    table via the minimax closed form: fitted(i) = max_{j≤i} min_{k≥i}
+    (Σ num[j..k] / Σ den[j..k]) — the monotone-nondecreasing fit that
+    pool-adjacent-violators converges to (Barlow et al. 1972), without
+    the sequential pooling loop.
+
+    Contract: ``x_col`` is a CONTIGUOUS integer bucket id (decile /
+    percentile bin — the granularity calibration curves are computed
+    at), so the whole computation is bounded by bucket_count³ rows
+    (deciles: ≤ 1000) regardless of the fact-table size behind the
+    buckets. Interval sums are exact bigints; each interval average is
+    ONE double division, so both engines produce bit-identical fits;
+    the tiny j≤k grid runs as a nested-loop join by design — it never
+    touches un-aggregated data.
+
+    Output: x_col, num, den, raw_rate (6dp), iso_rate (6dp,
+    monotone in x).
+    """
+    # ONE partition for the bucket table: it is ≤ bucket_count rows by
+    # contract, and the two chained non-equi joins below otherwise
+    # multiply the upstream partition counts (32³ near-empty cartesian
+    # tasks observed) — task scheduling, not data, becomes the cost.
+    b = buckets.select(
+        F.col(x_col).cast("int").alias("_iso_i"),
+        F.col(num_col).cast("bigint").alias("_iso_p"),
+        F.col(den_col).cast("bigint").alias("_iso_w"),
+    ).coalesce(1)
+    bj = b.select(F.col("_iso_i").alias("_j"))
+    bk = b.select(F.col("_iso_i").alias("_k"))
+    grid = bj.crossJoin(F.broadcast(bk)).where(F.col("_j") <= F.col("_k"))
+    sums = (
+        grid.join(
+            F.broadcast(b),
+            (F.col("_iso_i") >= F.col("_j")) & (F.col("_iso_i") <= F.col("_k")),
+        )
+        .groupBy("_j", "_k")
+        .agg(F.sum("_iso_p").alias("_sp"), F.sum("_iso_w").alias("_sw"))
+        .select(
+            "_j",
+            "_k",
+            (F.col("_sp").cast("double") / F.col("_sw").cast("double")).alias("_a"),
+        )
+    )
+    expanded = sums.select(
+        "_j", "_k", "_a", F.explode(F.sequence("_j", "_k")).alias("_i")
+    )
+    inner_min = expanded.groupBy("_i", "_j").agg(F.min("_a").alias("_ma"))
+    fitted = inner_min.groupBy("_i").agg(F.max("_ma").alias("_fit"))
+    return (
+        b.join(fitted, b["_iso_i"] == fitted["_i"])
+        .select(
+            F.col("_iso_i").alias(x_col),
+            F.col("_iso_p").alias(num_col),
+            F.col("_iso_w").alias(den_col),
+            F.round(F.col("_iso_p").cast("double") / F.col("_iso_w"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("_fit"), 6).alias("iso_rate"),
+        )
+    )

@@ -4543,3 +4543,63 @@ def ann_mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_diversify_topk(
         emb, emb.where(F.col("vec_id") < 10).limit(10), n_candidates=20, k=5
     )
+
+
+def _isotonic_oracle_sql() -> str:
+    """PAVA minimax closed form over the reliability deciles — the
+    decile CTE is the registered quality_reliability_table oracle
+    verbatim, so the two calibration queries can never drift apart."""
+    from avocado_spark.queries import ORACLES
+
+    rel = ORACLES["quality_reliability_table"]
+    return f"""
+    WITH rel AS ({rel}),
+    grid AS (
+      SELECT j.decile AS jd, k.decile AS kd
+      FROM rel j CROSS JOIN rel k WHERE j.decile <= k.decile
+    ),
+    sums AS (
+      SELECT g.jd, g.kd,
+             CAST(SUM(r.n_passed) AS DOUBLE) / CAST(SUM(r.n_docs) AS DOUBLE) AS a
+      FROM grid g JOIN rel r ON r.decile BETWEEN g.jd AND g.kd
+      GROUP BY g.jd, g.kd
+    ),
+    expanded AS (
+      SELECT s.jd, s.kd, s.a, i AS decile
+      FROM sums s, UNNEST(generate_series(s.jd, s.kd)) AS t(i)
+    ),
+    inner_min AS (
+      SELECT decile, jd, MIN(a) AS ma FROM expanded GROUP BY 1, 2
+    ),
+    fitted AS (
+      SELECT decile, MAX(ma) AS fit FROM inner_min GROUP BY 1
+    )
+    SELECT r.decile, r.n_passed, r.n_docs,
+           ROUND(CAST(r.n_passed AS DOUBLE) / r.n_docs, 6) AS raw_rate,
+           ROUND(f.fit, 6) AS iso_rate
+    FROM rel r JOIN fitted f ON r.decile = f.decile
+    """
+
+
+@query("quality_isotonic_calibration", _isotonic_oracle_sql())
+def quality_isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the quality score against the
+    independent gate: the monotone fit every score→probability
+    calibrator needs before thresholding, computed on the SAME decile
+    reliability table the reliability query emits (composition), via
+    the minimax closed form — bounded at deciles³ rows however large
+    the corpus is, exact-bigint interval sums, one double division per
+    interval. Output iso_rate is monotone non-decreasing in decile
+    where the raw rate need not be."""
+    from avocado_spark.operators.relational import isotonic_calibrate
+    from avocado_spark.queries import QUERIES
+
+    rel = QUERIES["quality_reliability_table"](spark, sf_dir)
+    out = isotonic_calibrate(rel, "decile", "n_passed", "n_docs")
+    return out.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_passed",
+        F.col("n_docs").alias("n_docs"),
+        "raw_rate",
+        "iso_rate",
+    )

@@ -396,6 +396,9 @@ _SCALE_CORRECTNESS_QUERIES = [
     # driver-side compare, not DuckDB).
     "biallelic_pipeline",
     "interval_join_binned",
+    # r8d: 1-row result, distinct-value-bounded work — cheap to
+    # value-check at any factor
+    "events_ks_drift",
 ]
 
 _SCALE_QUERIES_100 = [
@@ -418,6 +421,9 @@ _SCALE_QUERIES_100 = [
     ("dedup_clusters", 450.0),
     ("dedup_threshold_sweep", 450.0),
     ("coorder_triangles", 1000.0),
+    # r8d: distinct-cent-bounded ECDF work — should be strongly
+    # sublinear at 100× (the value domain saturates)
+    ("events_ks_drift", 150.0),
 ]
 
 

@@ -84,3 +84,43 @@ def test_log2_hist_quantiles_relative_error_bound(spark):
             true = vals[(q * n + 99) // 100 - 1]
             e = est[g][f"est_p{q}_c"]
             assert true <= e < 2 * (true + 1), (g, q, true, e)
+
+
+def test_isotonic_calibrate_pools_violators(spark):
+    from avocado_spark.operators.relational import isotonic_calibrate
+
+    rows = [(1, 1, 10), (2, 5, 10), (3, 3, 10), (4, 4, 10), (5, 9, 10)]
+    df = spark.createDataFrame(rows, "b int, p bigint, w bigint")
+    out = {r["b"]: r["iso_rate"] for r in isotonic_calibrate(df, "b", "p", "w").collect()}
+    # PAVA pools the 0.5/0.3/0.4 violation run into (5+3+4)/30 = 0.4
+    assert out == {1: 0.1, 2: 0.4, 3: 0.4, 4: 0.4, 5: 0.9}
+    # monotone non-decreasing
+    vals = [out[b] for b in sorted(out)]
+    assert vals == sorted(vals)
+
+
+def test_isotonic_calibrate_matches_brute_minimax(spark):
+    import itertools
+    import random
+
+    from avocado_spark.operators.relational import isotonic_calibrate
+
+    rng = random.Random(88)
+    rows = [(i, rng.randrange(0, 50), 50) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "b int, p bigint, w bigint")
+    out = {r["b"]: r["iso_rate"] for r in isotonic_calibrate(df, "b", "p", "w").collect()}
+    ps = {b: p for b, p, _ in rows}
+    bs = sorted(ps)
+    for i in bs:
+        cand = []
+        for j, k in itertools.product(bs, bs):
+            if j <= i <= k:
+                num = sum(ps[x] for x in bs if j <= x <= k)
+                den = 50 * len([x for x in bs if j <= x <= k])
+                cand.append((j, k, num / den))
+        fit = max(
+            min(a for jj, kk, a in cand if jj == j and kk >= i)
+            for j in bs
+            if j <= i
+        )
+        assert abs(out[i] - round(fit, 6)) < 1e-9, (i, out[i], fit)
