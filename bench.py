@@ -226,6 +226,14 @@ def main() -> None:
             # number was contention from the two new heavy neighbors
             # (ann_pq_adc_recall, dedup_threshold_sweep), code unchanged.
             "simhash_dup_pairs": "r6 2.10s was bench contention; isolated best 1.45s (~r5)",
+            # r8d: MMR first landed as k−1 unrolled rounds re-reading
+            # the un-materialized candidate plan — 14.2s; tracked-
+            # checkpointing cand/sims once and freezing each round's
+            # argmax as literals (the BPE discipline) took it to 3.4s.
+            # RFM is three exact total orders: ~3x the single-rank ABC
+            # query, fixed job overhead that vanishes at cluster scale
+            # (10x ratio 1.73 in SCALECHECK_r08).
+            "ann_mmr_diversified": "14.2s naive unroll -> 3.4s after checkpoint+freeze",
             # r8 (r7 verdict #8): two batch sizes + availableNow isolate
             # fixed trigger overhead from per-row cost — the tier is
             # overhead-bound, not per-row-bound (STREAMBENCH_r08):
