@@ -745,3 +745,38 @@ def cusum_alerts_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def query_health(query) -> list[dict]:
+    """Per-micro-batch operational metrics from a (finished or running)
+    StreamingQuery's progress log — the numbers an on-call engineer
+    reads FIRST when a 100 TB streaming job misbehaves: input volume,
+    watermark position, rows the watermark dropped (late-data loss is
+    silent in the sink — this is the only place it is visible), and
+    state-store size/memory (the leak axis for stateful operators).
+
+    Returns one dict per progress event:
+    (batch_id, input_rows, watermark, dropped_by_watermark,
+    state_rows, state_bytes). Purely driver-side introspection of
+    ``recentProgress`` — no jobs, no plan impact; usable identically
+    against a live query (monitoring loop) or after
+    ``processAllAvailable`` (tests, backfills).
+    """
+    out = []
+    for p in query.recentProgress:
+        ops = p.get("stateOperators") or []
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": int(p.get("numInputRows") or 0),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "dropped_by_watermark": sum(
+                    int(o.get("numRowsDroppedByWatermark") or 0) for o in ops
+                ),
+                "state_rows": sum(int(o.get("numRowsTotal") or 0) for o in ops),
+                "state_bytes": sum(
+                    int(o.get("memoryUsedBytes") or 0) for o in ops
+                ),
+            }
+        )
+    return out

@@ -441,3 +441,68 @@ def test_streaming_cusum_multibatch_converges(spark, tmp_path):
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in EV.cusum_alerts_batch(ev).collect())
     assert got == want and len(want) > 0
+
+
+def test_query_health_surfaces_watermark_drops(spark, tmp_path):
+    """The progress-metrics helper must expose the silent late-data
+    loss: replay the late-data scenario and read
+    numRowsDroppedByWatermark from the query's own progress log —
+    total input accounted, ≥1 row dropped, and state bounded."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _file(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    d = str(tmp_path / "health_events")
+    os.makedirs(d)
+    _file(f"{d}/0.parquet", [(1, T(0, 30), 10, "view", 1.0), (2, T(4, 0), 10, "view", 1.0)])
+    _file(f"{d}/1.parquet", [(5, T(4, 15), 12, "view", 1.0)])
+    _file(f"{d}/2.parquet", [(3, T(0, 45), 11, "view", 1.0), (4, T(4, 30), 11, "view", 1.0)])
+    now = _time.time()
+    for i, f in enumerate(["0.parquet", "1.parquet", "2.parquet"]):
+        os.utime(f"{d}/{f}", (now - 100 + i * 10, now - 100 + i * 10))
+
+    schema = spark.read.parquet(d).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+    stream = EV.tumbling_agg(
+        EV.normalize_events(raw), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_health")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        health = EV.query_health(q)
+    finally:
+        q.stop()
+    assert sum(h["input_rows"] for h in health) == 5
+    assert sum(h["dropped_by_watermark"] for h in health) >= 1
+    # watermark advanced past the late row's window
+    assert any((h["watermark"] or "") >= "2024-01-01T02:00:00" for h in health)
+    # bounded state: never more windows than distinct (window, type) keys
+    assert all(h["state_rows"] <= 4 for h in health)
