@@ -2954,3 +2954,126 @@ def events_user_churn_weekly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lost",
         (F.col("n_new") - F.col("n_lost")).cast("bigint").alias("net_change"),
     )
+
+
+@query(
+    "events_seasonal_backtest",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_US_DAY} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MAX(day_idx) AS max_d FROM daily GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d.event_type, d.day_idx, d.y,
+             LAG(d.y, 1) OVER w AS y_lag1,
+             LAG(d.y, 7) OVER w AS y_lag7,
+             b.max_d
+      FROM daily d JOIN bounds b ON d.event_type = b.event_type
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day_idx)
+    ),
+    train AS (
+      SELECT event_type,
+             CAST(SUM(ABS(y - y_lag7)) AS BIGINT) AS train_sae7,
+             CAST(COUNT(*) AS BIGINT) AS n_train7
+      FROM lagged WHERE day_idx <= max_d - 7 AND y_lag7 IS NOT NULL
+      GROUP BY 1
+    ),
+    test AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(ABS(y - y_lag1)) AS BIGINT) AS sae_naive,
+             CAST(SUM(ABS(y - y_lag7)) AS BIGINT) AS sae_snaive
+      FROM lagged
+      WHERE day_idx > max_d - 7 AND y_lag1 IS NOT NULL AND y_lag7 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT t.event_type, t.n_test,
+           CAST((1000 * t.sae_naive) // t.n_test AS BIGINT) AS mae_naive_milli,
+           CAST((1000 * t.sae_snaive) // t.n_test AS BIGINT) AS mae_snaive_milli,
+           CAST((1000 * t.sae_snaive * tr.n_train7)
+                // NULLIF(t.n_test * tr.train_sae7, 0) AS BIGINT) AS mase_milli
+    FROM test t JOIN train tr ON t.event_type = tr.event_type
+    """,
+)
+def events_seasonal_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest per event_type: hold out the last 7
+    observed days, score the naive (yesterday) and seasonal-naive
+    (same weekday last week) forecasts by MAE, and report MASE
+    (Hyndman–Koehler: test error scaled by the train-period seasonal-
+    naive error) — the sanity floor every demand-forecasting pipeline
+    must beat before a model earns its keep. The fact table crushes to
+    the tiny per-day rollup in ONE hash agg; both lag features share
+    one window over that rollup; every metric is exact integer
+    cross-multiplication in milli-units."""
+    from pyspark.sql import Window as W  # noqa: N814
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (ts_us("ts") - (ts_us("ts") % F.lit(_US_DAY)))
+            .cast("bigint")
+            .alias("_day_us"),
+        )
+        .withColumn("day_idx", (F.col("_day_us") / F.lit(_US_DAY)).cast("bigint"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("day_idx")
+    wmax = W.partitionBy("event_type")
+    lagged = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.lag("y", 1).over(w).alias("y_lag1"),
+        F.lag("y", 7).over(w).alias("y_lag7"),
+        F.max("day_idx").over(wmax).alias("max_d"),
+    )
+    train = (
+        lagged.where(
+            (F.col("day_idx") <= F.col("max_d") - 7) & F.col("y_lag7").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("y") - F.col("y_lag7")))
+            .cast("bigint")
+            .alias("train_sae7"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train7"),
+        )
+    )
+    test = (
+        lagged.where(
+            (F.col("day_idx") > F.col("max_d") - 7)
+            & F.col("y_lag1").isNotNull()
+            & F.col("y_lag7").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.abs(F.col("y") - F.col("y_lag1")))
+            .cast("bigint")
+            .alias("sae_naive"),
+            F.sum(F.abs(F.col("y") - F.col("y_lag7")))
+            .cast("bigint")
+            .alias("sae_snaive"),
+        )
+    )
+    return test.join(train, "event_type").select(
+        "event_type",
+        "n_test",
+        F.expr("CAST((1000 * sae_naive) div n_test AS BIGINT)").alias(
+            "mae_naive_milli"
+        ),
+        F.expr("CAST((1000 * sae_snaive) div n_test AS BIGINT)").alias(
+            "mae_snaive_milli"
+        ),
+        F.expr(
+            "CAST((1000 * sae_snaive * n_train7) div "
+            "nullif(n_test * train_sae7, 0) AS BIGINT)"
+        ).alias("mase_milli"),
+    )
