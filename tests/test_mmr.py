@@ -58,9 +58,16 @@ def test_mmr_short_candidate_list_truncates(spark):
 
 def test_mmr_leaves_no_persistent_blocks(spark):
     # the operator checkpoints cand/sims internally and must release
-    # them before returning (its output is a literal table)
+    # them before returning (its output is a literal table). Compare
+    # against a BEFORE snapshot — other operators in a shared session
+    # may hold documented result residuals of their own.
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = _ids()
     emb = _emb(spark)
     q = emb.where(F.col("vec_id") == 1).limit(1)
     mmr_diversify_topk(emb, q, n_candidates=3, k=2).collect()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    assert jmap.size() == 0, jmap
+    leaked = _ids() - before
+    assert not leaked, leaked

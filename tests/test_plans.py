@@ -913,3 +913,21 @@ def test_churn_weekly_week_dim_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_trade_matrix_fact_scan_pruned(spark):
+    """The Q7 lineitem scan must read exactly the five columns the
+    query touches — a scan that drags the full row width through a
+    100 TB shuffle is wrong even when the joins are right."""
+    import re
+
+    analyzed = analyzed_of(spark, "nation_trade_matrix")
+    scans = [
+        {c.split("#")[0] for c in m.group(1).split(",") if c}
+        for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", analyzed)
+    ]
+    li = [s for s in scans if any(c.startswith("l_") for c in s)]
+    assert li and all(
+        s == {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"}
+        for s in li
+    ), scans
