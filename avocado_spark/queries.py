@@ -2721,3 +2721,123 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("monetary_c").cast("bigint").alias("segment_monetary_c"),
     )
+
+
+@query(
+    "customer_l_diversity",
+    """
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal <= 5000 THEN 'low'
+                  ELSE 'high' END AS bal_band
+      FROM customer
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_records
+    FROM classes GROUP BY 1
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit #2: l-diversity histogram — for each
+    quasi-identifier class (nation, segment), how many DISTINCT values
+    of the sensitive attribute (account-balance band) it contains.
+    k-anonymity (customer_k_anonymity) alone is defeated by a class
+    whose members all share the sensitive value; classes at l=1 here
+    are exactly those homogeneity leaks. Two stacked hash aggs; the
+    class table is bounded by the QI domain."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") <= 5000, "low")
+        .otherwise("high")
+    )
+    classes = (
+        c.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
+        )
+    )
+    return classes.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_records"),
+    )
+
+
+@query(
+    "orders_reconciliation",
+    """
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 * 100) AS BIGINT)) AS BIGINT) AS charge_c
+      FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_c, ls.charge_c
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+    ),
+    classed AS (
+      SELECT CASE
+               WHEN charge_c IS NULL THEN 'no_lines'
+               WHEN total_c = charge_c THEN 'exact'
+               WHEN (10000 * ABS(total_c - charge_c)) // total_c <= 100
+                 THEN 'within_1pct'
+               ELSE 'over_1pct'
+             END AS bucket,
+             COALESCE(ABS(total_c - charge_c), total_c) AS drift_c
+      FROM joined
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(drift_c) AS BIGINT) AS total_drift_c
+    FROM classed GROUP BY 1
+    """,
+)
+def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: o_totalprice vs the
+    recomputed Σ extendedprice·(1−disc)·(1+tax) per order, bucketed
+    into exact / ≤1% / >1% / no-lineitems — the header-vs-detail drift
+    report every warehouse closes its books with (and the fixture DOES
+    drift, so the buckets are non-trivial). One lineitem rollup
+    shuffle + one orders join; drift math is exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey").agg(
+        R.money_sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge_c")
+    )
+    joined = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+        "o_orderkey",
+    ).join(ls, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    bucket = (
+        F.when(F.col("charge_c").isNull(), "no_lines")
+        .when(F.col("total_c") == F.col("charge_c"), "exact")
+        .when(
+            F.expr("(10000 * ABS(total_c - charge_c)) div total_c") <= 100,
+            "within_1pct",
+        )
+        .otherwise("over_1pct")
+    )
+    classed = joined.select(
+        bucket.alias("bucket"),
+        F.coalesce(
+            F.abs(F.col("total_c") - F.col("charge_c")), F.col("total_c")
+        ).alias("drift_c"),
+    )
+    return classed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("drift_c").cast("bigint").alias("total_drift_c"),
+    )

@@ -4603,3 +4603,44 @@ def quality_isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFram
         "raw_rate",
         "iso_rate",
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST((1000 * SUM(n_bpe)) // SUM(n_ws) AS BIGINT) AS fertility_milli
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word, in exact milli — the metric that decides which languages pay
+    2× the context budget under a given tokenizer (fertility drives
+    both training cost and effective context per language; XLM/mT5 mix
+    planning consumes it next to token_budget_plan). Map-side regex
+    counts, ONE lang hash agg, integer division both engines agree
+    on."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(TX.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_bpe"),
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("n_ws_tokens"),
+        F.expr("CAST((1000 * SUM(n_bpe)) div SUM(n_ws) AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+    )
