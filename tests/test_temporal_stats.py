@@ -124,3 +124,30 @@ def test_isotonic_calibrate_matches_brute_minimax(spark):
             if j <= i
         )
         assert abs(out[i] - round(fit, 6)) < 1e-9, (i, out[i], fit)
+
+
+def test_ks_two_sample_hypothesis_differential(spark):
+    """Randomized differential vs the brute-force definition — Spark
+    per example is slow, so a handful of drawn cases, no shrink-time
+    deadline."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=25)
+
+    @given(a=vals, b=vals)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _case(a, b):
+        rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+        df = spark.createDataFrame(rows, "v long, tag int")
+        out = ks_two_sample(df, "v", F.col("tag") == 1).collect()[0]
+        d_num, at = _ks_brute(a, b)
+        assert int(out["d_num"]) == d_num
+        assert out["d_at_value"] == at
+        assert out["ks_bp"] == (10000 * d_num) // (len(a) * len(b))
+
+    _case()
