@@ -4644,3 +4644,70 @@ def tokenizer_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame
             "fertility_milli"
         ),
     )
+
+
+def _kappa_oracle_sql() -> str:
+    """Cohen's κ on the langid confusion matrix — the matrix CTE is
+    the registered langid_confusion oracle verbatim (same
+    can't-drift-apart stance as the isotonic/reliability pair)."""
+    from avocado_spark.queries import ORACLES
+
+    return f"""
+    WITH cm AS ({ORACLES["langid_confusion"]}),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cm),
+    diag AS (
+      SELECT CAST(SUM(CASE WHEN labeled_lang = predicted_lang THEN n ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM cm
+    ),
+    marg AS (
+      SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS s
+      FROM (SELECT labeled_lang AS k, SUM(n) AS rn FROM cm GROUP BY 1) r
+      JOIN (SELECT predicted_lang AS k, SUM(n) AS cn FROM cm GROUP BY 1) c
+        ON r.k = c.k
+    )
+    SELECT tot.nn AS n_docs,
+           CAST((1000 * diag.d) // tot.nn AS BIGINT) AS po_milli,
+           CAST((1000 * marg.s) // (tot.nn * tot.nn) AS BIGINT) AS pe_milli,
+           CAST((1000 * (tot.nn * diag.d - marg.s))
+                // NULLIF(tot.nn * tot.nn - marg.s, 0) AS BIGINT) AS kappa_milli
+    FROM tot, diag, marg
+    """
+
+
+@query("langid_agreement_kappa", _kappa_oracle_sql())
+def langid_agreement_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the labeled language and the n-gram
+    classifier's prediction: chance-corrected agreement — the honest
+    scalar for 'is the cheap classifier usable', where raw accuracy
+    (po) flatters any skewed label mix. All integer cross-multiplied
+    milli-values (κ = (N·diag − Σrᵢcᵢ)/(N² − Σrᵢcᵢ)); computed on the
+    tiny confusion matrix the langid_confusion query already emits —
+    marginals only join on the ≤|langs| rows."""
+    from avocado_spark.queries import QUERIES
+
+    cm = QUERIES["langid_confusion"](spark, sf_dir)
+    tot = cm.agg(F.sum("n").cast("bigint").alias("nn"))
+    diag = cm.agg(
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("predicted_lang"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    r = cm.groupBy(F.col("labeled_lang").alias("k")).agg(F.sum("n").alias("rn"))
+    c = cm.groupBy(F.col("predicted_lang").alias("k")).agg(F.sum("n").alias("cn"))
+    marg = (
+        r.join(c, "k")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("s"))
+    )
+    out = tot.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(marg))
+    return out.select(
+        F.col("nn").alias("n_docs"),
+        F.expr("CAST((1000 * d) div nn AS BIGINT)").alias("po_milli"),
+        F.expr("CAST((1000 * s) div (nn * nn) AS BIGINT)").alias("pe_milli"),
+        F.expr(
+            "CAST((1000 * (nn * d - s)) div nullif(nn * nn - s, 0) AS BIGINT)"
+        ).alias("kappa_milli"),
+    )
