@@ -1985,3 +1985,50 @@ def isotonic_calibrate(
             F.round(F.col("_fit"), 6).alias("iso_rate"),
         )
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    out_col: str = "wq_value",
+) -> DataFrame:
+    """Exact weighted quantile per group: the smallest ``value_col``
+    whose running weight (in value order) reaches q_num/q_den of the
+    group's total weight — weighted median at 1/2. The estimator every
+    token-weighted corpus stat needs (an unweighted median over
+    documents answers a different question than the median the
+    TOKENS live at).
+
+    Scale shape: one hash agg to (group, value) with integer weight
+    partials, running weights from :func:`global_rank`'s
+    frozen-boundary cumsum (no single-partition window), group totals
+    joined back broadcast, and a min-of-struct argmin — all exact
+    bigint comparisons (q_den·cum ≥ q_num·total), no division at all.
+    """
+    g = df.groupBy(*group_cols, F.col(value_col).alias("_wq_v")).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("_wq_w")
+    )
+    r = global_rank(
+        g,
+        [F.col("_wq_v")],
+        rank_col="_wq_rk",
+        partition_cols=list(group_cols),
+        cumsum_cols={"_wq_cum": "_wq_w"},
+    )
+    totals = g.groupBy(*group_cols).agg(
+        F.sum("_wq_w").cast("bigint").alias("_wq_tot")
+    )
+    hit = r.join(F.broadcast(totals), list(group_cols)).where(
+        F.lit(int(q_den)) * F.col("_wq_cum") >= F.lit(int(q_num)) * F.col("_wq_tot")
+    )
+    return (
+        hit.groupBy(*group_cols)
+        .agg(
+            F.min("_wq_v").cast("bigint").alias(out_col),
+            F.max("_wq_tot").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -4711,3 +4711,44 @@ def langid_agreement_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * (nn * d - s)) div nullif(nn * nn - s, 0) AS BIGINT)"
         ).alias("kappa_milli"),
     )
+
+
+@query(
+    "docs_weighted_median_length",
+    f"""
+    WITH g AS (
+      SELECT source, n_chars AS v,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT source, v, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS tot
+      FROM g
+    )
+    SELECT source,
+           CAST(MIN(v) AS BIGINT) AS wq_value,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM r WHERE 2 * cum >= tot GROUP BY source
+    """,
+)
+def docs_weighted_median_length_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted median document length per source — where the
+    median token actually lives, which for long-tailed corpora sits
+    far above the unweighted document median (the number that matters
+    when packing sequences or budgeting context). Exact integer
+    weighted quantile: (source, length) hash agg with bigint token
+    partials → global_rank frozen-boundary running weights → broadcast
+    totals → bigint threshold compare, zero divisions
+    (relational.weighted_quantile)."""
+    from avocado_spark.operators.relational import weighted_quantile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("w"),
+    )
+    return weighted_quantile(d, ["source"], "n_chars", "w")

@@ -151,3 +151,34 @@ def test_ks_two_sample_hypothesis_differential(spark):
         assert out["ks_bp"] == (10000 * d_num) // (len(a) * len(b))
 
     _case()
+
+
+def test_weighted_quantile_matches_brute(spark):
+    import random
+
+    from avocado_spark.operators.relational import weighted_quantile
+
+    rng = random.Random(42)
+    rows = [
+        (g, rng.randrange(1, 30), rng.randrange(1, 9))
+        for g in ("a", "b")
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    for qn, qd in ((1, 2), (9, 10)):
+        got = {
+            r["g"]: (r["wq_value"], r["total_weight"])
+            for r in weighted_quantile(df, ["g"], "v", "w", qn, qd).collect()
+        }
+        for g in ("a", "b"):
+            per = {}
+            for gg, v, w in rows:
+                if gg == g:
+                    per[v] = per.get(v, 0) + w
+            tot = sum(per.values())
+            cum = 0
+            for v in sorted(per):
+                cum += per[v]
+                if qd * cum >= qn * tot:
+                    assert got[g] == (v, tot), (g, qn, qd, got[g], v, tot)
+                    break
