@@ -2006,8 +2006,11 @@ def weighted_quantile(
     Scale shape: one hash agg to (group, value) with integer weight
     partials, running weights from :func:`global_rank`'s
     frozen-boundary cumsum (no single-partition window), group totals
-    joined back broadcast, and a min-of-struct argmin — all exact
-    bigint comparisons (q_den·cum ≥ q_num·total), no division at all.
+    joined back (no explicit broadcast hint: group cardinality is
+    caller-dependent, so AQE picks broadcast when the totals side is
+    small and a shuffle join when it isn't), and a min-per-group agg —
+    all exact bigint comparisons (q_den·cum ≥ q_num·total), no
+    division at all.
     """
     g = df.groupBy(*group_cols, F.col(value_col).alias("_wq_v")).agg(
         F.sum(F.col(weight_col)).cast("bigint").alias("_wq_w")
@@ -2022,7 +2025,7 @@ def weighted_quantile(
     totals = g.groupBy(*group_cols).agg(
         F.sum("_wq_w").cast("bigint").alias("_wq_tot")
     )
-    hit = r.join(F.broadcast(totals), list(group_cols)).where(
+    hit = r.join(totals, list(group_cols)).where(
         F.lit(int(q_den)) * F.col("_wq_cum") >= F.lit(int(q_num)) * F.col("_wq_tot")
     )
     return (
