@@ -141,6 +141,11 @@ def main() -> None:
         "nation_trade_matrix",
         "customer_rfm_segments",
         "ann_mmr_diversified",
+        # r8e: header-vs-detail reconciliation (order-key rollup +
+        # orders join — two fact shuffles) and the token-weighted
+        # median (rank/cumsum over the (source, length) rollup)
+        "orders_reconciliation",
+        "docs_weighted_median_length",
         # coorder_kcore also stays OUT: 6 peeling rounds over the 1.2M-
         # edge sf0.1 co-order graph are another iterative loop (~60 s)
         # whose per-round plan dedup_clusters/pagerank already cover;
