@@ -684,6 +684,10 @@ def streaming_bench() -> int:
             "attribution_join",
             lambda s: SE.attribution_join(s, how="inner"),
         ),
+        # r8e: the O(1)-per-key-state CUSUM detector — 3 longs per
+        # event_type vs the burst detector's trailing list, so its
+        # per-row cost is the floor for applyInPandasWithState here
+        ("cusum_alerts_stream", lambda s: SE.cusum_alerts_stream(s)),
     ):
         per_cfg = {}
         for n_files in file_configs:
