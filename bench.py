@@ -243,12 +243,12 @@ def main() -> None:
             # fixed trigger overhead from per-row cost — the tier is
             # overhead-bound, not per-row-bound (STREAMBENCH_r08):
             "streaming": (
-                "at 12.5k rows/batch: burst_alerts 7.6k rows/s, "
-                "attribution 4.6k rows/s; at 100k rows/batch: 73.1k and "
-                "17.0k rows/s. Decomposed: fixed ~1.67s/trigger (burst) "
-                "/ ~2.27s (attribution), per-row cost ~0/ ~36us — "
-                "throughput scales with batch size, so cluster-side "
-                "batch sizing recovers it"
+                "whole-table batch: burst 52.9k rows/s, attribution "
+                "10.6k, CUSUM 73.3k; 12.5k-row batches: 5.7k/1.9k/"
+                "10.1k. Decomposed per-row cost: ~0us (burst), ~32us "
+                "(stream-stream join), ~1.4us (CUSUM O(1)-state) — "
+                "the tier is trigger-overhead-bound, so cluster-side "
+                "batch sizing recovers throughput (STREAMBENCH_r08)"
             ),
             # r8 (r7 verdict #5): dedup_threshold_sweep's r7 10x ratio
             # 4.51 was first-touch misattribution — it was the first
