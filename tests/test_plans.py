@@ -931,3 +931,20 @@ def test_trade_matrix_fact_scan_pruned(spark):
         s == {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"}
         for s in li
     ), scans
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """Engine-wide invariant: NO query in the registry may plan a
+    CartesianProduct — the partitions×partitions shape that detonates
+    at any scale. (BroadcastNestedLoopJoin is NOT banned here: a
+    crossJoin against a broadcast 1-row aggregate compiles to a BNLJ
+    and is the house pattern for attaching scalar totals; the bounded
+    ones are guarded per-operator.) Builds every plan at smoke scale —
+    a few minutes, but it pins the whole surface."""
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, sorted(offenders)
