@@ -3077,3 +3077,22 @@ def events_seasonal_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nullif(n_test * train_sae7, 0) AS BIGINT)"
         ).alias("mase_milli"),
     )
+
+
+@query(
+    "stream_quantile_sketch",
+    """
+    SELECT event_type,
+           CAST(LENGTH(bin(CAST(ROUND(value * 100) AS BIGINT))) AS INTEGER) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shadow of the streaming log2-histogram quantile-sketch
+    build: the sketch state is a plain integer hash agg, so batch and
+    complete-mode streaming compute the identical (type × ≤64 bins)
+    table — the mergeability proof for using the sketch as a live
+    quantile monitor (tests/test_streaming.py runs the true-streaming
+    path to convergence)."""
+    return EV.quantile_sketch_agg(load_table(spark, sf_dir, "events"))

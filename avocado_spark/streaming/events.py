@@ -780,3 +780,23 @@ def query_health(query) -> list[dict]:
             }
         )
     return out
+
+
+def quantile_sketch_agg(events: DataFrame) -> DataFrame:
+    """Streaming build of the mergeable log2-histogram quantile sketch
+    (sketches.log2_hist_quantiles's state): per event_type, exact
+    counts per BIT-LENGTH bin of the cent value. Because the sketch
+    state is a plain integer-count hash aggregation, the SAME
+    definition runs batch or streaming (complete mode) and micro-batch
+    partials merge associatively — the property that makes the sketch
+    a streaming-native quantile monitor where an exact rank quantile
+    would need the whole history. The tiny (type × ≤64 bins) result is
+    turned into p50/p95/p99 estimates downstream (or by
+    log2_hist_quantiles on the batch side)."""
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.select("event_type", v_c.alias("_qs_v"))
+        .withColumn("bin_id", F.expr("CAST(length(bin(_qs_v)) AS INT)"))
+        .groupBy("event_type", "bin_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

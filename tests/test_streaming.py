@@ -506,3 +506,14 @@ def test_query_health_surfaces_watermark_drops(spark, tmp_path):
     assert any((h["watermark"] or "") >= "2024-01-01T02:00:00" for h in health)
     # bounded state: never more windows than distinct (window, type) keys
     assert all(h["state_rows"] <= 4 for h in health)
+
+
+def test_streaming_quantile_sketch_matches_batch(spark, events_stream):
+    """The mergeable log2-hist sketch built by Structured Streaming
+    (complete mode) must equal the batch build bin-for-bin — the
+    micro-batch partials merge associatively by construction."""
+    batch = EV.quantile_sketch_agg(load_table(spark, SF_SMOKE, "events"))
+    out = _run_stream(
+        spark, EV.quantile_sketch_agg(events_stream), "t_qsketch", "complete"
+    )
+    assert _rows(out) == _rows(batch)
