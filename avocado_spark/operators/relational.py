@@ -1369,13 +1369,33 @@ def _range_boundaries(
         F.col(f"_gr_k{i}").asc() if d == "asc" else F.col(f"_gr_k{i}").desc()
         for i, d in enumerate(dirs)
     ]
-    w = Window.partitionBy("_gr_bpid").orderBy(*key_sorts)
+    # ONE single-partition window job over the SAMPLE (≤ ~buckets·100
+    # rows by the sampling fraction — bounded by the bucket count, not
+    # the input size, so the single partition is safe at any scale).
+    # The previous repartitionByRange route cost two extra jobs per
+    # build (the range partitioner's own sampling pass + the shuffle);
+    # at 3 rank builds per query that overhead dominated small inputs.
+    # Ordering semantics (collation, NaN, null placement) still never
+    # leave the engine: the sort and the every-⌈s/buckets⌉-th-row pick
+    # are engine-side; only the ≤ buckets−1 boundary rows return.
+    w = Window.orderBy(*key_sorts)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = samp.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("_gr_brn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("_gr_bs"),
+    )
+    # row rn starts bucket ⌊(rn−1)·b/s⌋; keep the first row of each
+    # bucket > 0, i.e. rows where that floor steps up from rn−1's.
     firsts = (
-        samp.repartitionByRange(buckets, *key_sorts)
-        .withColumn("_gr_bpid", F.spark_partition_id())
-        .withColumn("_gr_brn", F.row_number().over(w))
-        .where((F.col("_gr_brn") == 1) & (F.col("_gr_bpid") > 0))
-        .orderBy("_gr_bpid")
+        ranked.where(
+            (F.col("_gr_brn") > 1)
+            & (
+                F.expr(f"((_gr_brn - 1) * {buckets}) div _gr_bs")
+                > F.expr(f"((_gr_brn - 2) * {buckets}) div _gr_bs")
+            )
+        )
+        .orderBy("_gr_brn")
         .collect()
     )
     def _canon(x):
@@ -1428,6 +1448,75 @@ def _at_or_after(
     return expr
 
 
+def _render_literal_sql(v, dtype: str) -> str:
+    """Render a driver-side boundary value as Spark-SQL text CAST to
+    the key column's EXACT engine type. This lets frozen_range_ids
+    build its whole bucket-id predicate in ONE parsed expression
+    instead of ~30 per-boundary py4j Column folds (hundreds of round
+    trips — measured as the dominant cost of building a rank over a
+    small input: ~1.5 s of driver time per global_rank call). Raises
+    TypeError for types with no textual form; the caller falls back to
+    the Column path."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return f"CAST(NULL AS {dtype})"
+    if isinstance(v, bool):
+        return f"CAST('{'true' if v else 'false'}' AS {dtype})"
+    if isinstance(v, (int, decimal.Decimal)):
+        return f"CAST('{v}' AS {dtype})"
+    if isinstance(v, float):
+        if v != v:
+            s = "NaN"
+        elif v == float("inf"):
+            s = "Infinity"
+        elif v == float("-inf"):
+            s = "-Infinity"
+        else:
+            s = repr(v)  # shortest round-trip repr — bit-exact on CAST
+        return f"CAST('{s}' AS {dtype})"
+    if isinstance(v, datetime.datetime):
+        return f"CAST('{v.isoformat(sep=' ')}' AS {dtype})"
+    if isinstance(v, datetime.date):
+        return f"CAST('{v.isoformat()}' AS {dtype})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {dtype})"
+    if isinstance(v, (bytes, bytearray)):
+        return f"CAST(X'{bytes(v).hex()}' AS {dtype})"
+    raise TypeError(f"no SQL literal form for {type(v).__name__}")
+
+
+def _at_or_after_sql(
+    names: Sequence[str],
+    dirs: Sequence[str],
+    dtypes: Sequence[str],
+    bound: tuple,
+) -> str:
+    """SQL-text twin of :func:`_at_or_after` over pre-projected key
+    column NAMES — same right-to-left lexicographic fold, same null
+    placement (asc = NULLS FIRST, desc = NULLS LAST), one string."""
+    expr = "true"
+    for name, d, dt, bval in zip(
+        reversed(names), reversed(dirs), reversed(dtypes), reversed(bound)
+    ):
+        lit = _render_literal_sql(bval, dt)
+        eq = f"({name} <=> {lit})"
+        if d == "asc":
+            after = (
+                f"(({lit} IS NULL AND {name} IS NOT NULL) OR "
+                f"({name} IS NOT NULL AND {lit} IS NOT NULL AND {name} > {lit}))"
+            )
+        else:
+            after = (
+                f"(({name} IS NULL AND {lit} IS NOT NULL) OR "
+                f"({name} IS NOT NULL AND {lit} IS NOT NULL AND {name} < {lit}))"
+            )
+        expr = f"({after} OR ({eq} AND {expr}))"
+    return expr
+
+
 def frozen_range_ids(
     df: DataFrame,
     order_cols: Sequence[Column | tuple[Column, str]],
@@ -1454,13 +1543,31 @@ def frozen_range_ids(
         buckets = _default_buckets(sess)
     vals, dirs, _sorts = _order_spec(order_cols)
     bounds = _range_boundaries(df, vals, dirs, buckets, rows_hint=rows_hint)
-    if bounds:
-        pid = sum(
-            (_at_or_after(vals, dirs, b).cast("int") for b in bounds),
-            start=F.lit(0),
-        )
-    else:
-        pid = F.lit(0)
+    if not bounds:
+        return df.withColumn(id_col, F.lit(0)), 1
+    # Fast path: project the key expressions once, render the whole
+    # sum-of-lexicographic-comparisons predicate as ONE parsed SQL
+    # expression (identical runtime plan — flat codegen'd casts — but
+    # a single py4j round trip instead of hundreds; the per-literal
+    # Column fold was ~1.5 s of pure driver time per rank build).
+    k = len(vals)
+    names = [f"_gr_fk{i}" for i in range(k)]
+    if not any(nm in df.columns for nm in names):
+        keyed = df.withColumns(dict(zip(names, vals)))
+        dtypes = [keyed.schema[nm].dataType.simpleString() for nm in names]
+        try:
+            terms = [
+                f"CAST(({_at_or_after_sql(names, dirs, dtypes, b)}) AS INT)"
+                for b in bounds
+            ]
+            pid = F.expr("(" + " + ".join(terms) + ")")
+            return keyed.withColumn(id_col, pid).drop(*names), len(bounds) + 1
+        except TypeError:  # key type with no SQL literal form
+            pass
+    pid = sum(
+        (_at_or_after(vals, dirs, b).cast("int") for b in bounds),
+        start=F.lit(0),
+    )
     return df.withColumn(id_col, pid), len(bounds) + 1
 
 
@@ -1858,18 +1965,24 @@ def ks_two_sample(
     PSI monitor (events_value_psi): D is the exact sup-distance
     between the two ECDFs, plus WHERE it occurs.
 
-    Returns ONE row: (n_a, n_b bigint; d_num DECIMAL(38,0) — the
-    integer numerator max|n_b·cumA(v) − n_a·cumB(v)|; ks_bp bigint —
+    Returns ONE row: (n_a, n_b bigint; d_num BIGINT — the integer
+    numerator max|n_b·cumA(v) − n_a·cumB(v)|; ks_bp bigint —
     ⌊10000·D⌋; d_at_value bigint — the smallest value attaining the
-    max, so drift reports point at a concrete threshold).
+    max, so drift reports point at a concrete threshold). d_num is
+    emitted as BIGINT because |n_b·cumA − n_a·cumB| ≤ n_a·n_b, which
+    fits in int64 for up to ~3e9 rows per side — comfortably past any
+    single KS comparison's sample size; the cross-multiplication
+    itself stays in DECIMAL(38,0) internally so intermediate products
+    never wrap.
 
     Scale shape: one hash agg to DISTINCT values (bounded by the value
     domain, not the row count), running ECDF counts via
     :func:`global_rank`'s frozen-boundary cumsum (no
     Exchange SinglePartition anywhere), 1-row totals broadcast back,
     and a final max-of-struct agg for the argmax. All arithmetic is
-    exact: the cross-multiplied products live in DECIMAL(38,0), which
-    holds n ≈ 1e18 per side — far past 100 TB row counts.
+    exact: the cross-multiplied products live in DECIMAL(38,0)
+    internally; only the final d_num output narrows to BIGINT (safe
+    for n ≤ ~3e9 per side, see above).
     """
     v = F.col(value_col)
     g = df.groupBy(v.alias("_ks_v")).agg(
@@ -1913,7 +2026,7 @@ def ks_two_sample(
     return best.select(
         "n_a",
         "n_b",
-        F.col("d_num").cast(dec).alias("d_num"),
+        F.col("d_num").cast("bigint").alias("d_num"),
         ks_bp.alias("ks_bp"),
         (-F.col("_ks_best.nv")).cast("bigint").alias("d_at_value"),
     )

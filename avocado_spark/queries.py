@@ -2661,12 +2661,20 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles,
-    score 5 = best): the classic CRM cube, built scale-first — all
-    three quintile ranks come from chained relational.global_rank
-    calls (frozen-boundary two-phase rank, NO single-partition window
-    over the customer rollup), the quintile cut is the exact integer
-    formula 1 + ⌊5(rank−1)/n⌋ (NOT engine-specific NTILE remainder
-    semantics), and the output is the tiny ≤125-cell segment cube."""
+    score 5 = best): the classic CRM cube, built scale-first — the
+    three quintile ranks are INDEPENDENT relational.global_rank calls
+    over narrow projections, joined back on the customer key
+    (frozen-boundary two-phase rank, NO single-partition window over
+    the customer rollup; chaining the ranks would re-execute every
+    earlier window 2^depth times). The quintile cut is the exact
+    integer formula 1 + ⌊5(rank−1)/n⌋ (NOT engine-specific NTILE
+    remainder semantics), and the output is the tiny ≤125-cell segment
+    cube. The per-customer rollup is eagerly checkpointed so its five
+    consumers (the shared count, three ranks, and the join-back) read
+    cached blocks instead of re-running the orders scan+agg; the cube
+    is bounded by construction, so it is materialized here and the
+    checkpoint blocks released before returning — nothing persists
+    past the call."""
     o = _t(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("_a"))
     per_cust = (
@@ -2691,7 +2699,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global_rank calls (whose branches would re-execute every earlier
     # window 2^depth times). One count job is shared as rows_hint so
     # each global_rank skips its own count, and doubles as the literal
-    # n in the quintile formula.
+    # n in the quintile formula. per_cust is checkpointed first: five
+    # consumers would otherwise re-run the orders scan+agg each.
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
+
+    owned: set[int] = set()
+    per_cust = _tracked_checkpoint(per_cust, owned)
     n_customers = per_cust.count()
     ranks = {}
     for rk_col, metric in (
@@ -2717,10 +2733,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1 + (5 * (m_rk - 1)) div n AS INT)").alias("m_score"),
         "monetary_c",
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    cube = scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("monetary_c").cast("bigint").alias("segment_monetary_c"),
     )
+    # the cube is ≤125 rows by construction (5×5×5 scores): materialize
+    # it, free the checkpoint blocks, and hand back a local DataFrame —
+    # the caller's collect cannot trigger a recompute of dead lineage.
+    rows = cube.collect()
+    _release_rdds(cube, owned)
+    return spark.createDataFrame(rows, cube.schema)
 
 
 @query(

@@ -2668,7 +2668,7 @@ _KS_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
     ),
     m AS (SELECT n_a, n_b, MAX(dd) AS d_num FROM d GROUP BY 1, 2)
     SELECT m.n_a, m.n_b,
-           CAST(m.d_num AS DECIMAL(38,0)) AS d_num,
+           CAST(m.d_num AS BIGINT) AS d_num,
            CAST((CAST(10000 AS HUGEINT) * CAST(m.d_num AS HUGEINT))
                 // (CAST(m.n_a AS HUGEINT) * CAST(m.n_b AS HUGEINT)) AS BIGINT)
              AS ks_bp,

@@ -188,3 +188,25 @@ def test_pagerank_releases_adjacency_blocks(spark):
     assert residual <= 1, (
         f"pagerank left {residual} persisted tables (expected final ranks only)"
     )
+
+
+def test_rfm_segments_release_rollup_checkpoint(spark):
+    """customer_rfm_segments checkpoints its per-customer rollup so the
+    five consumers (count, three ranks, join-back) reuse one
+    materialization — and must free those blocks before returning,
+    since the returned ≤125-row cube is rebuilt driver-local. A leak
+    here pins one orders rollup per query for the session lifetime."""
+    from avocado_spark.queries import get_queries
+    from tests.conftest import SF_SMOKE
+
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = _ids()
+    out = get_queries()["customer_rfm_segments"](spark, SF_SMOKE)
+    assert out.count() >= 1
+    leaked = _ids() - before
+    assert not leaked, (
+        f"customer_rfm_segments left persisted RDD ids {leaked}"
+    )
