@@ -824,6 +824,14 @@ def mmr_diversify_topk(
     Output: (q_id, mmr_rank 1..k, vec_id, score) — rank 1's score is
     its relevance; later ranks carry the MMR margin. The result is a
     literal (LocalTableScan) DataFrame; no checkpoint blocks survive.
+
+    COST AT SCALE: O(k · |queries|) driver round trips — the greedy
+    argmax is sequential in k BY DEFINITION (round t's scores depend
+    on rounds 1..t−1's picks), and each round collects one row per
+    query. Bounded by MAX_EVAL_QUERIES, this is an EVALUATION/RE-RANK
+    operator: right for offline eval and last-mile re-ranking of
+    shortlists, wrong as a corpus-wide serving path (there you'd push
+    MMR into the application layer over the already-retrieved top-N).
     """
     from avocado_spark.operators.components import _release_rdds, _tracked_checkpoint
 

@@ -373,6 +373,22 @@ def kmv_pairwise_overlap(
     )
 
 
+def log2_bin_expr(value_col: str) -> Column:
+    """Guarded bit-length bin id for the log2-histogram sketch:
+    CAST(length(bin(v)) AS INT) for v >= 0, raise_error for negative v.
+    Without the guard a negative value silently diverges across
+    engines — Spark's shiftleft(1, 64) wraps the 64-bit bin edge to 1
+    while DuckDB's (1::BIGINT << 64) raises Out of Range — so bad
+    input must fail loudly and identically instead."""
+    return F.expr(
+        f"CASE WHEN {value_col} >= 0 "
+        f"THEN CAST(length(bin({value_col})) AS INT) "
+        f"ELSE CAST(raise_error('log2 histogram sketch requires "
+        f"non-negative values, got ' || CAST({value_col} AS STRING)) "
+        f"AS INT) END"
+    )
+
+
 def log2_hist_quantiles(
     df: DataFrame,
     group_cols: list[str],
@@ -396,13 +412,18 @@ def log2_hist_quantiles(
 
     Output: group_cols + (n, est_p{q}_c per requested integer
     percentile). ONE hash agg over the data; the cumulative pass runs
-    on ≤ 64 rows per group. Requires ``value_col`` >= 1.
+    on ≤ 64 rows per group. Requires ``value_col`` >= 0 — ENFORCED: a
+    negative value raises at execution instead of silently wrapping
+    (bin(-x) is 64 bits long, and shiftleft(1, 64) wraps to 1 in Spark
+    while DuckDB's 1 << 64 errors — a silent cross-engine divergence
+    if allowed through). Zero is fine: it shares bin 1 with value 1,
+    and the reported upper edge 1 still bounds it.
     """
     from pyspark.sql import Window as W  # noqa: N814
 
     b = df.groupBy(
         *group_cols,
-        F.expr(f"CAST(length(bin({value_col})) AS INT)").alias("_lh_bin"),
+        log2_bin_expr(value_col).alias("_lh_bin"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("_lh_c"))
     wcum = (
         W.partitionBy(*group_cols)

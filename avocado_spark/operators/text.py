@@ -108,6 +108,12 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
+# bpe_phrase_merges is O(n_merges · corpus) — one full positional-table
+# pass per merge round (inherent to BPE training). Past this many
+# rounds the call emits a RuntimeWarning telling the caller to cap the
+# corpus first; real vocabularies (30k+ merges) need a bounded sample.
+BPE_MERGE_WARN_THRESHOLD = 64
+
 
 def bpe_ish_tokens(text: Column) -> Column:
     """BPE-ish pre-tokenization: alphanumeric runs and single
@@ -770,7 +776,26 @@ def bpe_phrase_merges(
     re-executing every prior rewrite. The per-round argmax is ONE row,
     collected to the driver and frozen into the next rewrite as
     literals (no crossJoin); the returned merge table is built from
-    those literals, so the operator ends with ZERO pinned blocks."""
+    those literals, so the operator ends with ZERO pinned blocks.
+
+    COST AT SCALE: O(n_merges · |corpus|) — every round re-reads and
+    rewrites the full positional table (inherent to BPE training: the
+    round-k pair counts depend on round k−1's rewrite), and each round
+    is a driver-synchronized barrier. At 100 TB each merge is a full
+    pass; real tokenizer training caps the corpus first (sample or
+    frequency-prune to a token budget — token_budget_plan composes).
+    n_merges > ``BPE_MERGE_WARN_THRESHOLD`` emits a RuntimeWarning."""
+    import warnings
+
+    if n_merges > BPE_MERGE_WARN_THRESHOLD:
+        warnings.warn(
+            f"bpe_phrase_merges runs one full-corpus pass PER MERGE "
+            f"(n_merges={n_merges}): O(n_merges x corpus). Cap the "
+            f"corpus (sample / frequency-prune) before training at "
+            f"scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     from pyspark.sql import Window
 
     from avocado_spark.operators.components import _release_rdds, _tracked_checkpoint

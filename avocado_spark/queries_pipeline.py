@@ -820,6 +820,100 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id % 3 AS INT) AS k,
+             CAST(8 + doc_id % 8 AS BIGINT) AS w,
+             CAST(6 + doc_id % 6 AS BIGINT) AS h,
+             CAST(doc_id % 256 AS BIGINT) AS seed,
+             CAST(1 + doc_id % 3 AS BIGINT) AS nf,
+             CAST(64 + doc_id % 64 AS BIGINT) AS ns
+      FROM documents
+    ),
+    img AS (
+      SELECT doc_id, seed, unnest(generate_series(0, 3*w*h - 1)) AS i
+      FROM m WHERE k = 0
+    ),
+    img_s AS (
+      SELECT doc_id, SUM((seed + i) % 256) AS px_sum,
+             COUNT(*) AS px_count
+      FROM img GROUP BY 1
+    ),
+    aud AS (
+      SELECT doc_id, seed, unnest(generate_series(0, ns - 1)) AS i
+      FROM m WHERE k = 1
+    ),
+    aud_s AS (
+      SELECT doc_id,
+             SUM((7*seed + i) % 256 - 128) AS amp_sum,
+             SUM(((7*seed + i) % 256 - 128) * ((7*seed + i) % 256 - 128))
+               AS amp_sumsq,
+             COUNT(*) AS n_samples
+      FROM aud GROUP BY 1
+    ),
+    vidf AS (
+      SELECT doc_id, w, h, seed, unnest(generate_series(0, nf - 1)) AS f
+      FROM m WHERE k = 2
+    ),
+    vid AS (
+      SELECT doc_id, seed, f, unnest(generate_series(0, 3*w*h - 1)) AS i
+      FROM vidf
+    ),
+    vid_s AS (
+      SELECT doc_id, SUM((seed + f + i) % 256) AS px_sum,
+             COUNT(*) AS px_count
+      FROM vid GROUP BY 1
+    )
+    SELECT m.doc_id AS media_id, 'image' AS kind,
+           CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+           CAST(1 AS INT) AS n_frames,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(s.px_sum AS BIGINT) AS px_sum,
+           CAST(s.px_count AS BIGINT) AS px_count,
+           CAST(NULL AS BIGINT) AS amp_sum,
+           CAST(NULL AS BIGINT) AS amp_sumsq
+    FROM m JOIN img_s s USING (doc_id) WHERE m.k = 0
+    UNION ALL
+    SELECT m.doc_id, 'audio',
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(8000 AS INT), CAST(s.n_samples AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(s.amp_sum AS BIGINT), CAST(s.amp_sumsq AS BIGINT)
+    FROM m JOIN aud_s s USING (doc_id) WHERE m.k = 1
+    UNION ALL
+    SELECT m.doc_id, 'video',
+           CAST(m.w AS INT), CAST(m.h AS INT), CAST(m.nf AS INT),
+           CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           CAST(s.px_sum AS BIGINT), CAST(s.px_count AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM m JOIN vid_s s USING (doc_id) WHERE m.k = 2
+    """,
+)
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HONEST media decode: encode real binary containers (P6 PPM
+    images, RIFF/WAVE PCM16 audio, TVID multi-frame video) per
+    document, ship them through the Arrow exchange, then PARSE the
+    bytes back — header tokenization, chunk walking, raster/sample
+    extraction — and emit exact integer pixel/sample statistics. The
+    payload content is closed-form in doc_id, so the oracle replays
+    the decoded stats in SQL (unnest(generate_series) per pixel/
+    sample) without running either codec: if the parse were a
+    pass-through fake, the hashes would not match. Zero shuffles —
+    decode is embarrassingly parallel; real codecs (PIL/ffmpeg) slot
+    into the same batch fn + schema when present."""
+    from avocado_spark.operators.multimodal import (
+        decode_media,
+        synth_media_encoded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(synth_media_encoded(docs))
+
+
+@query(
     "ann_ivf_probed",
     f"""
     WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -4661,16 +4755,18 @@ def _kappa_oracle_sql() -> str:
       FROM cm
     ),
     marg AS (
-      SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS s
+      SELECT CAST(SUM(CAST(r.rn AS HUGEINT) * c.cn) AS HUGEINT) AS s
       FROM (SELECT labeled_lang AS k, SUM(n) AS rn FROM cm GROUP BY 1) r
       JOIN (SELECT predicted_lang AS k, SUM(n) AS cn FROM cm GROUP BY 1) c
         ON r.k = c.k
     )
     SELECT tot.nn AS n_docs,
            CAST((1000 * diag.d) // tot.nn AS BIGINT) AS po_milli,
-           CAST((1000 * marg.s) // (tot.nn * tot.nn) AS BIGINT) AS pe_milli,
-           CAST((1000 * (tot.nn * diag.d - marg.s))
-                // NULLIF(tot.nn * tot.nn - marg.s, 0) AS BIGINT) AS kappa_milli
+           CAST((1000 * marg.s)
+                // (CAST(tot.nn AS HUGEINT) * tot.nn) AS BIGINT) AS pe_milli,
+           CAST((1000 * (CAST(tot.nn AS HUGEINT) * diag.d - marg.s))
+                // NULLIF(CAST(tot.nn AS HUGEINT) * tot.nn - marg.s, 0)
+                AS BIGINT) AS kappa_milli
     FROM tot, diag, marg
     """
 
@@ -4698,17 +4794,28 @@ def langid_agreement_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = cm.groupBy(F.col("labeled_lang").alias("k")).agg(F.sum("n").alias("rn"))
     c = cm.groupBy(F.col("predicted_lang").alias("k")).agg(F.sum("n").alias("cn"))
-    marg = (
-        r.join(c, "k")
-        .agg(F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("s"))
+    # the cross-multiplied terms (Σrᵢcᵢ, N², N·diag) wrap int64 past
+    # ~3e9 documents — route them through DECIMAL(38,0) (the
+    # ks_two_sample convention; DuckDB replays in HUGEINT), keeping
+    # only the bounded milli outputs in BIGINT
+    marg = r.join(c, "k").agg(
+        F.sum(
+            F.col("rn").cast("decimal(38,0)") * F.col("cn").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s")
     )
     out = tot.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(marg))
+    dec = "CAST(nn AS DECIMAL(38,0))"
     return out.select(
         F.col("nn").alias("n_docs"),
         F.expr("CAST((1000 * d) div nn AS BIGINT)").alias("po_milli"),
-        F.expr("CAST((1000 * s) div (nn * nn) AS BIGINT)").alias("pe_milli"),
         F.expr(
-            "CAST((1000 * (nn * d - s)) div nullif(nn * nn - s, 0) AS BIGINT)"
+            f"CAST((1000 * s) div ({dec} * {dec}) AS BIGINT)"
+        ).alias("pe_milli"),
+        F.expr(
+            f"CAST((1000 * ({dec} * CAST(d AS DECIMAL(38,0)) - s)) "
+            f"div nullif({dec} * {dec} - s, 0) AS BIGINT)"
         ).alias("kappa_milli"),
     )
 

@@ -71,3 +71,23 @@ def test_static_over_bound_refused_without_job(spark, monkeypatch):
     monkeypatch.setattr(pdf.DataFrame, "count", _boom)
     with pytest.raises(ValueError, match="MAX_EVAL_QUERIES"):
         S.brute_force_topk(emb, emb.limit(60), k=3)
+
+
+def test_bpe_merge_count_warns_past_threshold(spark):
+    """bpe_phrase_merges is O(n_merges * corpus); past the documented
+    threshold it must say so (r8 advice: cost-note the loop)."""
+    import warnings
+
+    from avocado_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TX.bpe_phrase_merges(docs, n_merges=TX.BPE_MERGE_WARN_THRESHOLD + 1)
+        assert any("full-corpus pass PER MERGE" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TX.bpe_phrase_merges(docs, n_merges=2)
+        assert not any(issubclass(x.category, RuntimeWarning) for x in w)

@@ -309,3 +309,66 @@ def test_boundary_dedup_canonicalizes_negative_zero(spark):
     bounds = _range_boundaries(df, [F.col("v")], ["asc"], buckets=6)
     markers = [tuple(repr(x + 0.0) if isinstance(x, float) and x == 0.0 else repr(x) for x in b) for b in bounds]
     assert len(markers) == len(set(markers)), bounds
+
+
+def test_sql_literal_fast_path_matches_column_fold(spark):
+    """frozen_range_ids' one-parse SQL predicate (r9 driver-time fix)
+    must assign the SAME bucket ids as the per-literal Column fold it
+    replaced, across the tricky literal types: strings needing quote/
+    backslash escaping, dates, decimals, doubles (incl. -0.0), and
+    NULL keys. Both paths run on the same frozen boundary draw."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.relational import (
+        _at_or_after,
+        _at_or_after_sql,
+        _order_spec,
+        _range_boundaries,
+    )
+
+    rows = []
+    for i in range(400):
+        s = ["plain", "o'quote", "back\\slash", "unié", None][i % 5]
+        d = datetime.date(2024, 1 + i % 12, 1 + i % 28)
+        dec = decimal.Decimal(i * 7 % 101) - decimal.Decimal("50.25")
+        f = [-0.0, 0.0, 1.5, -3.25, float(i)][i % 5]
+        rows.append((i, s, d, dec, f))
+    df = spark.createDataFrame(
+        rows, "k long, s string, d date, dec decimal(12,2), f double"
+    )
+    for order in (
+        [F.col("s"), F.col("k")],
+        [F.col("d"), F.col("k")],
+        [F.col("dec"), F.col("k")],
+        [(F.col("f"), "desc"), F.col("k")],
+    ):
+        vals, dirs, _sorts = _order_spec(order)
+        bounds = _range_boundaries(df, vals, dirs, 8)
+        assert bounds, "fixture should produce boundaries"
+        k = len(vals)
+        keyed = df.withColumns({f"_gr_fk{i}": vals[i] for i in range(k)})
+        dtypes = [
+            keyed.schema[f"_gr_fk{i}"].dataType.simpleString() for i in range(k)
+        ]
+        names = [f"_gr_fk{i}" for i in range(k)]
+        sql_pid = F.expr(
+            "(" + " + ".join(
+                f"CAST(({_at_or_after_sql(names, dirs, dtypes, b)}) AS INT)"
+                for b in bounds
+            ) + ")"
+        )
+        fold_pid = sum(
+            (_at_or_after(vals, dirs, b).cast("int") for b in bounds),
+            start=F.lit(0),
+        )
+        diff = (
+            keyed.select(
+                "k", sql_pid.alias("p_sql"), fold_pid.alias("p_fold")
+            )
+            .where(~F.col("p_sql").eqNullSafe(F.col("p_fold")))
+            .count()
+        )
+        assert diff == 0

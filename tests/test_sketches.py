@@ -113,3 +113,26 @@ def test_kmv_estimates_track_exact_counts(spark):
     exact_overlap = exact_a + exact_b - exact_union
     assert abs(row["est_union"] - exact_union) <= 0.35 * exact_union, row
     assert abs(row["est_overlap"] - exact_overlap) <= 0.35 * exact_union, row
+
+
+def test_log2_hist_rejects_negative_values(spark):
+    """Negative inputs must fail loudly: Spark would otherwise wrap
+    shiftleft(1, 64) to 1 while DuckDB raises — a silent cross-engine
+    divergence (r8 advice)."""
+    import pytest
+
+    from avocado_spark.operators.sketches import log2_hist_quantiles
+
+    df = spark.createDataFrame([("a", 5), ("a", -1)], "g string, v long")
+    with pytest.raises(Exception, match="non-negative"):
+        log2_hist_quantiles(df, ["g"], "v").collect()
+
+
+def test_log2_hist_zero_is_binned_not_rejected(spark):
+    from avocado_spark.operators.sketches import log2_hist_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 7)], "g string, v long"
+    )
+    row = log2_hist_quantiles(df, ["g"], "v", quantiles=(50,)).collect()[0]
+    assert row["n"] == 3 and row["est_p50_c"] == 1  # 0 and 1 share bin 1
