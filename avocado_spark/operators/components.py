@@ -479,6 +479,72 @@ def k_core(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seed_pred,
+    n_rounds: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop labels (unweighted single/multi-source
+    shortest paths): nodes matching ``seed_pred`` (a Column predicate
+    over the node id column ``node``) start at hops 0; each synchronous
+    round labels the unlabeled neighbors of the current FRONTIER with
+    round number i. After ``n_rounds`` rounds, returns (node, hops) for
+    every reached node — hops is the exact shortest hop distance to the
+    nearest seed, the missing member of the iterative graph family
+    (components = connectivity, LPA = density, PageRank = centrality,
+    k-core = embeddedness, this = DISTANCE). Fixed round budget for
+    oracle replayability (the k_core/LPA stance): the SQL oracle
+    unrolls the same min-fold, and synchronous BFS hop labels equal the
+    min-fold fixed point within the budget.
+
+    Scale shape: per round ONE equi-join of the FRONTIER (not the full
+    label set) onto the symmetrized edges + one anti-join against the
+    accumulated labels + a distinct on the new frontier — the frontier
+    never exceeds its hop shell, so total work is O(Σ shell edges) =
+    O(m) over all rounds, not O(rounds · m). Lineage truncated per
+    round with the shared tracked-checkpoint / release discipline;
+    empty frontiers short-circuit the remaining rounds (a bounded
+    1-scalar driver check per round). Residual (final label table)
+    reported via ``stats`` for release_result."""
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj_ids: set[int] = set()
+    adj = _tracked_checkpoint(und, adj_ids)
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    labels = nodes.where(seed_pred(F.col("node"))).select(
+        "node", F.lit(0).cast("int").alias("hops")
+    )
+    prev_ids: set[int] = set()
+    labels = _tracked_checkpoint(labels, prev_ids)
+    frontier = labels.select("node")
+    rounds_run = 0
+    for i in range(1, n_rounds + 1):
+        _set_phase(adj, f"avocado:bfs_hops:round {i}")
+        reached = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = reached.join(labels, "node", "left_anti").select(
+            "node", F.lit(i).cast("int").alias("hops")
+        )
+        cur_ids: set[int] = set()
+        labels = _tracked_checkpoint(labels.unionAll(new), cur_ids)
+        _release_rdds(labels, prev_ids)
+        prev_ids = cur_ids
+        frontier = labels.where(F.col("hops") == i).select("node")
+        rounds_run = i
+        if frontier.limit(1).count() == 0:  # bounded 1-row driver check
+            break
+    _release_rdds(labels, adj_ids)
+    if stats is not None:
+        stats["rounds"] = rounds_run
+        stats["residual_rdd_ids"] = prev_ids
+    return labels
+
+
 def label_propagation(
     edges: DataFrame, n_rounds: int = 3, stats: dict | None = None
 ) -> DataFrame:

@@ -1717,6 +1717,63 @@ def coorder_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.label_propagation(C.coorder_edges(li), n_rounds=3)
 
 
+def _bfs_oracle(n_rounds: int) -> str:
+    """Unrolled synchronous min-fold BFS oracle: after round i every
+    node within i hops of a seed carries its exact shortest hop count —
+    identical to the frontier expansion components.bfs_hops runs (in
+    unweighted BFS a label never improves after first assignment)."""
+    parts = [
+        """und AS MATERIALIZED (
+      SELECT u, v FROM coedges UNION ALL SELECT v AS u, u AS v FROM coedges
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, 0 AS hops FROM und WHERE u % 997 = 0
+    )"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""h{i + 1} AS MATERIALIZED (
+      SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM h{i}
+        UNION ALL
+        SELECT e.v AS node, h.hops + 1 AS hops
+        FROM und e JOIN h{i} h ON e.u = h.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        """
+    WITH coedges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(hops AS INT) AS hops FROM h{n_rounds}
+    """
+    )
+
+
+@query("coorder_bfs_hops", _bfs_oracle(4))
+def coorder_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances on the co-order part graph:
+    parts whose key is divisible by 997 seed the search, every reached
+    part gets its exact shortest hop count within a 4-round budget —
+    the DISTANCE member of the iterative graph family (how many
+    co-purchase steps from a watched item). Frontier-expansion rounds
+    (frontier join + anti-join against accumulated labels), O(m) total
+    work across rounds, checkpoint-per-round discipline; the oracle
+    unrolls the equivalent min-fold."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.bfs_hops(
+        C.coorder_edges(li), lambda c: c % 997 == 0, n_rounds=4
+    )
+
+
 @query("coorder_kcore", _kcore_oracle(k=80, n_rounds=6))
 def coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the co-order part graph via 6 synchronous peeling

@@ -96,7 +96,11 @@ def main() -> None:
         "events_scd2_history",
         "training_shard_layout",
         # round 7b: degree-oriented triangle counting (two wedge
-        # joins), horizon-bounded multi-touch interval join
+        # joins), horizon-bounded multi-touch interval join.
+        # r9 adjudication of the apparent 4.94→5.85 s drift: quiet-
+        # machine re-bench spans 5.5–6.4 s and r8's LOCAL number was
+        # 5.22 s — environment spread, nothing in the triangle path
+        # changed this round; no action.
         "coorder_triangles",
         "multitouch_attribution",
         "longgram_overlap_pairs",
@@ -429,6 +433,7 @@ _SCALE_CORRECTNESS_QUERIES = [
     "coorder_pagerank",
     "coorder_communities",
     "coorder_kcore",
+    "coorder_bfs_hops",
     # r9: honest toy-codec decode (pixel/sample stats replayed via
     # generate_series) and the RFM cube (≤125 rows at any factor)
     "multimodal_decode",
@@ -467,6 +472,7 @@ _SCALE_QUERIES_100 = [
     ("coorder_pagerank", 450.0),
     ("coorder_communities", 450.0),
     ("coorder_kcore", 450.0),
+    ("coorder_bfs_hops", 450.0),
     # r9: linear Arrow decode path + the checkpointed three-rank cube
     ("multimodal_decode", 150.0),
     ("customer_rfm_segments", 150.0),

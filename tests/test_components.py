@@ -210,3 +210,55 @@ def test_rfm_segments_release_rollup_checkpoint(spark):
     assert not leaked, (
         f"customer_rfm_segments left persisted RDD ids {leaked}"
     )
+
+
+def test_bfs_hops_exact_distances(spark):
+    """Path graph 0-1-2-3-4-5 with seed 0: hops must be exact shortest
+    distances, bounded by the round budget."""
+    from avocado_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, lambda c: c == 0, n_rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond the budget
+
+
+def test_bfs_hops_multi_source_takes_nearest(spark):
+    from avocado_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            edges, lambda c: (c == 0) | (c == 4), n_rounds=4
+        ).collect()
+    }
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_hops_early_stop_and_release(spark):
+    """An exhausted frontier must end the loop early, and no checkpoint
+    blocks may outlive the call beyond the reported residual."""
+    from avocado_spark.operators.components import bfs_hops, release_result
+
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = _ids()
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "u long, v long")
+    stats = {}
+    out = bfs_hops(edges, lambda c: c == 0, n_rounds=10, stats=stats)
+    got = {r["node"]: r["hops"] for r in out.collect()}
+    assert got == {0: 0, 1: 1}  # component {2,3} unreached
+    assert stats["rounds"] < 10, "empty frontier should short-circuit"
+    leaked = _ids() - before
+    assert leaked == stats["residual_rdd_ids"]
+    release_result(spark, stats["residual_rdd_ids"])
+    assert _ids() - before == set()
