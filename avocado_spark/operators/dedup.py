@@ -3,11 +3,13 @@ MinHash+LSH, SimHash, blocked n-gram Jaccard, embedding-cosine.
 
 Scale stance (100 TB):
   * exact dedup is a hash groupBy — one shuffle on the content key;
-  * MinHash/LSH avoids the O(n²) pair space: signatures are computed
-    per-row with JVM higher-order functions (no UDF), candidates come
-    from an equi self-join on (band_id, band_hash) — shuffle-hash
-    joinable and skew-salvageable by AQE — and only candidates pay the
-    exact-Jaccard verification;
+  * MinHash/LSH avoids the O(n²) pair space: shingle sets + signatures
+    are computed per-row by an Arrow-vectorized numpy kernel
+    (:func:`shingle_table` — value-identical to the HOF column forms,
+    which remain for expression composition; the interpreted HOF pass
+    was ~6× the Arrow cost), candidates come from an equi self-join on
+    (band_id, band_hash) — shuffle-hash joinable and skew-salvageable
+    by AQE — and only candidates pay the exact-Jaccard verification;
   * SimHash gives a 32-bit signature whose Hamming buckets can block
     near-dup search;
   * blocked Jaccard/cosine bound the pair space by a blocking key
@@ -98,6 +100,100 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     )
 
 
+def _shingles_py(text, k: int) -> list[int]:
+    """Driver/executor-side exact twin of :func:`shingle_hashes`:
+    split(" ") → per-char 31-fold token hash mod P → k-gram polynomial
+    → first-occurrence distinct. Unit-differential-tested against the
+    HOF column (including unicode and embedded tabs — Spark's ascii()
+    is the code point, i.e. Python ord)."""
+    import numpy as np
+
+    if not text:
+        return []
+    toks = [t for t in text.split(" ") if t]
+    n = len(toks)
+    if n < k:
+        return []
+    th = np.empty(n, dtype=np.int64)
+    for j, t in enumerate(toks):
+        acc = 7
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % P
+        th[j] = acc
+    if k == 3:
+        s = ((th[:-2] * 10007 + th[1:-1]) * 101 + th[2:]) % P
+    else:
+        s = ((th[:-1] * 10007 + th[1:]) * 101) % P
+    import pandas as pd
+
+    return pd.unique(s).tolist()
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    out_col: str = "shingles",
+    extra_cols: tuple[str, ...] = (),
+    with_sig: bool = False,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(doc_id, *extra_cols, shingles) via an Arrow-batched
+    ``mapInPandas`` running the exact :func:`shingle_hashes` formula in
+    a vectorized numpy kernel — VALUE-IDENTICAL to the HOF column (the
+    oracle differentials re-verify this per query), but ~10× cheaper:
+    higher-order functions are CodegenFallback (interpreted per
+    element), and the tokenize+hash pass was the dedup family's
+    dominant linear scan (~0.8 ms/doc interpreted at sf0.1). Rows whose
+    shingle set is empty are dropped, matching the callers'
+    ``where(size > 0)``. The HOF :func:`shingle_hashes` stays the
+    column-expression form for composition inside other expressions.
+
+    ``with_sig=True`` additionally emits the MinHash signature column
+    ``sig`` — the exact :func:`minhash_signature` formula (a_i = 2i+3,
+    b_i = 5i+7 mod P) as one vectorized (shingles × hashes) min — so
+    the whole signature derivation rides the same Arrow batch and
+    ``_band_table`` skips its interpreted fold."""
+    if k not in (2, 3):
+        raise ValueError(f"unsupported shingle width {k}")
+    import pyspark.sql.types as T
+
+    src = _spread(docs).select("doc_id", *extra_cols, text_col)
+    keep = [f for f in src.schema.fields if f.name != text_col]
+    out_fields = keep + [
+        T.StructField(out_col, T.ArrayType(T.LongType(), False), False)
+    ]
+    if with_sig:
+        out_fields.append(
+            T.StructField("sig", T.ArrayType(T.LongType(), False), False)
+        )
+    schema = T.StructType(out_fields)
+    names = [f.name for f in keep]
+
+    def fn(batches):
+        import numpy as np
+
+        a = np.arange(n_hashes, dtype=np.int64) * 2 + 3
+        b = np.arange(n_hashes, dtype=np.int64) * 5 + 7
+        for pdf in batches:
+            sh = [_shingles_py(t, k) for t in pdf[text_col]]
+            out = pdf[names].copy()
+            out[out_col] = sh
+            if with_sig:
+                out["sig"] = [
+                    (
+                        (np.asarray(s, dtype=np.int64)[:, None] * a[None, :] + b)
+                        % P
+                    ).min(axis=0).tolist()
+                    if s
+                    else []
+                    for s in sh
+                ]
+            yield out[[len(x) > 0 for x in sh]]
+
+    return src.mapInPandas(fn, schema=schema)
+
+
 def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     """MinHash: sig[i] = min over shingles of (a_i·s + b_i) % P with
     a_i = 2i+3, b_i = 5i+7.
@@ -134,9 +230,12 @@ def _band_table(
     recall down at J ≈ 0.3 (threshold-sweep telemetry)."""
     if n_bands * rows_per_band > N_HASHES:
         raise ValueError("band geometry exceeds signature width")
-    sig = sh.select(
-        *extra_keys, "doc_id", minhash_signature(F.col(shingle_col)).alias("sig")
-    )
+    if "sig" in sh.columns:  # precomputed by shingle_table(with_sig=True)
+        sig = sh.select(*extra_keys, "doc_id", "sig")
+    else:
+        sig = sh.select(
+            *extra_keys, "doc_id", minhash_signature(F.col(shingle_col)).alias("sig")
+        )
     return sig.select(
         *extra_keys,
         "doc_id",
@@ -246,11 +345,8 @@ def minhash_lsh_pairs(
     # the shingle table is read 4× (both self-join sides + both verify
     # joins); persist so the tokenize/hash pass runs once — at cluster
     # scale this is the table you'd write out / bucket by doc_id
-    sh = (
-        _spread(docs)
-        .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_table(docs, text_col, with_sig=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     cand = _lsh_candidates(sh, max_band_bucket=max_band_bucket)
     return _verify_jaccard(cand, sh, jaccard_threshold)
@@ -272,11 +368,8 @@ def jaccard_band_histogram(
     0.5. The histogram is DEFINED over this candidate rule (both the
     engine and any replica must use the same bands), so the plan never
     materializes all pairs — O(candidates), not O(n²)."""
-    sh = (
-        _spread(docs)
-        .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_table(docs, text_col, with_sig=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     cand = _lsh_candidates(
         sh,
@@ -344,12 +437,9 @@ def ngram_jaccard_pairs(
     is identical; recall becomes the LSH band recall) — a coarse key
     like lang='en' would otherwise make one block most of the corpus.
     ``max_block_rows=None`` restores unconditional exact semantics."""
-    sh = (
-        _spread(docs)
-        .select("doc_id", *block_cols, shingle_hashes(F.col(text_col), k=k).alias("sh"))
-        .where(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = shingle_table(
+        docs, text_col, k=k, out_col="sh", extra_cols=tuple(block_cols)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_block_rows is not None:
         w = Window.partitionBy(*block_cols)
         # persist the sized table: the pairwise join reads `small`
@@ -497,11 +587,7 @@ def dedup_cap_stats(
     dedup job — same single scan shape, two tiny global aggregates — so
     excluded volume is observable, alarmable, and attributable before
     anyone trusts the pair counts downstream."""
-    sh3 = (
-        _spread(docs)
-        .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
-        .where(F.size("shingles") > 0)
-    )
+    sh3 = shingle_table(docs, text_col, with_sig=True)
     bsz = _band_table(sh3).groupBy("band", "key").agg(F.count("*").alias("n"))
     over = F.col("n") > max_band_bucket
     lsh = bsz.agg(
@@ -740,11 +826,8 @@ def minhash_incremental_pairs(
     """
 
     def sh_table(docs: DataFrame) -> DataFrame:
-        return (
-            _spread(docs)
-            .select("doc_id", shingle_hashes(F.col(text_col)).alias("shingles"))
-            .where(F.size("shingles") > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        return shingle_table(docs, text_col, with_sig=True).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
 
     def capped_bands(sh: DataFrame) -> DataFrame:

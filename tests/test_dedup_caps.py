@@ -89,3 +89,57 @@ def test_embedding_big_block_routes_to_srp(spark):
     assert len(got) == 2 * (25 * 24 // 2)
     # no cross-group pair (cosine 0) leaks through
     assert all((a < 100) == (b < 100) for a, b in got)
+
+
+def test_shingle_table_matches_hof_column(spark):
+    """The Arrow shingle kernel (r9 speedup: interpreted HOFs were the
+    dedup family's dominant linear scan) must stay VALUE-IDENTICAL to
+    the shingle_hashes column expression — unicode, embedded tabs,
+    quotes, empty/short docs, k=2 and k=3, and extra passthrough
+    columns all covered."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.dedup import shingle_hashes, shingle_table
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "de", "héllo wörld tab\there and o'quote back\\slash"),
+        (3, "en", "short doc"),          # < k tokens for k=3
+        (4, "en", ""),                    # empty
+        (5, "en", None),                  # null
+        (6, "fr", "a a a a a a"),         # repeated tokens → distinct shingles
+        (7, "en", "  leading  double  spaces  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for k in (2, 3):
+        hof = docs.select(
+            "doc_id", "lang", shingle_hashes(F.col("text"), k=k).alias("sh")
+        ).where(F.size("sh") > 0)
+        arrow = shingle_table(
+            docs, "text", k=k, out_col="sh", extra_cols=("lang",)
+        )
+        assert hof.exceptAll(arrow).count() == 0
+        assert arrow.exceptAll(hof).count() == 0
+        assert arrow.count() == hof.count() > 0
+
+
+def test_shingle_table_sig_matches_hof_fold(spark):
+    """with_sig=True must emit the exact minhash_signature values."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.dedup import (
+        minhash_signature,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i%7} tok{(i*3)%11} tok{(i*5)%13} tok{i%4} end{i%2}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    arrow = shingle_table(docs, with_sig=True).select("doc_id", "sig")
+    hof = shingle_table(docs).select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    assert arrow.exceptAll(hof).count() == 0
+    assert hof.exceptAll(arrow).count() == 0
