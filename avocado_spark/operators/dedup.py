@@ -100,26 +100,30 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     )
 
 
-def _shingles_py(text, k: int) -> list[int]:
-    """Driver/executor-side exact twin of :func:`shingle_hashes`:
-    split(" ") → per-char 31-fold token hash mod P → k-gram polynomial
-    → first-occurrence distinct. Unit-differential-tested against the
-    HOF column (including unicode and embedded tabs — Spark's ascii()
-    is the code point, i.e. Python ord)."""
+def _token_hashes_py(text):
+    """Executor-side exact twin of transform(tokens(text), token_hash):
+    split(" ") with empty suppression, then the per-char 31-fold hash
+    mod P. Spark's ascii() is the code point, i.e. Python ord —
+    differential-tested including unicode and embedded tabs. Returns
+    an int64 numpy array (possibly empty)."""
     import numpy as np
 
-    if not text:
-        return []
-    toks = [t for t in text.split(" ") if t]
-    n = len(toks)
-    if n < k:
-        return []
-    th = np.empty(n, dtype=np.int64)
+    toks = [t for t in text.split(" ") if t] if text else []
+    th = np.empty(len(toks), dtype=np.int64)
     for j, t in enumerate(toks):
         acc = 7
         for ch in t:
             acc = (acc * 31 + ord(ch)) % P
         th[j] = acc
+    return th
+
+
+def _shingles_py(text, k: int) -> list[int]:
+    """Exact twin of :func:`shingle_hashes`: token hashes → k-gram
+    polynomial → first-occurrence distinct."""
+    th = _token_hashes_py(text)
+    if th.size < k:
+        return []
     if k == 3:
         s = ((th[:-2] * 10007 + th[1:-1]) * 101 + th[2:]) % P
     else:
@@ -387,7 +391,48 @@ def jaccard_band_histogram(
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash signature: bit b is set iff Σ_tokens (±1 by bit b of the
-    token hash) ≥ 0. Computed with nested HOFs — no explode, no UDF."""
+    token hash) ≥ 0. Arrow-vectorized numpy kernel (one (tokens × bits)
+    matrix per doc) — value-identical to :func:`simhash_hof`, the
+    nested-HOF column form it replaced on the hot path (differential-
+    tested; interpreted HOFs re-evaluate per element)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        barr = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                th = _token_hashes_py(text)
+                if th.size:
+                    votes = (2 * ((th[:, None] >> barr[None, :]) & 1) - 1).sum(
+                        axis=0
+                    )
+                else:
+                    votes = np.zeros(bits, dtype=np.int64)
+                sig = int(((votes >= 0).astype(np.int64) << barr).sum())
+                ids.append(int(did))
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return _spread(docs).select("doc_id", text_col).mapInPandas(fn, schema=schema)
+
+
+def simhash_hof(
+    docs: DataFrame, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """The nested-HOF column form of :func:`simhash` — kept as the
+    expression-composable reference implementation the Arrow kernel is
+    differential-tested against. No explode, no UDF."""
     # shiftleft/shiftright need literal shift amounts in Spark, so bit
     # extraction uses 2^b arithmetic (exact in double for b < 53 and
     # token hashes < 2^30)
@@ -761,6 +806,46 @@ def kgram_hashes(text: Column, k: int = 10) -> Column:
     )
 
 
+def kgram_table(
+    docs: DataFrame, text_col: str = "text", k: int = 10, out_col: str = "g"
+) -> DataFrame:
+    """Exploded (doc_id, gram) rows — the Arrow-vectorized twin of
+    ``explode(kgram_hashes(text, k))``: exact same rolling fold
+    (acc·1009 + h mod P over each k-token window) and first-occurrence
+    distinct, one numpy pass per doc instead of k chained interpreted
+    zip_withs. Differential-tested against the HOF column."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField(out_col, T.LongType(), False),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, gs = [], []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                th = _token_hashes_py(text)
+                n = th.size
+                if n < k:
+                    continue
+                m = n - k + 1
+                g = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    g = (g * 1009 + th[j : j + m]) % P
+                u = pd.unique(g)
+                ids.extend([int(did)] * len(u))
+                gs.extend(u.tolist())
+            yield pd.DataFrame({"doc_id": ids, out_col: gs})
+
+    return _spread(docs).select("doc_id", text_col).mapInPandas(fn, schema=schema)
+
+
 def longgram_overlap_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -779,9 +864,7 @@ def longgram_overlap_pairs(
     so the join key space is huge and buckets tiny — the opposite skew
     profile of single tokens), drop the residual hot grams by cap
     (telemetry pattern), one equi self-join, one pair-count agg."""
-    g = _spread(docs).select(
-        "doc_id", F.explode(kgram_hashes(F.col(text_col), k)).alias("g")
-    )
+    g = kgram_table(docs, text_col, k=k)
     if max_gram_bucket is not None:
         w = Window.partitionBy("g")
         g = (

@@ -143,3 +143,42 @@ def test_shingle_table_sig_matches_hof_fold(spark):
     )
     assert arrow.exceptAll(hof).count() == 0
     assert hof.exceptAll(arrow).count() == 0
+
+
+def test_simhash_arrow_matches_hof(spark):
+    """The Arrow simhash kernel must equal the nested-HOF column form
+    bit for bit — empty docs, unicode, single tokens included."""
+    from avocado_spark.operators.dedup import simhash, simhash_hof
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "héllo wörld"),
+        (3, "one"),
+        (4, ""),
+        (5, "a b a b a b a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = simhash(docs)
+    h = simhash_hof(docs)
+    assert a.exceptAll(h).count() == 0 and h.exceptAll(a).count() == 0
+    assert a.count() == len(rows)
+
+
+def test_kgram_table_matches_hof_explode(spark):
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.dedup import kgram_hashes, kgram_table
+
+    rows = [
+        (1, " ".join(f"t{i%5}" for i in range(30))),  # repeats → distinct grams
+        (2, "too short"),
+        (3, ""),
+        (4, " ".join(f"w{i}" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (4, 10):
+        a = kgram_table(docs, k=k)
+        h = docs.select(
+            "doc_id", F.explode(kgram_hashes(F.col("text"), k)).alias("g")
+        )
+        assert a.exceptAll(h).count() == 0 and h.exceptAll(a).count() == 0
