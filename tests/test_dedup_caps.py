@@ -182,3 +182,53 @@ def test_kgram_table_matches_hof_explode(spark):
             "doc_id", F.explode(kgram_hashes(F.col("text"), k)).alias("g")
         )
         assert a.exceptAll(h).count() == 0 and h.exceptAll(a).count() == 0
+
+
+def test_arrow_kernels_hypothesis_differential(spark):
+    """Randomized text through all three Arrow kernels vs their HOF
+    column forms — whitespace runs, unicode, punctuation, short docs.
+    One batched comparison (hypothesis generates the corpus, Spark
+    compares once) keeps the Spark round trips bounded."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.dedup import (
+        kgram_hashes,
+        kgram_table,
+        shingle_hashes,
+        shingle_table,
+        simhash,
+        simhash_hof,
+    )
+
+    alphabet = st.sampled_from(list("ab éø'\\#2  "))
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(corpus=texts)
+    def check(corpus):
+        docs = spark.createDataFrame(
+            list(enumerate(corpus)), "doc_id long, text string"
+        )
+        sh_h = docs.select(
+            "doc_id", shingle_hashes(F.col("text")).alias("shingles")
+        ).where(F.size("shingles") > 0)
+        sh_a = shingle_table(docs)
+        assert sh_h.exceptAll(sh_a).count() == 0
+        assert sh_a.exceptAll(sh_h).count() == 0
+        si_a, si_h = simhash(docs), simhash_hof(docs)
+        assert si_a.exceptAll(si_h).count() == 0
+        assert si_h.exceptAll(si_a).count() == 0
+        kg_h = docs.select(
+            "doc_id", F.explode(kgram_hashes(F.col("text"), 4)).alias("g")
+        )
+        kg_a = kgram_table(docs, k=4)
+        assert kg_h.exceptAll(kg_a).count() == 0
+        assert kg_a.exceptAll(kg_h).count() == 0
+
+    check()
