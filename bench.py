@@ -244,6 +244,14 @@ def main() -> None:
             # number was contention from the two new heavy neighbors
             # (ann_pq_adc_recall, dedup_threshold_sweep), code unchanged.
             "simhash_dup_pairs": "r6 2.10s was bench contention; isolated best 1.45s (~r5)",
+            # r9 (r8 verdict #3): the r8 +30% (0.85->1.11s) did not
+            # reproduce — r9 in-bench is 0.97s, back inside r7's noise
+            # band, with the same plan (pushed l_returnflag filter,
+            # broadcast nation, AQE shuffle joins,
+            # TakeOrderedAndProject) and code untouched since r7.
+            # Verdict: bench noise, same adjudication as simhash in
+            # r6/r7.
+            "revenue_multijoin": "r8 +30% did not reproduce (r9 in-bench 0.97s ~ r7 band, plan unchanged) — noise",
             # r8d: MMR first landed as k−1 unrolled rounds re-reading
             # the un-materialized candidate plan — 14.2s; tracked-
             # checkpointing cand/sims once and freezing each round's
