@@ -606,3 +606,224 @@ def label_propagation(
     if stats is not None:
         stats["residual_rdd_ids"] = prev_ids
     return labels.select("node", F.col("label").alias("community"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over every edge, symmetrized — the
+    one-number answer to "do hubs link to hubs?". Positive =
+    assortative (social-graph-like), negative = disassortative
+    (hub-and-spoke).
+
+    Exactness: with each undirected edge contributing both (du,dv) and
+    (dv,du), the x/y marginals coincide, so r reduces to
+    (2m·Σxy − (Σx)²) / (2m·Σxx − (Σx)²) over exact integer moments —
+    accumulated in DECIMAL(38,0) (Σd² over the edge list reaches n³ in
+    the clique limit), with ONE double division at the end, identical
+    in both engines.
+
+    Scale shape: a node-sized degree agg, two equi joins hanging the
+    degree table on each endpoint (AQE broadcasts when node-sized
+    allows), and a 1-row moment agg with map-side partials. Nothing
+    shuffles the edge list beyond those joins.
+
+    ``edges``: canonical undirected (u < v, distinct). Returns ONE row
+    (n_nodes, n_edges bigint, assortativity double 6dp — NULL for
+    degree-regular graphs where the variance is 0).
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e = (
+        edges.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+        ).join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v"
+        )
+    )
+    dec = "decimal(38,0)"
+    du, dv = F.col("du").cast(dec), F.col("dv").cast(dec)
+    m = e.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_e"),
+        F.sum(du + dv).alias("sx"),
+        F.sum(du * du + dv * dv).alias("sxx"),
+        F.sum(F.lit(2).cast(dec) * du * dv).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    two_m = F.lit(2).cast(dec) * F.col("n_e")
+    num = (two_m * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (two_m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.col("n_e").cast("bigint").alias("n_edges"),
+        # CASE-guarded: ANSI mode raises on /0 (degree-regular graph),
+        # where the statistic is undefined → NULL in both engines
+        F.when(den != 0.0, F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
+def edge_strength(
+    edges: DataFrame,
+    broadcast_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Per-EDGE triangle support and endpoint Jaccard — the k-truss /
+    embeddedness signal: for every existing edge (u,v), how many
+    common neighbors close it, and what fraction of the combined
+    neighborhoods they are. Strong-tie detection and the peeling key
+    for k-truss decomposition.
+
+    EXACT at scale with NO hub cap: support comes from the same
+    degree-oriented wedge generation as :func:`triangle_counts`
+    (O(m^1.5) wedges, never shuffled — map-side explodes + closing-
+    edge hash join), with each found triangle exploded onto its THREE
+    edges instead of its three nodes. Jaccard is exact integer
+    arithmetic: jaccard_bp = ⌊10000·support/(du+dv−support)⌋ (the
+    union counts u,v's OTHER neighbors plus the support set; u,v
+    themselves are excluded from both sides' neighbor sets by the
+    canonical-edge construction).
+
+    Returns (u, v, support, du, dv, jaccard_bp) for every edge in ≥1
+    triangle.
+    """
+    edge_ids: set[int] = set()
+    edges = _tracked_checkpoint(edges, edge_ids)
+    n_edges = edges.count()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    wedges = adj.select("s", "ts", F.posexplode("ts").alias("i", "x")).select(
+        "s", "x", F.explode(F.expr("slice(ts, i + 2, size(ts))")).alias("y")
+    )
+    close = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    if n_edges <= broadcast_max_edges:
+        close = F.broadcast(close)
+    tri = wedges.join(close, ["x", "y"])
+    # explode each triangle onto its three canonical (lo, hi) edges
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("s", "x").alias("u"), F.greatest("s", "x").alias("v")
+                ),
+                F.struct(
+                    F.least("s", "y").alias("u"), F.greatest("s", "y").alias("v")
+                ),
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+            )
+        ).alias("ed")
+    ).select("ed.u", "ed.v")
+    support = tri_edges.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    scored = (
+        support.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+        )
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            "u",
+            "v",
+            "support",
+            F.col("du").cast("bigint").alias("du"),
+            F.col("dv").cast("bigint").alias("dv"),
+            F.expr("(10000 * support) div (du + dv - support)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(scored, residual)
+    _release_rdds(out, edge_ids)
+    return out
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    top_k: int = 50,
+    max_center_degree: int = 128,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction: for node pairs NOT joined by
+    an edge, count shared neighbors and rank by neighborhood Jaccard —
+    the classic "people you may know" / co-purchase recommendation
+    primitive.
+
+    Non-edge common-neighbor counting has no orientation trick (the
+    wedge must be generated at its center regardless of degree order),
+    so the scale control is an EXPLICIT hub cap, the dedup-family
+    pattern (dedup.py hot-bucket caps): centers with degree >
+    ``max_center_degree`` generate no wedges — their common-neighbor
+    evidence is the weakest (each contributes 1/|union| to a huge
+    union) — and the dropped-center count is surfaced via ``stats``.
+    The cap bounds wedge volume at n·cap² regardless of skew, and the
+    cap is part of the operator's CONTRACT so an oracle replays it
+    bit-for-bit. Jaccard denominators still use FULL degrees.
+
+    Returns the top-``top_k`` candidate pairs by
+    (jaccard_bp desc, common desc, u, v) — exact integer scoring, a
+    deterministic total order.
+    """
+    edge_ids: set[int] = set()
+    edges = _tracked_checkpoint(edges, edge_ids)
+    adj = (
+        edges.select(F.col("u").alias("c"), F.col("v").alias("nb"))
+        .unionAll(edges.select(F.col("v").alias("c"), F.col("u").alias("nb")))
+    )
+    deg = adj.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
+    nbrs = adj.groupBy("c").agg(F.sort_array(F.collect_list("nb")).alias("ns"))
+    if stats is not None:
+        stats["dropped_centers"] = nbrs.where(
+            F.size("ns") > max_center_degree
+        ).count()
+    kept = nbrs.where(F.size("ns") <= max_center_degree)
+    wedges = kept.select("ns", F.posexplode("ns").alias("i", "u")).select(
+        "u", F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("v")
+    )
+    common = wedges.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("common")
+    )
+    non_edge = common.join(edges, ["u", "v"], "left_anti")
+    scored = (
+        non_edge.join(
+            deg.select(F.col("c").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(deg.select(F.col("c").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            "du",
+            "dv",
+            F.expr("(10000 * common) div (du + dv - common)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )
+    out = scored.orderBy(
+        F.col("jaccard_bp").desc(),
+        F.col("common").desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    ).limit(top_k)
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)
+    _release_rdds(out, edge_ids)
+    return out

@@ -2032,6 +2032,155 @@ def ks_two_sample(
     )
 
 
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    is_a: Column,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) between the
+    rows where ``is_a`` holds (sample A) and the rest (sample B) over
+    the exact-integer column ``value_col`` — the rank-based
+    location-shift companion to :func:`ks_two_sample`'s
+    distribution-shape test.
+
+    Tie handling is the textbook midrank rule, kept EXACT by carrying
+    doubled ranks: for a distinct value v with ``before(v)`` smaller
+    observations and ``t(v)`` ties, every tied row's midrank is
+    (2·before + t + 1)/2 — an integer when doubled — so the doubled
+    rank-sum 2R_A = Σ_v cntA(v)·(2·before(v)+t(v)+1) is exact under
+    any accumulation order. All cross-multiplied sums run in
+    DECIMAL(38,0) internally (the ks_two_sample discipline) and only
+    the outputs narrow to BIGINT.
+
+    Returns ONE row:
+      * n_a, n_b — sample sizes;
+      * u2_a — 2·U_A = 2R_A − n_a(n_a+1), exact (≤ 2·n_a·n_b, so
+        BIGINT is safe to ~2e9 rows per side);
+      * auc_bp — ⌊10000·U_A/(n_a·n_b)⌋, the common-language effect
+        size / AUC in exact basis points (5000 = no shift), truncating
+        division repaired for Spark's HALF_UP decimal rounding exactly
+        as ks_two_sample does;
+      * tie_cubes — Σ_v (t³−t), the tie-correction numerator for the
+        normal-approximation variance (BIGINT-safe while no single
+        value repeats > ~2e6 times; the DECIMAL internal never wraps).
+
+    Scale shape: one hash agg to DISTINCT values (bounded by the value
+    domain), running counts via global_rank's frozen-boundary cumsum
+    (no single-partition window), then a 1-row final agg. Never
+    materializes per-row ranks.
+    """
+    v = F.col(value_col)
+    g = df.groupBy(v.alias("_mw_v")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("_mw_ca"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("_mw_cb"),
+    )
+    r = global_rank(
+        g,
+        [F.col("_mw_v")],
+        rank_col="_mw_rk",
+        cumsum_cols={"_mw_cuma": "_mw_ca", "_mw_cumb": "_mw_cb"},
+        buckets=buckets,
+    )
+    dec = "decimal(38,0)"
+    cnt = (F.col("_mw_ca") + F.col("_mw_cb")).cast(dec)
+    before = (
+        F.col("_mw_cuma").cast(dec)
+        + F.col("_mw_cumb").cast(dec)
+        - cnt
+    )
+    r2_term = F.col("_mw_ca").cast(dec) * (2 * before + cnt + 1)
+    tie_term = F.when(cnt > 1, cnt * cnt * cnt - cnt).otherwise(
+        F.lit(0).cast(dec)
+    )
+    sums = r.agg(
+        F.sum("_mw_ca").cast(dec).alias("_mw_na"),
+        F.sum("_mw_cb").cast(dec).alias("_mw_nb"),
+        F.sum(r2_term).alias("_mw_r2a"),
+        F.sum(tie_term).alias("_mw_ties"),
+    )
+    na, nb = F.col("_mw_na"), F.col("_mw_nb")
+    u2 = F.col("_mw_r2a") - na * (na + 1)
+    # ⌊10000·U_A/(n_a·n_b)⌋ = ⌊(10000·u2)/(2·n_a·n_b)⌋ with the same
+    # HALF_UP-repair as ks_two_sample (DuckDB's HUGEINT // truncates)
+    ten_u = F.lit(10000).cast(dec) * u2
+    prod2 = F.lit(2).cast(dec) * na * nb
+    q0 = F.floor(ten_u / prod2).cast(dec)
+    auc_bp = (q0 - F.when(q0 * prod2 > ten_u, 1).otherwise(0)).cast("bigint")
+    return sums.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        u2.cast("bigint").alias("u2_a"),
+        auc_bp.alias("auc_bp"),
+        F.col("_mw_ties").cast("bigint").alias("tie_cubes"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact-midrank Spearman rank correlation between two
+    exact-integer columns: Pearson's r computed over the tie-averaged
+    DOUBLED ranks (integers — the mannwhitney_u trick), so every
+    moment is an exact DECIMAL(38,0) sum and the only floats are the
+    final sqrt and division, identical IEEE operations on identical
+    integer-derived doubles in both engines.
+
+    Returns ONE row: (n bigint, rho double rounded to 6dp). rho is
+    invariant to the rank doubling (Pearson is scale-free), and the
+    midrank form is the correct generalization of the 1−6Σd²/… formula
+    under ties.
+
+    Scale shape: each column ranks via one distinct-value hash agg +
+    frozen-boundary cumsum (global_rank — no single-partition window),
+    the two distinct-value→rank maps join back on their value (AQE
+    broadcasts the value-domain-bounded side), and the moments are one
+    partial+final 1-row agg. Nothing materializes per-row sort order.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(x_col).cast("bigint").alias("_sp_x"),
+        F.col(y_col).cast("bigint").alias("_sp_y"),
+    )
+
+    def _rank2(col: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        r = global_rank(
+            g,
+            [F.col(col)],
+            rank_col="_rk",
+            cumsum_cols={"_cum": "_c"},
+            buckets=buckets,
+        )
+        rank2 = 2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1
+        return r.select(F.col(col), rank2.cast(dec).alias(col + "_r2"))
+
+    j = base.join(_rank2("_sp_x"), "_sp_x").join(_rank2("_sp_y"), "_sp_y")
+    m = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("_sp_x_r2").alias("sx"),
+        F.sum("_sp_y_r2").alias("sy"),
+        F.sum(F.col("_sp_x_r2") * F.col("_sp_x_r2")).alias("sxx"),
+        F.sum(F.col("_sp_y_r2") * F.col("_sp_y_r2")).alias("syy"),
+        F.sum(F.col("_sp_x_r2") * F.col("_sp_y_r2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        # CASE-guarded: a constant series has zero rank variance, where
+        # rho is undefined → NULL (ANSI mode would raise on the /0)
+        F.when(
+            (denx != 0.0) & (deny != 0.0),
+            F.round(num / F.sqrt(denx * deny), 6),
+        ).alias("rho"),
+    )
+
+
 def isotonic_calibrate(
     buckets: DataFrame,
     x_col: str,

@@ -1305,3 +1305,77 @@ def dup_span_coverage(
             ).alias("dup_fraction"),
         )
     )
+
+
+def dsir_importance_topk(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) on hashed unigram features — score every raw document by how
+    target-like its token distribution is, the principled upgrade to
+    source-level mixture weights when curating pretraining data
+    against a quality target set.
+
+    The importance weight is the hashed-n-gram log-likelihood ratio
+    log p_target(doc) − log p_raw(doc) = Σ_tokens log((c_t(b)+1)/(N_t+V))
+    − log((c_r(b)+1)/(N_r+V)), computed here in EXACT integer whole
+    bits (the unigram_surprisal discipline: bits(x) = length(bin(x))−1
+    = ⌊log2 x⌋, never a libm log) so both engines agree bit-for-bit:
+    per-token score = bits(c_t(b)+1) − bits(c_r(b)+1), plus the
+    constant n_tokens·(bits(N_r+V) − bits(N_t+V)) normalizer.
+
+    Scale shape: one explode→(doc,bucket) hash agg (map-side partials;
+    the bucket domain is ``n_buckets``, fixed), the V-row bucket-stat
+    dim and the 1-row totals BROADCAST back, one per-doc agg, and the
+    top-k rides TakeOrderedAndProject on the deterministic
+    (weight desc, doc_id) order. The feature table never shuffles by
+    anything wider than (doc_id, bucket).
+
+    Returns top-``top_k`` rows (doc_id, n_tokens, dsir_weight — whole
+    bits, higher = more target-like).
+    """
+    base = docs.select(
+        "doc_id",
+        is_target.alias("_ds_t"),
+        F.explode(F.transform(tokens(F.col(text_col)), token_hash)).alias("_ds_h"),
+    ).select("doc_id", "_ds_t", (F.col("_ds_h") % n_buckets).alias("_ds_b"))
+    stats = base.groupBy("_ds_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ds_cr"),
+        F.sum(F.when(F.col("_ds_t"), 1).otherwise(0)).cast("bigint").alias("_ds_ct"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ds_nr"),
+        F.sum(F.when(F.col("_ds_t"), 1).otherwise(0)).cast("bigint").alias("_ds_nt"),
+    )
+    bits = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
+    dbc = base.groupBy("doc_id", "_ds_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ds_cnt")
+    )
+    per_doc = (
+        dbc.join(F.broadcast(stats), "_ds_b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_ds_cnt").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("_ds_cnt")
+                * (bits(F.col("_ds_ct") + 1) - bits(F.col("_ds_cr") + 1))
+            )
+            .cast("bigint")
+            .alias("_ds_s"),
+        )
+    )
+    k = bits(F.col("_ds_nr") + n_buckets) - bits(F.col("_ds_nt") + n_buckets)
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_ds_s") + F.col("n_tokens") * k).alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )

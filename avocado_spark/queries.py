@@ -2920,3 +2920,512 @@ def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("drift_c").cast("bigint").alias("total_drift_c"),
     )
+
+
+# ===========================================================================
+# r9: remaining TPC-H optimizer shapes (Q3/Q4/Q9/Q14/Q15/Q16/Q18/Q19)
+# — the warehouse-breadth set: each exercises a distinct Catalyst
+# pattern (top-k over a star join, EXISTS decorrelation, 5-way profit
+# join, conditional-aggregate ratio, argmax-of-aggregate, distinct
+# count with an exclusion anti join, HAVING semi join, disjunctive
+# predicate pushdown). Q1/Q2/Q5/Q7/Q8/Q10/Q13/Q17/Q22 shapes live
+# above; Q6/Q11/Q12/Q20/Q21 need columns/tables the driver fixture
+# lacks (commit/receipt dates, partsupp).
+# ===========================================================================
+
+
+@query(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — shipping-priority top-k: unshipped-as-of-date
+    revenue per order for one market segment. The segment filter prunes
+    customer BEFORE the join (semi-join-able dim filter), both date
+    filters push to the scans, and the top-10 rides
+    TakeOrderedAndProject — never a global sort of the rollup. Revenue
+    is an exact integer cent-sum; (revenue desc, orderkey) is a total
+    order so the limit is deterministic."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            R.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_c")
+        )
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: count orders with at
+    least one lineitem shipped >90 days after the order date. The
+    correlated EXISTS decorrelates into a LEFT SEMI hash join on the
+    order key (the non-equi ship-vs-order-date predicate rides along
+    as the join residual); the semi join deduplicates multi-late
+    orders for free — no distinct, no count-then-filter."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@query(
+    "supplier_margin_rollup",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                  - CAST(ROUND(p.p_retailprice * l.l_quantity * 10) AS BIGINT)) AS BIGINT) AS margin_c
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def supplier_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line margin by supplier nation and
+    order year (cost proxy: 10% of retail price per unit, since the
+    fixture has no partsupp.supplycost). The 5-way join keeps ONE
+    large-large shuffle (lineitem⋈orders); part/supplier/nation all
+    broadcast, and the p_name filter prunes the part build side before
+    broadcasting. Both money terms round to integer cents per row
+    BEFORE the subtraction/sum, so the margin is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    margin = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint") - F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 10
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(margin).cast("bigint").alias("margin_c"))
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT CAST(month(l.l_shipdate) AS BIGINT) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_c,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c,
+           CAST((10000 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                 ELSE 0 END)) // SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS promo_share_bp
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY month(l.l_shipdate)
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share per ship month: the
+    conditional-aggregate ratio (CASE inside SUM, one pass, no
+    self-join) with the share emitted as exact integer basis points
+    (10000·promo ÷ total, integer division — no float division in the
+    differential). Part broadcasts; the year filter pushes to the
+    lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    out = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_c"),
+            F.sum(cents).cast("bigint").alias("total_c"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_c",
+        "total_c",
+        F.expr("(10000 * promo_c) div total_c").alias("promo_share_bp"),
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(rev_c) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, CAST(rev.rev_c AS BIGINT) AS rev_c
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey, mx
+    WHERE rev.rev_c = mx.m
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s) by half-year revenue: the
+    argmax-of-aggregate pattern. The per-supplier rollup computes
+    once; its 1-row MAX rides the house broadcast cross-join back onto
+    the rollup (never a re-aggregation, never a window over one
+    unbounded partition), and ties all surface — the = filter keeps
+    every supplier at the max."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        R.money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev_c")
+    )
+    mx = rev.agg(F.max("rev_c").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_c") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("rev_c").cast("bigint"))
+    )
+
+
+@query(
+    "part_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'MEDIUM'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 20
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier variety per part attribute bucket
+    (lineitem stands in for partsupp): COUNT(DISTINCT suppkey) with
+    attribute exclusions pushed to the part scan and a NOT-IN
+    exclusion list (negative-balance suppliers) planned as a broadcast
+    LEFT ANTI join — never a per-row subquery. The distinct count
+    expands to the two-level agg (partial distinct on (bucket, supp)
+    first), and the top-20 rides TakeOrderedAndProject on the fully
+    deterministic (cnt desc, brand, type, size) order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "MEDIUM")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_c,
+           CAST(big.sum_qty AS BIGINT) AS sum_qty
+    FROM big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: the HAVING-filtered
+    aggregate (orders whose lineitems sum to >300 units, ~p99 of the
+    fixture) joined back to its headers. The rollup shrinks lineitem
+    ~1000× before any join, so AQE broadcasts the survivor set into
+    orders and that result into customer — the fact table shuffles
+    exactly once (its own groupBy). Quantities are integral in the
+    fixture; ROUND→BIGINT makes the HAVING threshold engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+            F.col("sum_qty").cast("bigint"),
+        )
+    )
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 40
+           AND l.l_quantity BETWEEN 25 AND 50)
+    GROUP BY p.p_brand
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the OR-of-ANDs bracket predicate. Catalyst
+    factors the disjunction: the part-only terms (brand ∈ {1,2,3},
+    size unions) push into the broadcast build side's scan, the
+    lineitem-only quantity envelope (1..50 here, a no-op by design —
+    the point is the FACTORING, kept honest by the plan gate) pushes
+    to the fact scan, and the mixed residual evaluates post-join. One
+    broadcast join, no fact shuffle before the 3-group rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 15))
+        | ((b == "Brand#2") & sz.between(11, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & sz.between(26, 40) & q.between(25, 50))
+    )
+    return (
+        joined.where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            R.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_c"),
+        )
+    )
+
+
+# ===========================================================================
+# r9: graph family additions — assortativity, edge strength (k-truss
+# support), link prediction. Same co-order graph as coorder_triangles/
+# pagerank/kcore; exact integer scoring throughout.
+# ===========================================================================
+
+_COORDER_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@query(
+    "coorder_assortativity",
+    f"""
+    WITH edges AS ({_COORDER_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    e AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM edges JOIN deg du ON du.node = edges.u
+                 JOIN deg dv ON dv.node = edges.v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n_e,
+             SUM(du + dv) AS sx,
+             SUM(du * du + dv * dv) AS sxx,
+             SUM(2 * du * dv) AS sxy
+      FROM e
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(n_e AS BIGINT) AS n_edges,
+           CASE WHEN 2 * n_e * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND(CAST(2 * n_e * sxy - sx * sx AS DOUBLE)
+                           / CAST(2 * n_e * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM m
+    """,
+)
+def coorder_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-order graph (Newman 2002): do
+    popular parts co-sell with popular parts? Exact integer moments in
+    DECIMAL(38,0), one double division at the end — the graph-level
+    summary statistic beside the node-level (pagerank) and
+    triangle-level (clustering) views."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.degree_assortativity(C.coorder_edges(li))
+
+
+@query(
+    "coorder_edge_strength",
+    f"""
+    WITH edges AS ({_COORDER_EDGES_SQL}),
+    adj AS (
+      SELECT u AS c, v AS nb FROM edges
+      UNION ALL SELECT v AS c, u AS nb FROM edges
+    ),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+    sup AS (
+      SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+      FROM edges e
+      JOIN adj a1 ON a1.c = e.u
+      JOIN adj a2 ON a2.c = e.v AND a2.nb = a1.nb
+      GROUP BY e.u, e.v
+    )
+    SELECT s.u, s.v, s.support, du.d AS du, dv.d AS dv,
+           CAST((10000 * s.support) // (du.d + dv.d - s.support) AS BIGINT)
+             AS jaccard_bp
+    FROM sup s JOIN deg du ON du.c = s.u JOIN deg dv ON dv.c = s.v
+    ORDER BY jaccard_bp DESC, s.support DESC, s.u, s.v
+    LIMIT 100
+    """,
+)
+def coorder_edge_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest ties in the co-order graph: per-edge triangle support
+    (the k-truss peeling key) + endpoint Jaccard, top-100. EXACT with
+    no hub cap — support rides the same degree-oriented O(m^1.5) wedge
+    machinery as coorder_triangles, with each triangle exploded onto
+    its three edges instead of its three corners."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = C.edge_strength(C.coorder_edges(li))
+    return scored.orderBy(
+        F.col("jaccard_bp").desc(),
+        F.col("support").desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    ).limit(100)
+
+
+@query(
+    "coorder_link_prediction",
+    f"""
+    WITH edges AS ({_COORDER_EDGES_SQL}),
+    adj AS (
+      SELECT u AS c, v AS nb FROM edges
+      UNION ALL SELECT v AS c, u AS nb FROM edges
+    ),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+    kept AS (SELECT adj.c, adj.nb FROM adj JOIN deg USING (c) WHERE d <= 128),
+    wed AS (
+      SELECT a.nb AS u, b.nb AS v
+      FROM kept a JOIN kept b ON a.c = b.c AND a.nb < b.nb
+    ),
+    common AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common FROM wed GROUP BY u, v),
+    ne AS (
+      SELECT c.* FROM common c LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+      WHERE e.u IS NULL
+    )
+    SELECT ne.u, ne.v, ne.common, du.d AS du, dv.d AS dv,
+           CAST((10000 * ne.common) // (du.d + dv.d - ne.common) AS BIGINT)
+             AS jaccard_bp
+    FROM ne JOIN deg du ON du.c = ne.u JOIN deg dv ON dv.c = ne.v
+    ORDER BY jaccard_bp DESC, ne.common DESC, ne.u, ne.v
+    LIMIT 50
+    """,
+)
+def coorder_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction ("frequently bought together"
+    candidates that AREN'T yet co-ordered): top-50 non-edge pairs by
+    neighborhood Jaccard. Non-edge wedges have no orientation trick,
+    so scale control is the explicit hub-center cap (≤128, the
+    dedup-family pattern, dropped-center telemetry on the operator);
+    the cap is part of the contract and the oracle replays it."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.jaccard_link_prediction(
+        C.coorder_edges(li), top_k=50, max_center_degree=128
+    )

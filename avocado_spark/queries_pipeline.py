@@ -4859,3 +4859,49 @@ def docs_weighted_median_length_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.size(TX.tokens(F.col("text"))).cast("bigint").alias("w"),
     )
     return weighted_quantile(d, ["source"], "n_chars", "w")
+
+
+@query(
+    "dsir_importance_topk",
+    f"""
+    WITH th AS (
+      SELECT doc_id, lang, {_th(_TOKS)} AS hs FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, unnest(hs) % 1024 AS bk FROM th
+    ),
+    stats AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM b GROUP BY bk
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+      FROM b
+    ),
+    dbc AS (SELECT doc_id, bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, bk),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * ((length(bin(ct + 1)) - 1) - (length(bin(cr + 1)) - 1))) AS BIGINT) AS s
+      FROM dbc JOIN stats USING (bk) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s + n_tokens * ((length(bin(nr + 1024)) - 1)
+                                - (length(bin(nt + 1024)) - 1)) AS BIGINT)
+             AS dsir_weight
+    FROM scored, tot
+    ORDER BY dsir_weight DESC, doc_id
+    LIMIT 50
+    """,
+)
+def dsir_importance_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every document by how en-like its
+    hashed-unigram distribution is (target = lang='en' docs, raw = the
+    whole corpus), in exact whole-bit integer log-likelihood ratios —
+    no libm log in the differential — and keep the top-50. The
+    hashed-feature importance-resampling primitive a pretraining
+    curation pipeline runs between dedup and mixture planning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.dsir_importance_topk(docs, F.col("lang") == "en")

@@ -3096,3 +3096,110 @@ def stream_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile monitor (tests/test_streaming.py runs the true-streaming
     path to convergence)."""
     return EV.quantile_sketch_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_mannwhitney",
+    """
+    WITH g AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+      FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+    ),
+    cum AS (
+      SELECT ca, cb, ca + cb AS t,
+             SUM(ca + cb) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING) AS cumt
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS HUGEINT) AS n_a, CAST(SUM(cb) AS HUGEINT) AS n_b,
+             CAST(SUM(ca * (2 * (cumt - t) + t + 1)) AS HUGEINT) AS r2a,
+             CAST(SUM(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END) AS HUGEINT) AS ties
+      FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST((10000 * (r2a - n_a * (n_a + 1))) // (2 * n_a * n_b) AS BIGINT) AS auc_bp,
+           CAST(ties AS BIGINT) AS tie_cubes
+    FROM s
+    """,
+)
+def events_mannwhitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U between purchase and view order values —
+    the rank-based location-shift monitor beside events_ks_drift's
+    shape test, with the effect size surfaced as exact AUC basis
+    points (5000 = no shift). Midrank ties carried as doubled-rank
+    integers; DECIMAL(38,0) internally, BIGINT out (HUGEINT replays in
+    the oracle). One distinct-cents hash agg + frozen-boundary cumsum,
+    no single-partition window."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import mannwhitney_u
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+            "event_type",
+        )
+    )
+    return mannwhitney_u(ev, "v_c", F.col("event_type") == "purchase")
+
+
+@query(
+    "events_spearman_daily",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {86_400_000_000} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT CAST(2 * (RANK() OVER (ORDER BY x)) + COUNT(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS xr2,
+             CAST(2 * (RANK() OVER (ORDER BY y)) + COUNT(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS yr2
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(xr2) AS HUGEINT) AS sx, CAST(SUM(yr2) AS HUGEINT) AS sy,
+             CAST(SUM(xr2 * xr2) AS HUGEINT) AS sxx,
+             CAST(SUM(yr2 * yr2) AS HUGEINT) AS syy,
+             CAST(SUM(xr2 * yr2) AS HUGEINT) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS rho
+    FROM m
+    """,
+)
+def events_spearman_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event volume and daily
+    revenue — "do busy days monetize?" — via exact-midrank doubled
+    ranks (Pearson over integer ranks; the only floats are one sqrt +
+    one division on identical integer-derived doubles in both
+    engines). Day key is timezone-free epoch-µs division. Each series
+    ranks with a distinct-value agg + frozen-boundary cumsum; the
+    rank maps join back value-bounded and the moments are one 1-row
+    agg."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.relational import spearman_rho
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((ts_us("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    return spearman_rho(daily, "x", "y")

@@ -948,3 +948,49 @@ def test_registry_wide_no_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, sorted(offenders)
+
+
+def test_shipping_priority_rides_take_ordered(spark):
+    """Q3 shape: the top-10 must ride TakeOrderedAndProject (partial
+    per-partition top-k + driver merge), never a global Sort of the
+    rollup; all three filters (segment, two dates) must reach their
+    scans."""
+    plan = plan_of(spark, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    an = analyzed_of(spark, "shipping_priority_topk")
+    assert "GreaterThan(l_shipdate" in an, an
+    assert "LessThan(o_orderdate" in an, an
+    assert "EqualTo(c_mktsegment,BUILDING)" in an, an
+
+
+def test_late_shipment_exists_is_semi_join(spark):
+    """Q4 shape: the EXISTS must decorrelate to a LEFT SEMI hash join
+    on the order key — a per-row subquery or a nested loop over
+    lineitem is the scale failure."""
+    plan = plan_of(spark, "late_shipment_priority")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_large_volume_fact_shuffles_once(spark):
+    """Q18 shape: after the HAVING rollup shrinks lineitem ~1000×, the
+    joins back to orders/customer must broadcast the survivor side —
+    no sort-merge join anywhere in the plan."""
+    plan = plan_of(spark, "large_volume_customers")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_disjunctive_brackets_factor_into_scans(spark):
+    """Q19 shape: Catalyst must FACTOR the OR-of-ANDs — the part-only
+    terms (brand/size) push into the part scan and the lineitem-only
+    quantity envelope into the fact scan, each as a pushed Or(...)
+    predicate. If either scan loses its Or() the residual runs
+    post-join over the full join output."""
+    an = analyzed_of(spark, "disjunctive_bracket_revenue")
+    # plan strings truncate long PushedFilters lists, so assert on the
+    # (untruncated) DataFilters text of each scan instead
+    assert "(p_brand" in an and "= Brand#1)" in an, an
+    assert "(l_quantity" in an and ">= 1.0)" in an, an
+    assert an.count("Or(") >= 2 or an.count(") OR (") >= 2, an

@@ -1,0 +1,146 @@
+"""Unit tests for the rank-statistics and graph-structure operators
+added in r9 — the degenerate/adversarial cases the sf0.01 oracle
+differential can't probe (all-ties, identical samples, regular
+graphs, hub caps)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avocado_spark.operators.components import (
+    degree_assortativity,
+    edge_strength,
+    jaccard_link_prediction,
+)
+from avocado_spark.operators.relational import mannwhitney_u, spearman_rho
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- MWU
+
+
+def test_mwu_identical_samples_auc_5000(spark):
+    """Same distribution in A and B → U_A = n_a·n_b/2 exactly, AUC
+    5000 bp, and every value tied across groups feeds tie_cubes."""
+    rows = [(v, g) for v in (1, 2, 3, 4, 5) for g in ("a", "b")]
+    out = mannwhitney_u(
+        _df(spark, rows, "v long, g string"), "v", F.col("g") == "a"
+    ).first()
+    assert (out["n_a"], out["n_b"]) == (5, 5)
+    assert out["u2_a"] == 25  # 2·U_A = 2·(n_a·n_b/2)
+    assert out["auc_bp"] == 5000
+    assert out["tie_cubes"] == 5 * (2**3 - 2)
+
+
+def test_mwu_total_separation(spark):
+    """A strictly above B → U_A = n_a·n_b, AUC 10000; strictly below
+    → 0. The doubled-rank bookkeeping must hit the exact extremes."""
+    rows = [(v, "a") for v in (11, 12, 13)] + [(v, "b") for v in (1, 2)]
+    hi = mannwhitney_u(
+        _df(spark, rows, "v long, g string"), "v", F.col("g") == "a"
+    ).first()
+    assert hi["u2_a"] == 2 * 3 * 2 and hi["auc_bp"] == 10000
+    lo = mannwhitney_u(
+        _df(spark, rows, "v long, g string"), "v", F.col("g") == "b"
+    ).first()
+    assert lo["u2_a"] == 0 and lo["auc_bp"] == 0 and lo["tie_cubes"] == 0
+
+
+def test_mwu_midrank_ties_cross_group(spark):
+    """Hand-checked midrank case: A={1,3}, B={3,5}. Ranks: 1→1,
+    3,3→2.5 each, 5→4. R_A=3.5 → 2R_A=7, U2 = 7−2·3=1."""
+    rows = [(1, "a"), (3, "a"), (3, "b"), (5, "b")]
+    out = mannwhitney_u(
+        _df(spark, rows, "v long, g string"), "v", F.col("g") == "a"
+    ).first()
+    assert out["u2_a"] == 1
+    assert out["tie_cubes"] == 2**3 - 2
+
+
+# ---------------------------------------------------------------- Spearman
+
+
+def test_spearman_perfect_monotone(spark):
+    """Any strictly monotone relation → rho ±1 exactly (rank space)."""
+    up = _df(spark, [(i, i * i) for i in range(1, 9)], "x long, y long")
+    assert spearman_rho(up, "x", "y").first()["rho"] == pytest.approx(1.0)
+    dn = _df(spark, [(i, 100 - i * i) for i in range(1, 9)], "x long, y long")
+    assert spearman_rho(dn, "x", "y").first()["rho"] == pytest.approx(-1.0)
+
+
+def test_spearman_ties_match_scipy_formula(spark):
+    """Tied midranks: x=(1,1,2), y=(10,20,30). x-ranks (1.5,1.5,3),
+    y-ranks (1,2,3) → Pearson over ranks = +0.866025."""
+    df = _df(spark, [(1, 10), (1, 20), (2, 30)], "x long, y long")
+    assert spearman_rho(df, "x", "y").first()["rho"] == pytest.approx(
+        0.866025, abs=1e-6
+    )
+
+
+def test_spearman_constant_series_is_null(spark):
+    """Zero rank variance → rho undefined → NULL (ANSI /0 guarded)."""
+    df = _df(spark, [(1, 10), (1, 20), (1, 30)], "x long, y long")
+    assert spearman_rho(df, "x", "y").first()["rho"] is None
+
+
+# ---------------------------------------------------------------- graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_assortativity_star_is_disassortative(spark):
+    """A star graph is maximally disassortative: r = −1."""
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    row = degree_assortativity(e).first()
+    assert row["n_nodes"] == 6 and row["n_edges"] == 5
+    assert row["rho" if "rho" in row else "assortativity"] == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """Degree-regular graph (cycle): zero variance → NULL, not a
+    divide-by-zero crash."""
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    cyc = [(min(u, v), max(u, v)) for u, v in cyc]
+    row = degree_assortativity(_edges(spark, cyc)).first()
+    assert row["assortativity"] is None
+
+
+def test_edge_strength_triangle_plus_tail(spark):
+    """Triangle 0-1-2 with a tail 2-3: the three triangle edges get
+    support 1; jaccard uses full degrees (node 2 has degree 3)."""
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    rows = {(r["u"], r["v"]): r for r in edge_strength(e).collect()}
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+    assert rows[(0, 1)]["support"] == 1
+    # edge (0,1): du=dv=2, union=2+2-1=3 → 3333 bp
+    assert rows[(0, 1)]["jaccard_bp"] == 3333
+    # edge (0,2): du=2, dv=3 → 10000//4 = 2500
+    assert rows[(0, 2)]["jaccard_bp"] == 2500
+
+
+def test_link_prediction_path_and_hub_cap(spark):
+    """Path 0-1-2: the only candidate is (0,2) via center 1. With the
+    cap below center degree, the candidate disappears and the dropped
+    count is reported."""
+    e = _edges(spark, [(0, 1), (1, 2)])
+    out = jaccard_link_prediction(e, top_k=10).collect()
+    assert [(r["u"], r["v"], r["common"]) for r in out] == [(0, 2, 1)]
+    assert out[0]["jaccard_bp"] == 10000  # union = 1+1-1
+    stats: dict = {}
+    capped = jaccard_link_prediction(
+        e, top_k=10, max_center_degree=1, stats=stats
+    ).collect()
+    assert capped == []
+    assert stats["dropped_centers"] == 1
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """Triangle: every 2-hop pair is already an edge → empty output."""
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2)])
+    assert jaccard_link_prediction(e, top_k=10).collect() == []
