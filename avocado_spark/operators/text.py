@@ -966,6 +966,7 @@ def bigram_backoff_scores(
     docs: DataFrame,
     text_col: str = "text",
     holdout_mod: int = 5,
+    score_all: bool = False,
 ) -> DataFrame:
     """Stupid-Backoff bigram LM scoring (Brants et al., EMNLP'07 —
     "Large Language Models in Machine Translation": at web scale, an
@@ -976,7 +977,10 @@ def bigram_backoff_scores(
 
     Train/score split on ``doc_id % holdout_mod`` (train ≠ 0, score
     = 0), same as :func:`nb_train_predict`, so unseen bigrams genuinely
-    occur and the backoff path is exercised. Integer-exact bits (the
+    occur and the backoff path is exercised. ``score_all=True`` keeps
+    the same train split but scores EVERY document — the CCNet corpus-
+    bucketing mode, where the model is a fixed artifact and the whole
+    corpus gets a perplexity. Integer-exact bits (the
     unigram_surprisal trick — floor(log2) as binary-string length, no
     libm in the differential):
 
@@ -1003,7 +1007,9 @@ def bigram_backoff_scores(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     train = spread.where(F.col("doc_id") % holdout_mod != 0)
-    score = spread.where(F.col("doc_id") % holdout_mod == 0)
+    score = spread if score_all else spread.where(
+        F.col("doc_id") % holdout_mod == 0
+    )
 
     uni = (
         train.select(F.explode(tokens(F.col(text_col))).alias("tok"))

@@ -4905,3 +4905,111 @@ def dsir_importance_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline runs between dedup and mixture planning."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.dsir_importance_topk(docs, F.col("lang") == "en")
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    train AS (SELECT doc_id, t FROM toks WHERE doc_id % 5 != 0),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_uni
+      FROM (SELECT UNNEST(t) AS tok FROM train) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_tok,
+                   CAST(COUNT(*) AS BIGINT) AS v_types FROM uni),
+    bi AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        SELECT UNNEST([{{'w1': t[i], 'w2': t[i+1]}}
+                       for i in generate_series(1, len(t)-1)]) AS p
+        FROM train
+      ) GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, lang, UNNEST([{{'w1': t[i], 'w2': t[i+1]}}
+                               for i in generate_series(1, len(t)-1)]) AS p
+        FROM toks
+      )
+    ),
+    scored AS (
+      SELECT sp.doc_id, sp.lang,
+             CASE WHEN bi.c12 IS NOT NULL
+                  THEN length(bin(c1.c_uni // bi.c12)) - 1
+                  ELSE length(bin((2 * (tot.n_tok + tot.v_types))
+                                  // (COALESCE(c2.c_uni, 0) + 1))) - 1
+             END AS bits
+      FROM sp
+      LEFT JOIN bi ON sp.w1 = bi.w1 AND sp.w2 = bi.w2
+      LEFT JOIN uni c1 ON sp.w1 = c1.tok
+      LEFT JOIN uni c2 ON sp.w2 = c2.tok
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST((1000 * SUM(bits)) // COUNT(*) AS BIGINT) AS ppl_milli
+      FROM scored GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ppl_milli, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM per_doc
+    )
+    SELECT lang,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(MIN(ppl_milli) AS BIGINT) AS min_ppl_milli,
+           CAST(MAX(ppl_milli) AS BIGINT) AS max_ppl_milli
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bucketing (Wenzek et al., LREC 2020): score
+    EVERY document with the corpus bigram LM (Stupid-Backoff, integer
+    whole-bit perplexity in exact milli-bits-per-bigram) and split
+    each language into head/middle/tail perplexity terciles — the
+    quality-stratification step the CommonCrawl curation recipe runs
+    between lang-ID and sampling. Tercile thresholds are exact rank
+    positions (rank·3 vs n), not float quantiles; the per-lang rank
+    rides global_rank's frozen-boundary two-phase (no single-partition
+    window). Output: (lang, bucket) doc/bigram counts + the bucket's
+    ppl_milli envelope."""
+    from avocado_spark.operators import relational as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.bigram_backoff_scores(docs, score_all=True)
+    per_doc = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.expr("(1000 * bits_total) div n_bigrams").alias("ppl_milli"),
+    )
+    ranked = R.global_rank(
+        per_doc,
+        [F.col("ppl_milli"), F.col("doc_id")],
+        rank_col="rk",
+        partition_cols=["lang"],
+    )
+    n_per = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.join(F.broadcast(n_per), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.min("ppl_milli").cast("bigint").alias("min_ppl_milli"),
+            F.max("ppl_milli").cast("bigint").alias("max_ppl_milli"),
+        )
+    )

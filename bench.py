@@ -176,6 +176,27 @@ def main() -> None:
         # encode + byte-level parse + exact integer stats, zero
         # shuffles; timed so the decode family has a headline number
         "multimodal_decode",
+        # r9b: the warehouse-breadth TPC-H shapes with distinct plan
+        # skeletons — Q3 top-k star join, Q4 EXISTS→LEFT SEMI with a
+        # non-equi residual, Q19 disjunction factored into both scans
+        # (Q9/Q14/Q15/Q16/Q18 stay OUT: their hot stages — fact
+        # shuffle + broadcast dims, rollup-then-join — are already
+        # timed by nation_trade_matrix / revenue_multijoin /
+        # large-volume cousins; the sf0.01 gate runs them every round)
+        "shipping_priority_topk",
+        "late_shipment_priority",
+        "disjunctive_bracket_revenue",
+        # r9b: rank stats (distinct-value agg + frozen-boundary cumsum
+        # — the KS skeleton with different algebra), per-edge triangle
+        # support (the O(m^1.5) wedge machinery exploded onto edges —
+        # heavier than node counts, worth its own number), CCNet
+        # perplexity terciles (LM scoring over ALL docs + per-lang
+        # two-phase rank), DSIR importance selection (explode + fixed
+        # bucket dim + per-doc agg + TakeOrdered)
+        "events_mannwhitney",
+        "coorder_edge_strength",
+        "ccnet_perplexity_buckets",
+        "dsir_importance_topk",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
@@ -446,6 +467,12 @@ _SCALE_CORRECTNESS_QUERIES = [
     # generate_series) and the RFM cube (≤125 rows at any factor)
     "multimodal_decode",
     "customer_rfm_segments",
+    # r9b: 1-row rank statistics and the ≤(langs×3)-row CCNet tercile
+    # table — tiny results, exact integer algebra, cheap at any factor
+    "events_mannwhitney",
+    "events_spearman_daily",
+    "coorder_assortativity",
+    "ccnet_perplexity_buckets",
 ]
 
 _SCALE_QUERIES_100 = [
@@ -484,6 +511,15 @@ _SCALE_QUERIES_100 = [
     # r9: linear Arrow decode path + the checkpointed three-rank cube
     ("multimodal_decode", 150.0),
     ("customer_rfm_segments", 150.0),
+    # r9b: Mann-Whitney rides the KS skeleton (distinct-cents-bounded,
+    # expect sublinear); the Q4 semi join is one linear pass; edge
+    # strength shares coorder_triangles' wedge bound on the
+    # multiplicity-replicated (≈constant-distinct-edge) graph; DSIR is
+    # explode + fixed bucket dim + per-doc agg, linear
+    ("events_mannwhitney", 150.0),
+    ("late_shipment_priority", 150.0),
+    ("coorder_edge_strength", 1000.0),
+    ("dsir_importance_topk", 150.0),
 ]
 
 
