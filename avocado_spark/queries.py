@@ -408,8 +408,17 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def interval_join_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 fused join+groupByRight form (TreeRegionJoin.joinAndGroupByRight):
     per read, the set of overlapping variants; histogrammed for a
-    compact deterministic output."""
-    v = tables.derived(spark, sf_dir, "variants_rel")
+    compact deterministic output.
+
+    The left side is pruned to its interval keys BEFORE the call:
+    collect_list(struct(...)) is an ObjectHashAggregate whose state is
+    the full struct width, and Catalyst cannot prune columns through
+    the struct constructor — the histogram only sizes the lists, so
+    carrying variant payloads would pay ~2× in agg state for nothing
+    (measured r9: warm 6.9 s full-width vs 3.3 s pruned at sf0.1)."""
+    v = tables.derived(spark, sf_dir, "variants_rel").select(
+        "contig", "start", "end"
+    )
     r = tables.derived(spark, sf_dir, "reads_rel")
     grouped = IJ.interval_join_group_right(v, r, right_key="read_id")
     return (

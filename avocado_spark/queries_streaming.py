@@ -3203,3 +3203,24 @@ def events_spearman_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spearman_rho(daily, "x", "y")
+
+
+@query(
+    "stream_rankstat_state",
+    """
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+    """,
+)
+def stream_rankstat_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shadow of the streaming rank-statistic state build: the
+    per-distinct-cent (c_a, c_b) count table that Mann–Whitney /
+    KS fold their statistics from. A plain integer hash agg over a
+    value-domain-bounded key → batch and complete-mode streaming
+    produce the identical table (tests/test_streaming.py runs the
+    true-streaming path to convergence and folds the U statistic from
+    the streamed state)."""
+    return EV.rankstat_state_agg(load_table(spark, sf_dir, "events"))

@@ -824,3 +824,35 @@ def quantile_sketch_agg(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "bin_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def rankstat_state_agg(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "view",
+) -> DataFrame:
+    """Streaming build of the SUFFICIENT STATE for two-sample rank
+    statistics (Mann–Whitney U, KS): per distinct cent value, the
+    count from sample A and from sample B. Rank stats are streamable
+    for the same reason the log2 sketch is — their state is a plain
+    integer-count hash aggregation over a VALUE-DOMAIN-bounded key
+    (never the row history), so the same definition runs batch or
+    complete-mode streaming and micro-batch partials merge
+    associatively. relational.mannwhitney_u / ks_two_sample fold their
+    statistics from exactly this table (their first stage IS this
+    agg), so a live drift monitor keeps this state hot and replays the
+    tiny cumsum+argmax tail on demand."""
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.where(F.col("event_type").isin(type_a, type_b))
+        .select(F.col("event_type").alias("_rs_t"), v_c.alias("v_c"))
+        .groupBy("v_c")
+        .agg(
+            F.sum(F.when(F.col("_rs_t") == type_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(F.when(F.col("_rs_t") == type_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )

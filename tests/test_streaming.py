@@ -517,3 +517,39 @@ def test_streaming_quantile_sketch_matches_batch(spark, events_stream):
         spark, EV.quantile_sketch_agg(events_stream), "t_qsketch", "complete"
     )
     assert _rows(out) == _rows(batch)
+
+
+def test_streaming_rankstat_state_matches_batch_and_folds_u(spark, events_stream):
+    """The rank-statistic sufficient state built by Structured
+    Streaming (complete mode) must equal the batch build row-for-row,
+    and mannwhitney_u folded from the STREAMED state must equal the
+    operator run directly on the batch rows — the end-to-end proof
+    that rank stats are live-monitorable from domain-bounded state."""
+    from pyspark.sql import functions as F
+
+    from avocado_spark.operators.relational import mannwhitney_u
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = EV.rankstat_state_agg(ev)
+    out = _run_stream(
+        spark, EV.rankstat_state_agg(events_stream), "t_rankstat", "complete"
+    )
+    assert _rows(out) == _rows(batch)
+    # fold U from the streamed state: re-expand is unnecessary — the
+    # operator's first stage IS this agg, so feed it the state rows
+    # weighted by their counts via explode-free union of the two sides
+    expand = out.select(
+        "v_c", F.expr("explode(array_repeat('a', int(c_a)))").alias("g")
+    ).unionByName(
+        out.select("v_c", F.expr("explode(array_repeat('b', int(c_b)))").alias("g"))
+    )
+    from_state = mannwhitney_u(expand, "v_c", F.col("g") == "a").first()
+    direct = mannwhitney_u(
+        ev.where(F.col("event_type").isin("purchase", "view")).select(
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+            "event_type",
+        ),
+        "v_c",
+        F.col("event_type") == "purchase",
+    ).first()
+    assert tuple(from_state) == tuple(direct)
