@@ -3438,3 +3438,40 @@ def coorder_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.jaccard_link_prediction(
         C.coorder_edges(li), top_k=50, max_center_degree=128
     )
+
+
+@query(
+    "forecast_revenue_scan",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the forecasting-revenue-change scan: a single
+    table, three range predicates, one global sum. The pure
+    predicate-pushdown benchmark: ALL three filters must reach the
+    parquet scan (no join, no shuffle beyond the 1-row final agg), so
+    at 100 TB this is bounded by I/O after row-group pruning — the
+    plan gate pins the pushed range predicates. This closes the
+    feasible TPC-H set: every shape except those needing columns the
+    fixture lacks (partsupp, ship mode, commit/receipt dates) now has
+    an oracle-gated member."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        R.money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue_c"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )

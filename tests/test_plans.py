@@ -994,3 +994,25 @@ def test_disjunctive_brackets_factor_into_scans(spark):
     assert "(p_brand" in an and "= Brand#1)" in an, an
     assert "(l_quantity" in an and ">= 1.0)" in an, an
     assert an.count("Or(") >= 2 or an.count(") OR (") >= 2, an
+
+
+def test_forecast_scan_pushes_all_ranges(spark):
+    """Q6 shape: all three range predicates must reach the parquet
+    scan, and the plan must contain no Exchange other than the 1-row
+    final-agg funnel — this query IS the pushdown benchmark."""
+    an = analyzed_of(spark, "forecast_revenue_scan")
+    # the PushedFilters display truncates, so gate on the scan's
+    # DataFilters mentioning all three columns and on the pruned
+    # ReadSchema (4 columns only)
+    import re
+
+    scan = next(
+        ln for ln in an.splitlines() if "FileScan parquet" in ln and "DataFilters" in ln
+    )
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"isnotnull({col}#" in scan, scan
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
+    plan = plan_of(spark, "forecast_revenue_scan")
+    assert plan.count("HashAggregate") >= 2  # partial + final
