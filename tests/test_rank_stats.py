@@ -144,3 +144,92 @@ def test_link_prediction_excludes_existing_edges(spark):
     """Triangle: every 2-hop pair is already an edge → empty output."""
     e = _edges(spark, [(0, 1), (0, 2), (1, 2)])
     assert jaccard_link_prediction(e, top_k=10).collect() == []
+
+
+def test_mannwhitney_hypothesis_differential(spark):
+    """Randomized differential vs the textbook midrank definition —
+    Spark per example is slow, so a handful of drawn cases."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=20)
+
+    def _brute(a, b):
+        allv = sorted(a + b)
+        # midrank of value v = average position of its ties (1-based)
+        first = {}
+        for i, v in enumerate(allv, 1):
+            first.setdefault(v, i)
+        cnt = {v: allv.count(v) for v in set(allv)}
+        rank2 = {v: 2 * first[v] + (cnt[v] - 1) for v in cnt}  # doubled midrank
+        r2a = sum(rank2[v] for v in a)
+        u2 = r2a - len(a) * (len(a) + 1)
+        ties = sum(t**3 - t for t in cnt.values() if t > 1)
+        return u2, ties
+
+    @given(a=vals, b=vals)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _case(a, b):
+        rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+        out = mannwhitney_u(
+            _df(spark, rows, "v long, g string"), "v", F.col("g") == "a"
+        ).first()
+        u2, ties = _brute(a, b)
+        assert out["u2_a"] == u2, (a, b, out)
+        assert out["tie_cubes"] == ties
+        assert out["auc_bp"] == (10000 * u2) // (2 * len(a) * len(b))
+
+    _case()
+
+
+def test_spearman_hypothesis_differential(spark):
+    """Randomized differential vs Pearson-over-midranks in Python."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pairs = st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+
+    def _rank2(xs):
+        s = sorted(xs)
+        first = {}
+        for i, v in enumerate(s, 1):
+            first.setdefault(v, i)
+        cnt = {v: s.count(v) for v in set(s)}
+        return [2 * first[v] + cnt[v] - 1 for v in xs]
+
+    @given(data=pairs)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _case(data):
+        df = _df(spark, data, "x long, y long")
+        out = spearman_rho(df, "x", "y").first()
+        rx, ry = _rank2([x for x, _ in data]), _rank2([y for _, y in data])
+        n = len(data)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+        if denx == 0 or deny == 0:
+            assert out["rho"] is None
+        else:
+            rho = (n * sxy - sx * sy) / math.sqrt(denx * deny)
+            assert out["rho"] == pytest.approx(round(rho, 6), abs=1e-9)
+
+    _case()
