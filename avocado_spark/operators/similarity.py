@@ -926,3 +926,56 @@ def mmr_diversify_topk(
     return spark.createDataFrame(
         picks, "q_id long, mmr_rank int, vec_id long, score double"
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.9,
+    allow_full_scan: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every TRAIN
+    vector whose cosine to ANY eval-set vector reaches ``threshold`` —
+    the semantic sibling of text.decontaminate's n-gram overlap (verbatim
+    leakage survives paraphrase in embedding space; LLaMA/GPT-3-style
+    eval hygiene runs both).
+
+    Scale shape: the eval set is SMALL by definition, so it broadcasts
+    whole and the train corpus streams through ONE nested-loop pass —
+    cost O(|train|·|eval|) per partition with zero shuffles before the
+    per-train-row max (a max-of-struct partial agg). The eval side is
+    guarded by the same MAX_EVAL_QUERIES contract as the brute-force
+    ANN paths (``similarity._guard_eval_queries``): a silently-huge
+    eval side must fail loudly, not quadratically.
+
+    Returns (vec_id, eval_id, cos) for flagged train vectors, where
+    eval_id is the SMALLEST eval id attaining the max cosine (a
+    deterministic total order) and cos is the 9-dp-rounded max.
+    """
+    _guard_eval_queries(evalset, allow_full_scan, "semantic_decontaminate")
+    e = evalset.select(
+        F.col("vec_id").alias("e_id"), _as_double("embedding").alias("e_v")
+    ).withColumn("e_n", norm(F.col("e_v")))
+    t = train.select(
+        F.col("vec_id").alias("vec_id"), _as_double("embedding").alias("t_v")
+    ).withColumn("t_n", norm(F.col("t_v")))
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "vec_id",
+        "e_id",
+        F.round(
+            cosine_with_norms(
+                F.col("t_v"), F.col("e_v"), F.col("t_n"), F.col("e_n")
+            ),
+            9,
+        ).alias("_sd_cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("_sd_cos").alias("c"), (-F.col("e_id")).alias("ni"))
+        ).alias("_sd_best")
+    )
+    return best.where(F.col("_sd_best.c") >= threshold).select(
+        "vec_id",
+        (-F.col("_sd_best.ni")).cast("bigint").alias("eval_id"),
+        F.col("_sd_best.c").alias("cos"),
+    )

@@ -5013,3 +5013,40 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ppl_milli").cast("bigint").alias("max_ppl_milli"),
         )
     )
+
+
+@query(
+    "semantic_decontamination",
+    f"""
+    WITH aug AS ({_AUG_EMB}),
+    ev AS (SELECT vec_id AS e_id, v AS ev FROM aug
+           WHERE vec_id % 25 = 0 AND vec_id < 1000000),
+    tr AS (SELECT vec_id, v FROM aug
+           WHERE NOT (vec_id % 25 = 0 AND vec_id < 1000000)),
+    scored AS (
+      SELECT tr.vec_id, ev.e_id, ROUND({_cos("tr.v", "ev.ev")}, 9) AS cos
+      FROM tr CROSS JOIN ev
+    ),
+    m AS (SELECT vec_id, MAX(cos) AS best FROM scored GROUP BY vec_id),
+    hit AS (
+      SELECT s.vec_id, CAST(MIN(s.e_id) AS BIGINT) AS eval_id, m.best AS cos
+      FROM scored s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.best
+      GROUP BY s.vec_id, m.best
+    )
+    SELECT vec_id, eval_id, ROUND(cos, 6) AS cos FROM hit WHERE cos >= 0.9
+    """,
+)
+def semantic_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination: the eval set (every 25th
+    original vector) broadcasts against the train corpus (everything
+    else, INCLUDING the perturbed twins of eval members — exactly the
+    paraphrase-leakage a token decontaminator misses); train vectors
+    within cosine 0.9 of any eval vector land on the kill-list with
+    their nearest eval match."""
+    emb = _aug_embeddings(load_table(spark, sf_dir, "embeddings"))
+    is_eval = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 1000000)
+    e = emb.withColumnRenamed("v", "embedding")
+    out = SIM.semantic_decontaminate(
+        e.where(~is_eval), e.where(is_eval), threshold=0.9
+    )
+    return out.select("vec_id", "eval_id", F.round("cos", 6).alias("cos"))
