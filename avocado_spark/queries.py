@@ -3475,3 +3475,161 @@ def forecast_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
+
+
+@query(
+    "customer_t_closeness",
+    """
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal <= 2000 THEN 1
+                  WHEN c_acctbal <= 5000 THEN 2
+                  WHEN c_acctbal <= 8000 THEN 3
+                  ELSE 4 END AS band
+      FROM customer
+    ),
+    cell AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(COUNT(*) AS HUGEINT) AS c FROM banded GROUP BY 1, 2, 3
+    ),
+    cls AS (SELECT c_nationkey, c_mktsegment, SUM(c) AS n_g FROM cell GROUP BY 1, 2),
+    gmarg AS (SELECT band, SUM(c) AS gc FROM cell GROUP BY band),
+    tot AS (SELECT SUM(gc) AS n FROM gmarg),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_g, gmarg.band,
+             COALESCE(cell.c, 0) AS c, gmarg.gc
+      FROM cls CROSS JOIN gmarg
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                    AND cell.c_mktsegment = cls.c_mktsegment
+                    AND cell.band = gmarg.band
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n_g, band,
+             SUM(c)  OVER (PARTITION BY c_nationkey, c_mktsegment
+                           ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_g,
+             SUM(gc) OVER (PARTITION BY c_nationkey, c_mktsegment
+                           ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_all
+      FROM grid
+    ),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, CAST(MAX(n_g) AS BIGINT) AS class_size,
+             SUM(CASE WHEN band < 4
+                      THEN ABS(cum_g * (SELECT n FROM tot) - cum_all * n_g)
+                      ELSE 0 END) AS emd_num,
+             MAX(n_g) AS n_g
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CAST((1000 * emd_num) // (4 * n_g * (SELECT n FROM tot)) AS BIGINT)
+             AS t_milli
+    FROM emd
+    ORDER BY t_milli DESC, c_nationkey, c_mktsegment
+    LIMIT 10
+    """,
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit #3 — t-closeness (Li et al., ICDE'07), completing
+    the k-anonymity / l-diversity triad: for each quasi-identifier
+    class, the Earth Mover's Distance between its sensitive-attribute
+    distribution (ordinal balance band, k=5) and the global one —
+    l-diversity alone misses a class that is diverse but SKEWED toward
+    one sensitive value. Ordinal EMD = mean |ΔCDF|, computed as exact
+    integer cross-multiplication |cum_g·N − cum_all·n_g| in
+    DECIMAL(38,0) and emitted in integer milli (truncating division,
+    both engines agree). Shape: one (QI, band) hash agg; everything
+    after runs on the QI-domain-bounded class table (≤5-row windows
+    per class, broadcast global); top-10 worst classes ride
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window as W  # noqa: N814
+
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") <= 2000, 1)
+        .when(F.col("c_acctbal") <= 5000, 2)
+        .when(F.col("c_acctbal") <= 8000, 3)
+        .otherwise(4)
+    )
+    dec = "decimal(38,0)"
+    cell = (
+        c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cls = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    glob = cell.groupBy("band").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = glob.agg(F.sum("gc").cast("bigint").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "band",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "gc",
+        )
+    )
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "band",
+        F.sum("c").over(w).alias("cum_g"),
+        F.sum("gc").over(w).alias("cum_all"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        F.when(
+            F.col("band") < 4,
+            F.abs(
+                F.col("cum_g").cast(dec) * F.col("n").cast(dec)
+                - F.col("cum_all").cast(dec) * F.col("n_g").cast(dec)
+            ),
+        )
+        .otherwise(F.lit(0).cast(dec))
+        .alias("term"),
+        F.col("n"),
+    )
+    emd = scored.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_g").cast("bigint").alias("class_size"),
+        F.sum("term").alias("emd_num"),
+        F.max(F.col("n_g").cast(dec)).alias("_ng"),
+        F.max(F.col("n").cast(dec)).alias("_n"),
+    )
+    t_milli = F.floor(
+        (F.lit(1000).cast(dec) * F.col("emd_num"))
+        / (F.lit(4).cast(dec) * F.col("_ng") * F.col("_n"))
+    ).cast(dec)
+    # repair Spark's HALF_UP decimal division to true truncation (the
+    # ks_two_sample convention; DuckDB replays in HUGEINT //)
+    denom = F.lit(4).cast(dec) * F.col("_ng") * F.col("_n")
+    numer = F.lit(1000).cast(dec) * F.col("emd_num")
+    t_fixed = (
+        t_milli - F.when(t_milli * denom > numer, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        emd.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            t_fixed.alias("t_milli"),
+        )
+        .orderBy(
+            F.col("t_milli").desc(),
+            F.col("c_nationkey").asc(),
+            F.col("c_mktsegment").asc(),
+        )
+        .limit(10)
+    )
