@@ -4982,6 +4982,10 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). Output: (lang, bucket) doc/bigram counts + the bucket's
     ppl_milli envelope."""
     from avocado_spark.operators import relational as R
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     scores = TX.bigram_backoff_scores(docs, score_all=True)
@@ -4991,6 +4995,14 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.expr("(1000 * bits_total) div n_bigrams").alias("ppl_milli"),
     )
+    # per_doc is the full LM-scoring pipeline (two explodes + three
+    # joins); its FOUR consumers (global_rank's count/boundary jobs +
+    # rank/offset branches, and the per-lang totals) would each re-run
+    # it — the RFM lesson. Checkpoint the doc-sized rollup once and
+    # release after the ≤(langs×3)-row cube materializes (warm sf0.1:
+    # 6.0 s un-checkpointed → 3.5 s).
+    owned: set[int] = set()
+    per_doc = _tracked_checkpoint(per_doc, owned)
     ranked = R.global_rank(
         per_doc,
         [F.col("ppl_milli"), F.col("doc_id")],
@@ -5003,7 +5015,7 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
         .otherwise("tail")
     )
-    return (
+    cube = (
         ranked.join(F.broadcast(n_per), "lang")
         .groupBy("lang", bucket.alias("bucket"))
         .agg(
@@ -5013,6 +5025,10 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ppl_milli").cast("bigint").alias("max_ppl_milli"),
         )
     )
+    residual: set[int] = set()
+    cube = _tracked_checkpoint(cube, residual)
+    _release_rdds(cube, owned)
+    return cube
 
 
 @query(
