@@ -1425,14 +1425,15 @@ def _pagerank_oracle(n_iter: int) -> str:
     recursive CTE terms, and the iteration count is a fixed literal
     anyway). `//` on positive BIGINTs = Spark's `div` exactly."""
     sql = """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
     deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
-    adj AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg ON deg.u = und.u),
+    adj AS MATERIALIZED (
+      SELECT und.u, und.v, deg.deg FROM und JOIN deg ON deg.u = und.u),
     pr0 AS (SELECT u, CAST(1000000 AS BIGINT) AS rank_u FROM deg)"""
     for i in range(n_iter):
         sql += f""",

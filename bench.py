@@ -273,6 +273,14 @@ def main() -> None:
             # Verdict: bench noise, same adjudication as simhash in
             # r6/r7.
             "revenue_multijoin": "r8 +30% did not reproduce (r9 in-bench 0.97s ~ r7 band, plan unchanged) — noise",
+            # r9b: edge strength shares coorder_triangles' oriented
+            # O(m^1.5) wedge machinery (~5s of its time) and adds the
+            # 3x per-triangle edge explode + two degree joins +
+            # TakeOrdered — the expected premium over node counts; its
+            # 100x growth bound rides the same (multiplicity-
+            # replicated, ~constant-distinct-edge) argument as the
+            # triangle row in the scale gate.
+            "coorder_edge_strength": "~7.9s: triangles' wedge cost + per-edge explode/joins — expected premium, scale-gated at 100x",
             # r8d: MMR first landed as k−1 unrolled rounds re-reading
             # the un-materialized candidate plan — 14.2s; tracked-
             # checkpointing cand/sims once and freezing each round's
