@@ -2093,11 +2093,12 @@ def mannwhitney_u(
     tie_term = F.when(cnt > 1, cnt * cnt * cnt - cnt).otherwise(
         F.lit(0).cast(dec)
     )
+    zero = F.lit(0).cast(dec)
     sums = r.agg(
-        F.sum("_mw_ca").cast(dec).alias("_mw_na"),
-        F.sum("_mw_cb").cast(dec).alias("_mw_nb"),
-        F.sum(r2_term).alias("_mw_r2a"),
-        F.sum(tie_term).alias("_mw_ties"),
+        F.coalesce(F.sum("_mw_ca").cast(dec), zero).alias("_mw_na"),
+        F.coalesce(F.sum("_mw_cb").cast(dec), zero).alias("_mw_nb"),
+        F.coalesce(F.sum(r2_term), zero).alias("_mw_r2a"),
+        F.coalesce(F.sum(tie_term), zero).alias("_mw_ties"),
     )
     na, nb = F.col("_mw_na"), F.col("_mw_nb")
     u2 = F.col("_mw_r2a") - na * (na + 1)
@@ -2106,7 +2107,14 @@ def mannwhitney_u(
     ten_u = F.lit(10000).cast(dec) * u2
     prod2 = F.lit(2).cast(dec) * na * nb
     q0 = F.floor(ten_u / prod2).cast(dec)
-    auc_bp = (q0 - F.when(q0 * prod2 > ten_u, 1).otherwise(0)).cast("bigint")
+    # CASE-guarded: the effect size is undefined when either sample is
+    # empty (prod2 = 0); CaseWhen evaluates lazily so the /0 branch
+    # never runs under ANSI mode — NULL, matching the NULL-on-undefined
+    # convention of spearman_rho / degree_assortativity.
+    auc_bp = F.when(
+        prod2 != zero,
+        (q0 - F.when(q0 * prod2 > ten_u, 1).otherwise(0)).cast("bigint"),
+    ).otherwise(F.lit(None).cast("bigint"))
     return sums.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),

@@ -2745,7 +2745,7 @@ def events_type_trend_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("_day_us"),
         )
-        .withColumn("day_idx", (F.col("_day_us") / F.lit(_US_DAY)).cast("bigint"))
+        .withColumn("day_idx", F.expr(f"_day_us div {_US_DAY}").cast("bigint"))
         .groupBy("event_type", "day_idx")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
@@ -3020,7 +3020,7 @@ def events_seasonal_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("_day_us"),
         )
-        .withColumn("day_idx", (F.col("_day_us") / F.lit(_US_DAY)).cast("bigint"))
+        .withColumn("day_idx", F.expr(f"_day_us div {_US_DAY}").cast("bigint"))
         .groupBy("event_type", "day_idx")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
@@ -3194,7 +3194,8 @@ def events_spearman_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         load_table(spark, sf_dir, "events")
-        .groupBy((ts_us("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day_idx"))
+        .select(ts_us("ts").alias("us"), "value")
+        .groupBy(F.expr("us div 86400000000").cast("bigint").alias("day_idx"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("x"),
             F.sum(F.round(F.col("value") * 100).cast("bigint"))

@@ -61,6 +61,23 @@ def test_mwu_midrank_ties_cross_group(spark):
     assert out["tie_cubes"] == 2**3 - 2
 
 
+def test_mwu_empty_sample_is_null_not_div0(spark):
+    """One-sided input (is_a matches everything / nothing): the effect
+    size is undefined → auc_bp NULL, not an ANSI divide-by-zero; the
+    counts still come back exact."""
+    rows = [(v, "a") for v in (1, 2, 3)]
+    out = mannwhitney_u(
+        _df(spark, rows, "v long, g string"), "v", F.col("g") == "a"
+    ).first()
+    assert (out["n_a"], out["n_b"]) == (3, 0)
+    assert out["auc_bp"] is None
+    out = mannwhitney_u(
+        _df(spark, rows, "v long, g string"), "v", F.col("g") == "zzz"
+    ).first()
+    assert (out["n_a"], out["n_b"]) == (0, 3)
+    assert out["auc_bp"] is None and out["u2_a"] == 0
+
+
 # ---------------------------------------------------------------- Spearman
 
 
@@ -99,7 +116,7 @@ def test_assortativity_star_is_disassortative(spark):
     e = _edges(spark, [(0, i) for i in range(1, 6)])
     row = degree_assortativity(e).first()
     assert row["n_nodes"] == 6 and row["n_edges"] == 5
-    assert row["rho" if "rho" in row else "assortativity"] == pytest.approx(-1.0)
+    assert row["assortativity"] == pytest.approx(-1.0)
 
 
 def test_assortativity_regular_graph_is_null(spark):
