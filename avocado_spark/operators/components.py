@@ -665,31 +665,17 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
-def edge_strength(
-    edges: DataFrame,
-    broadcast_max_edges: int = 5_000_000,
-) -> DataFrame:
-    """Per-EDGE triangle support and endpoint Jaccard — the k-truss /
-    embeddedness signal: for every existing edge (u,v), how many
-    common neighbors close it, and what fraction of the combined
-    neighborhoods they are. Strong-tie detection and the peeling key
-    for k-truss decomposition.
-
-    EXACT at scale with NO hub cap: support comes from the same
-    degree-oriented wedge generation as :func:`triangle_counts`
-    (O(m^1.5) wedges, never shuffled — map-side explodes + closing-
-    edge hash join), with each found triangle exploded onto its THREE
-    edges instead of its three nodes. Jaccard is exact integer
-    arithmetic: jaccard_bp = ⌊10000·support/(du+dv−support)⌋ (the
-    union counts u,v's OTHER neighbors plus the support set; u,v
-    themselves are excluded from both sides' neighbor sets by the
-    canonical-edge construction).
-
-    Returns (u, v, support, du, dv, jaccard_bp) for every edge in ≥1
-    triangle.
-    """
-    edge_ids: set[int] = set()
-    edges = _tracked_checkpoint(edges, edge_ids)
+def _edge_support(
+    edges: DataFrame, broadcast_max_edges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared wedge machinery for the per-EDGE triangle family
+    (edge_strength, k_truss): degree-oriented wedge generation —
+    O(m^1.5) wedges, map-side explodes + a closing-edge hash join —
+    with each found triangle exploded onto its THREE canonical (lo,
+    hi) edges. Returns (deg, support): full degrees per node and
+    triangle support per edge (edges in no triangle are ABSENT).
+    ``edges`` must already be materialized (checkpointed) by the
+    caller — this runs one count() to size the broadcast decision."""
     n_edges = edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -733,6 +719,36 @@ def edge_strength(
     support = tri_edges.groupBy("u", "v").agg(
         F.count("*").cast("bigint").alias("support")
     )
+    return deg, support
+
+
+def edge_strength(
+    edges: DataFrame,
+    broadcast_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Per-EDGE triangle support and endpoint Jaccard — the k-truss /
+    embeddedness signal: for every existing edge (u,v), how many
+    common neighbors close it, and what fraction of the combined
+    neighborhoods they are. Strong-tie detection and the peeling key
+    for k-truss decomposition.
+
+    EXACT at scale with NO hub cap: support comes from the same
+    degree-oriented wedge generation as :func:`triangle_counts`
+    (O(m^1.5) wedges, never shuffled — map-side explodes + closing-
+    edge hash join), with each found triangle exploded onto its THREE
+    edges instead of its three nodes. Jaccard is exact integer
+    arithmetic: jaccard_bp = ⌊10000·support/(du+dv−support)⌋ where du,
+    dv are FULL degrees, so the union |N(u)∪N(v)| = du+dv−support
+    INCLUDES the two endpoints themselves (v∈N(u) and u∈N(v)); e.g. an
+    edge of a lone triangle has du=dv=2, support=1, union 3 →
+    jaccard_bp 3333.
+
+    Returns (u, v, support, du, dv, jaccard_bp) for every edge in ≥1
+    triangle.
+    """
+    edge_ids: set[int] = set()
+    edges = _tracked_checkpoint(edges, edge_ids)
+    deg, support = _edge_support(edges, broadcast_max_edges)
     scored = (
         support.join(
             deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
@@ -826,4 +842,209 @@ def jaccard_link_prediction(
     residual: set[int] = set()
     out = _tracked_checkpoint(out, residual)
     _release_rdds(out, edge_ids)
+    return out
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    n_rounds: int = 3,
+    broadcast_max_edges: int = 5_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-truss decomposition via ``n_rounds`` of synchronous EDGE
+    peeling: each round drops every edge whose triangle support within
+    the surviving subgraph is < k−2 (Cohen, "Trusses: cohesive
+    subgraphs for social network analysis", 2008) — the edge-level
+    sibling of :func:`k_core`'s node peeling, and strictly stronger:
+    every edge of a k-truss lies in a (k−1)-core, but not vice versa.
+    :func:`edge_strength` computes the peeling KEY; this runs the peel.
+
+    Fixed round budget for oracle replayability (the k_core/LPA
+    stance: determinism over adaptivity — a pytest asserts the fixture
+    reaches the fixpoint inside the budget, at which point the result
+    IS the true k-truss). Per round: one pass of the degree-oriented
+    O(m^1.5) wedge machinery (:func:`_edge_support`) + one semi-join,
+    with the tracked-checkpoint / release discipline truncating lineage
+    and freeing superseded rounds. Support recomputation per round is
+    inherent to peeling — at 100 TB prefer fewer rounds + the fixpoint
+    assertion over an adaptive loop.
+
+    Returns (u, v, support) for surviving edges with their support in
+    the FINAL surviving subgraph (one more support pass after the last
+    peel, so the output is self-consistent).
+    """
+    thr = k - 2
+    prev_ids: set[int] = set()
+    live = _tracked_checkpoint(edges.select("u", "v"), prev_ids)
+    for i in range(n_rounds):
+        _set_phase(live, f"avocado:k_truss:round {i + 1}")
+        _, support = _edge_support(live, broadcast_max_edges)
+        keep = support.where(F.col("support") >= thr).select("u", "v")
+        cur_ids: set[int] = set()
+        live = _tracked_checkpoint(
+            live.join(keep, ["u", "v"], "left_semi"), cur_ids
+        )
+        _release_rdds(live, prev_ids)
+        prev_ids = cur_ids
+    _set_phase(live, "avocado:k_truss:final support")
+    _, support = _edge_support(live, broadcast_max_edges)
+    out = live.join(support, ["u", "v"], "inner")
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)
+    _release_rdds(out, prev_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = residual
+    return out
+
+
+def neighborhood_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    n_rounds: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """GraphSAGE-style mean neighborhood feature aggregation in EXACT
+    integer arithmetic — the feature-propagation pass that prepares
+    node features for GNN training (Hamilton et al., NeurIPS'17): h_0
+    = the input integer feature; h_{i+1}(n) = ⌊Σ_{m∈N(n)} h_i(m) /
+    deg(n)⌋ over the symmetrized edge set. Integer floor division per
+    round keeps every engine and accumulation order bit-identical
+    (float means diverge by summation order), so a SQL oracle unrolls
+    the same rounds.
+
+    Scale shape: per round ONE equi-join (features onto edge
+    destinations) + ONE hash agg (sum + count per source) — both on
+    the node key, so at cluster scale rounds after the first are
+    exchange-free on a pre-partitioned graph; lineage truncated per
+    round with the tracked-checkpoint / release discipline. Nodes
+    absent from ``features`` contribute nothing (inner join) — give
+    every node a feature row for the textbook semantics.
+
+    ``features``: (node, h) with h BIGINT. Returns (node, h) after
+    ``n_rounds`` rounds — only nodes with ≥1 featured neighbor in the
+    last round survive (every graph node, when features are total).
+    """
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj_ids: set[int] = set()
+    und = _tracked_checkpoint(und, adj_ids)
+    prev_ids: set[int] = set()
+    h = _tracked_checkpoint(
+        features.select("node", F.col("h").cast("bigint").alias("h")), prev_ids
+    )
+    for i in range(n_rounds):
+        _set_phase(und, f"avocado:neighborhood_agg:round {i + 1}")
+        nxt = (
+            und.join(h, und["v"] == h["node"])
+            .groupBy(und["u"].alias("node"))
+            .agg(
+                F.sum("h").alias("_s"), F.count(F.lit(1)).alias("_c")
+            )
+            # integer div, never float: sums of cent-scale features on
+            # high-degree hubs exceed double's 2^53 exact range long
+            # before they exceed BIGINT. Features are assumed ≥ 0
+            # (div truncates toward zero; floor differs on negatives).
+            .select("node", F.expr("_s div _c").cast("bigint").alias("h"))
+        )
+        cur_ids: set[int] = set()
+        h = _tracked_checkpoint(nxt, cur_ids)
+        _release_rdds(h, prev_ids)
+        prev_ids = cur_ids
+    _release_rdds(h, adj_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = prev_ids
+    return h
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seed_bit,
+    n_rounds: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Sampled-source harmonic centrality: C_H(n) = Σ_s 1/d(s,n) over a
+    FIXED deterministic seed panel — the centrality Boldi & Vigna
+    ("Axioms for centrality", 2014) recommend over closeness because
+    unreachable pairs contribute 0 instead of breaking the mean on
+    disconnected graphs; the small-panel exact counterpart of
+    HyperBall's sketched all-sources estimate.
+
+    Engine: BITMASK multi-source BFS (Then et al., "The More the
+    Merrier: Efficient Multi-Source BFS", VLDB 2015) — the panel packs
+    into ONE BIGINT per node, so each round is one equi-join of the
+    symmetrized edges onto the 1-row-per-node mask table + one BIT_OR
+    hash agg, O(m) compact rows per round regardless of panel size.
+    The naive per-(src, node) frontier labeling was measured 10×
+    slower at sf0.1: its round-r join materializes Σ|frontier|·deg ≈
+    panel·m ROWS where the mask form carries the same information in
+    m. Cumulative masks c_d = sources within distance ≤ d; exact hop
+    shells fall out as c_d & ~c_{d-1}, so the milli contract
+    Σ_d (1000 div d)·popcount(shell_d) is pure integer arithmetic and
+    replays bit-for-bit in SQL.
+
+    ``seed_bit``: Column fn node → bit index in [0, 63) for panel
+    members, NULL otherwise (≤ 63 seeds, injective — the caller's
+    contract; a constant panel gives constant eval cost at any corpus
+    size, the MAX_EVAL_QUERIES stance). Fixed round budget for oracle
+    replayability. The symmetrized adjacency is checkpointed once and
+    RELEASED before return (the final ≤|nodes| mask table is
+    checkpointed instead — the edge_strength discipline); the result's
+    residual blocks are reported via ``stats`` for release_result.
+
+    Returns (node, harmonic_milli, n_reached) for nodes reached by ≥1
+    panel source (a seed's own 0-distance bit is masked out).
+    """
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj_ids: set[int] = set()
+    adj = _tracked_checkpoint(und, adj_ids)
+    state = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", seed_bit(F.col("node")).cast("int").alias("_bit"))
+        .select(
+            "node",
+            # SQL shiftleft takes a column shift amount (the function
+            # API requires a literal)
+            F.when(
+                F.col("_bit").isNotNull(),
+                F.expr("shiftleft(cast(1 as bigint), _bit)"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("c0"),
+        )
+    )
+    for d in range(1, n_rounds + 1):
+        _set_phase(adj, f"avocado:harmonic_centrality:round {d}")
+        prev = f"c{d - 1}"
+        nbr = (
+            adj.join(state.select(F.col("node").alias("v"), prev), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.bit_or(prev).alias("_o"))
+        )
+        state = state.join(nbr, "node", "left").withColumn(
+            f"c{d}",
+            F.col(prev).bitwiseOR(F.coalesce(F.col("_o"), F.lit(0))),
+        ).drop("_o")
+    shell_milli = [
+        F.lit(1000 // d)
+        * F.bit_count(F.expr(f"c{d} & ~c{d - 1}")).cast("bigint")
+        for d in range(1, n_rounds + 1)
+    ]
+    total = shell_milli[0]
+    for t in shell_milli[1:]:
+        total = total + t
+    out = state.select(
+        "node",
+        total.cast("bigint").alias("harmonic_milli"),
+        F.bit_count(F.expr(f"c{n_rounds} & ~c0")).cast("bigint").alias("n_reached"),
+    ).where(F.col("n_reached") > 0)
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)
+    _release_rdds(out, adj_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = residual
     return out

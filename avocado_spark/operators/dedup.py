@@ -956,3 +956,83 @@ def minhash_incremental_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def bcubed_cluster_eval(
+    assign: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998;
+    the Amigó et al. 2009 survey's recommended metric for dedup/ER
+    clusters): per-item precision = |pred∩gold cluster|/|pred cluster|
+    and recall = |pred∩gold|/|gold|, averaged over ITEMS — so a
+    megacluster that swallows everything is punished in proportion to
+    the items it pollutes, which pair-counting Rand/F ignores.
+
+    EXACT integer contract: per-item milli scores are
+    (1000·n_pg) div n_p (all items of one (pred,gold) cell share one
+    score), summed as item-weighted bigints and divided once — every
+    engine reproduces the same integers, so the oracle replays
+    value-for-value. Truncation per cell is part of the contract.
+
+    Scale shape: ONE hash agg over assign to the (pred, gold) cell
+    table (bounded by item count, usually far fewer), two key-
+    partitioned window sums over the cells for the per-cluster sizes
+    (never a single-partition window), one 1-row final agg — a single
+    linear pipeline, so the assignment lineage (often an LSH→CC chain)
+    executes exactly once. ``assign`` must hold one row per item:
+    (id, pred cluster, gold cluster).
+
+    Returns ONE row: (n_items, precision_milli, recall_milli,
+    f1_milli) — f1 is the milli harmonic mean of the milli P/R
+    (truncating), NULL when both are 0.
+    """
+    a = assign.select(
+        F.col(id_col).alias("_id"),
+        F.col(pred_col).alias("_p"),
+        F.col(gold_col).alias("_g"),
+    )
+    # ONE pass over assign: the per-cluster sizes are window sums over
+    # the (pred, gold) cell table (bounded by item count, usually far
+    # smaller) — re-deriving them as separate aggregates would re-scan
+    # the full assignment lineage once per branch (Spark has no
+    # cross-branch subplan reuse), which at sf0.1 re-ran the whole
+    # LSH→CC chain 4×.
+    cells = a.groupBy("_p", "_g").agg(F.count(F.lit(1)).cast("bigint").alias("n_pg"))
+    terms = cells.select(
+        "n_pg",
+        F.sum("n_pg").over(Window.partitionBy("_p")).alias("n_p"),
+        F.sum("n_pg").over(Window.partitionBy("_g")).alias("n_g"),
+    ).select(
+        "n_pg",
+        F.expr("(1000 * n_pg) div n_p").alias("p_milli"),
+        F.expr("(1000 * n_pg) div n_g").alias("r_milli"),
+    )
+    s = terms.agg(
+        F.sum("n_pg").cast("bigint").alias("n_items"),
+        F.sum(F.col("n_pg") * F.col("p_milli")).cast("bigint").alias("sp"),
+        F.sum(F.col("n_pg") * F.col("r_milli")).cast("bigint").alias("sr"),
+    )
+    return (
+        s.select(
+            "n_items",
+            F.expr("sp div n_items").cast("bigint").alias("precision_milli"),
+            F.expr("sr div n_items").cast("bigint").alias("recall_milli"),
+        )
+        .select(
+            "n_items",
+            "precision_milli",
+            "recall_milli",
+            F.when(
+                F.col("precision_milli") + F.col("recall_milli") > 0,
+                F.expr(
+                    "(2 * precision_milli * recall_milli)"
+                    " div (precision_milli + recall_milli)"
+                ),
+            )
+            .cast("bigint")
+            .alias("f1_milli"),
+        )
+    )

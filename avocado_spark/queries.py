@@ -3441,6 +3441,189 @@ def coorder_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ktruss_oracle(k: int, n_rounds: int) -> str:
+    """Unrolled EDGE-peeling oracle for k_truss (the _kcore_oracle
+    pattern at the edge level): per round, support = common-neighbor
+    count per surviving edge via two adjacency joins, then keep edges
+    with support ≥ k−2; one extra support pass after the last peel so
+    the output is self-consistent — exactly components.k_truss."""
+    parts = []
+    for i in range(n_rounds + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT u AS c, v AS nb FROM e{i} UNION ALL SELECT v, u FROM e{i}
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+      FROM e{i} e
+      JOIN a{i} x ON x.c = e.u
+      JOIN a{i} y ON y.c = e.v AND y.nb = x.nb
+      GROUP BY e.u, e.v
+    )"""
+        )
+        if i < n_rounds:
+            parts.append(
+                f"""e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN s{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.support >= {k - 2}
+    )"""
+            )
+    return (
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey % 10 = 0 AND b.l_partkey % 10 = 0
+    ),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT u, v, support FROM s{n_rounds}
+    """
+    )
+
+
+@query("coorder_ktruss", _ktruss_oracle(k=4, n_rounds=4))
+def coorder_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the deca-catalog co-order subgraph (every 10th part
+    — the full coorder graph is so dense at any SF that trussing is a
+    no-op; the subset filter PUSHES to the lineitem scan) via 4
+    synchronous EDGE-peeling rounds — keep edges in ≥2 triangles among
+    survivors, the cohesion standard strictly stronger than k-core
+    (edge_strength computes the peeling key; this runs the peel).
+    Fixed round budget for oracle replayability; the fixture reaches
+    the fixpoint inside it at sf0.001 AND sf0.01 (asserted in
+    tests/test_graph_attribution.py), so the result IS the true
+    4-truss."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 10 == 0)
+    return C.k_truss(C.coorder_edges(li), k=4, n_rounds=4)
+
+
+def _harmonic_oracle(n_rounds: int) -> str:
+    """Unrolled BITMASK multi-source-BFS oracle for
+    harmonic_centrality: the seed panel packs into one BIGINT per node
+    (bit = node // 97), each round is one adjacency join + one BIT_OR,
+    and the milli score reads the exact hop shells off the cumulative
+    masks — components.harmonic_centrality's integer contract."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT u, v FROM coedges UNION ALL SELECT v, u FROM coedges
+    ),
+    s0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node % 97 = 0 AND node <= 2000
+                  THEN CAST(1 AS BIGINT) << CAST(node // 97 AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END AS c0
+      FROM (SELECT DISTINCT u AS node FROM e0)
+    )"""
+    ]
+    for d in range(1, n_rounds + 1):
+        parts.append(
+            f"""r{d} AS MATERIALIZED (
+      SELECT e.u AS node, BIT_OR(s.c{d - 1}) AS o
+      FROM e0 e JOIN s{d - 1} s ON e.v = s.node GROUP BY e.u
+    ),
+    s{d} AS MATERIALIZED (
+      SELECT s.node, {", ".join(f"s.c{j}" for j in range(d))},
+             s.c{d - 1} | COALESCE(r.o, 0) AS c{d}
+      FROM s{d - 1} s LEFT JOIN r{d} r ON s.node = r.node
+    )"""
+        )
+    milli = " + ".join(
+        f"{1000 // d} * BIT_COUNT(c{d} & ~c{d - 1})"
+        for d in range(1, n_rounds + 1)
+    )
+    return (
+        f"""
+    WITH coedges AS MATERIALIZED ({_COORDER_EDGES_SQL}),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST({milli} AS BIGINT) AS harmonic_milli,
+           CAST(BIT_COUNT(c{n_rounds} & ~c0) AS BIGINT) AS n_reached
+    FROM s{n_rounds}
+    WHERE BIT_COUNT(c{n_rounds} & ~c0) > 0
+    """
+    )
+
+
+@query("coorder_harmonic", _harmonic_oracle(n_rounds=3))
+def coorder_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality over the co-order graph: a
+    FIXED ≤21-seed panel (partkey % 97 = 0, ≤ 2000 — constant at every
+    SF, the MAX_EVAL_QUERIES stance; bit index = partkey // 97) runs a
+    bitmask multi-source BFS for 3 rounds; C_H(n) = Σ_s ⌊1000/d(s,n)⌋
+    in exact milli. The small-panel exact counterpart of HyperBall's
+    all-sources sketch; distance-based centrality joining PageRank
+    (flow) and k-core/k-truss (cohesion)."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.harmonic_centrality(
+        C.coorder_edges(li),
+        # exact: the guard makes c a multiple of 97 ≤ 2000, so the
+        # double division is an exact small integer (bit 1..20)
+        lambda c: F.when((c % 97 == 0) & (c <= 2000), (c / 97).cast("int")),
+        n_rounds=3,
+    )
+
+
+def _nagg_oracle(n_rounds: int) -> str:
+    """Unrolled GraphSAGE-style mean-aggregation oracle: per round,
+    join features onto the symmetric edge destinations and take the
+    exact integer-div mean per source — components.neighborhood_agg."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT u, v FROM coedges UNION ALL SELECT v, u FROM coedges
+    ),
+    h0 AS (
+      SELECT p_partkey AS node,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS h
+      FROM part
+    )"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""h{i + 1} AS MATERIALIZED (
+      SELECT e.u AS node, CAST(SUM(f.h) // COUNT(*) AS BIGINT) AS h
+      FROM e0 e JOIN h{i} f ON e.v = f.node
+      GROUP BY e.u
+    )"""
+        )
+    return (
+        f"""
+    WITH coedges AS MATERIALIZED ({_COORDER_EDGES_SQL}),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, h FROM h{n_rounds}
+    """
+    )
+
+
+@query("coorder_feature_prop", _nagg_oracle(n_rounds=2))
+def coorder_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of GraphSAGE-style mean feature aggregation over the
+    co-order graph — each part's retail price (exact cents) replaced by
+    the integer-div mean of its neighbors', twice: the feature-
+    propagation pass that prepares node features for GNN training.
+    Exact integer arithmetic end-to-end; one join + one agg per round
+    on the node key."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    feats = part.select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("h"),
+    )
+    return C.neighborhood_agg(C.coorder_edges(li), feats, n_rounds=2)
+
+
 @query(
     "forecast_revenue_scan",
     """

@@ -359,6 +359,82 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_bcubed_eval",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    assign AS (
+      SELECT a.doc_id AS id,
+             COALESCE(cc.cluster_id, a.doc_id) AS pred,
+             CASE WHEN a.doc_id >= 1000000 THEN a.doc_id - 1000000
+                  ELSE a.doc_id END AS gold
+      FROM aug a LEFT JOIN cc ON a.doc_id = cc.doc_id
+    ),
+    cells AS (SELECT pred, gold, CAST(COUNT(*) AS BIGINT) AS n_pg
+              FROM assign GROUP BY 1, 2),
+    np AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_p FROM assign GROUP BY 1),
+    ng AS (SELECT gold, CAST(COUNT(*) AS BIGINT) AS n_g FROM assign GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM assign),
+    terms AS (
+      SELECT c.n_pg,
+             (1000 * c.n_pg) // np.n_p AS p_milli,
+             (1000 * c.n_pg) // ng.n_g AS r_milli
+      FROM cells c JOIN np USING (pred) JOIN ng USING (gold)
+    ),
+    s AS (SELECT CAST(SUM(n_pg * p_milli) AS BIGINT) AS sp,
+                 CAST(SUM(n_pg * r_milli) AS BIGINT) AS sr FROM terms),
+    pr AS (
+      SELECT tot.n_items,
+             CAST(s.sp // tot.n_items AS BIGINT) AS precision_milli,
+             CAST(s.sr // tot.n_items AS BIGINT) AS recall_milli
+      FROM s, tot
+    )
+    SELECT n_items, precision_milli, recall_milli,
+           CAST(CASE WHEN precision_milli + recall_milli > 0
+                THEN (2 * precision_milli * recall_milli)
+                     // (precision_milli + recall_milli)
+                ELSE NULL END AS BIGINT) AS f1_milli
+    FROM pr
+    """,
+)
+def dedup_bcubed_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the MinHash-LSH→CC dedup
+    clustering against the PLANTED ground truth (every +1000000 doc is
+    a near-dup of its source; everything else is its own gold
+    cluster) — the item-weighted extrinsic cluster metric that
+    punishes megaclusters in proportion to the items they pollute.
+    Exact integer milli scores; the oracle replays the full LSH chain,
+    the recursive closure, and the same truncating divisions."""
+    from avocado_spark.operators.components import dedup_clusters
+    from avocado_spark.operators.dedup import bcubed_cluster_eval
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    assign = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("pred"),
+            F.when(
+                F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("gold"),
+        )
+    )
+    return bcubed_cluster_eval(assign)
+
+
+@query(
     "dedup_canonical_keep",
     f"""
     WITH RECURSIVE {_MINHASH_CHAIN},

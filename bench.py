@@ -197,6 +197,19 @@ def main() -> None:
         "coorder_edge_strength",
         "ccnet_perplexity_buckets",
         "dsir_importance_topk",
+        # r10: k-truss peel (5 wedge passes on the deca-catalog
+        # subgraph — small enough that the EDGE-peeling family earns a
+        # headline number where kcore/pagerank stay out), bitmask
+        # multi-source-BFS harmonic centrality (3 bit_or rounds over
+        # the full 1.2M-edge graph — the MS-BFS rewrite took it from
+        # 17 s to ~3 s), GraphSAGE-style 2-round feature propagation,
+        # and the B-cubed cluster-eval rider (one linear pipeline over
+        # the LSH→CC chain; kept IN because its single-pass window
+        # rewrite is the plan under test)
+        "coorder_ktruss",
+        "coorder_harmonic",
+        "coorder_feature_prop",
+        "dedup_bcubed_eval",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed

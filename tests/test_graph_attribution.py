@@ -206,3 +206,123 @@ def test_label_propagation_releases_blocks(spark):
     assert _live_rdd_ids(spark) - before == stats["residual_rdd_ids"]
     release_result(spark, stats["residual_rdd_ids"])
     assert _live_rdd_ids(spark) - before == set()
+
+
+def test_ktruss_toy_graph(spark):
+    """4-truss of K4 ∪ pendant-triangle = exactly K4: every K4 edge
+    closes 2 triangles among survivors; the pendant triangle's edges
+    close only 1 and peel off in round one."""
+    from avocado_spark.operators.components import k_truss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(k4 + pendant, ["u", "v"])
+    out = {(r["u"], r["v"]): r["support"] for r in k_truss(edges, k=4, n_rounds=3).collect()}
+    assert out == {e: 2 for e in k4}
+
+
+def test_ktruss_fixture_reaches_fixpoint(spark):
+    """The 4-round budget the coorder_ktruss oracle unrolls must reach
+    the true fixpoint on the query's own deca-catalog subgraph at
+    sf0.01 — rounds 4 and 5 must agree, so the budgeted result IS the
+    4-truss."""
+    from avocado_spark.operators.components import coorder_edges, k_truss
+    from avocado_spark.session import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem").where(
+        F.col("l_partkey") % 10 == 0
+    )
+    edges = coorder_edges(li).persist()
+    a = k_truss(edges, k=4, n_rounds=4)
+    b = k_truss(edges, k=4, n_rounds=5)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_neighborhood_agg_star_two_rounds(spark):
+    """Hand-checked 2-round mean propagation on a star: the center
+    takes the leaf mean, leaves take the center's value, then swap
+    back — integer-div exact."""
+    from avocado_spark.operators.components import neighborhood_agg
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["u", "v"])
+    feats = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 30), (3, 40)], ["node", "h"]
+    )
+    r1 = {r["node"]: r["h"] for r in neighborhood_agg(edges, feats, n_rounds=1).collect()}
+    assert r1 == {0: 30, 1: 10, 2: 10, 3: 10}
+    r2 = {r["node"]: r["h"] for r in neighborhood_agg(edges, feats, n_rounds=2).collect()}
+    assert r2 == {0: 10, 1: 30, 2: 30, 3: 30}
+
+
+def test_ktruss_and_nagg_release_blocks(spark):
+    """Iterative-operator hygiene: after consuming the results and
+    releasing the reported residuals, no checkpoint blocks survive."""
+    from avocado_spark.operators.components import (
+        k_truss,
+        neighborhood_agg,
+        release_result,
+    )
+
+    before = _live_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (1, 4)], ["u", "v"]
+    )
+    feats = spark.createDataFrame([(i, i * 10) for i in range(1, 5)], ["node", "h"])
+    st1: dict = {}
+    k_truss(edges, k=4, n_rounds=2, stats=st1).collect()
+    release_result(spark, st1["residual_rdd_ids"])
+    st2: dict = {}
+    neighborhood_agg(edges, feats, n_rounds=2, stats=st2).collect()
+    release_result(spark, st2["residual_rdd_ids"])
+    assert _live_rdd_ids(spark) - before == set()
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 0-1-2-3-4 with seed {0}: exact milli reciprocals 1000/500/
+    333 at hops 1/2/3; node 4 is beyond the 3-round budget and absent;
+    the seed's own 0-distance row is excluded."""
+    from avocado_spark.operators.components import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], ["u", "v"])
+    out = {
+        r["node"]: (r["harmonic_milli"], r["n_reached"])
+        for r in harmonic_centrality(
+            edges, lambda c: F.when(c == 0, 0), n_rounds=3
+        ).collect()
+    }
+    assert out == {1: (1000, 1), 2: (500, 1), 3: (333, 1)}
+
+
+def test_harmonic_centrality_two_seeds_sum(spark):
+    """Triangle 0-1-2 with seeds {0, 1}: node 2 is at distance 1 from
+    both sources → 2000 milli from 2 sources; each seed is reached
+    only by the OTHER seed (its own 0-distance row is excluded) →
+    1000 milli from 1 source."""
+    from avocado_spark.operators.components import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["u", "v"])
+    out = {
+        r["node"]: (r["harmonic_milli"], r["n_reached"])
+        for r in harmonic_centrality(
+            edges, lambda c: F.when(c <= 1, c.cast("int")), n_rounds=3
+        ).collect()
+    }
+    assert out == {0: (1000, 1), 1: (1000, 1), 2: (2000, 2)}
+
+
+def test_harmonic_centrality_releases_blocks(spark):
+    from avocado_spark.operators.components import (
+        harmonic_centrality,
+        release_result,
+    )
+
+    before = _live_rdd_ids(spark)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["u", "v"])
+    st: dict = {}
+    harmonic_centrality(
+        edges, lambda c: F.when(c == 0, 0), n_rounds=4, stats=st
+    ).collect()
+    release_result(spark, st["residual_rdd_ids"])
+    assert _live_rdd_ids(spark) - before == set()
