@@ -725,6 +725,7 @@ def _edge_support(
 def edge_strength(
     edges: DataFrame,
     broadcast_max_edges: int = 5_000_000,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Per-EDGE triangle support and endpoint Jaccard — the k-truss /
     embeddedness signal: for every existing edge (u,v), how many
@@ -744,7 +745,13 @@ def edge_strength(
     jaccard_bp 3333.
 
     Returns (u, v, support, du, dv, jaccard_bp) for every edge in ≥1
-    triangle.
+    triangle. ``top_k`` keeps only the strongest ties by
+    (jaccard_bp desc, support desc, u, v) — a deterministic total
+    order — INSIDE the operator, so the final materialization (the
+    checkpoint that lets the edge blocks be released) is k rows
+    instead of the full scored edge table and the sort plans as
+    TakeOrderedAndProject; at sf0.1 that removed a 1.2M-row
+    checkpoint write from the top-100 query.
     """
     edge_ids: set[int] = set()
     edges = _tracked_checkpoint(edges, edge_ids)
@@ -765,6 +772,13 @@ def edge_strength(
             ),
         )
     )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.col("jaccard_bp").desc(),
+            F.col("support").desc(),
+            F.col("u").asc(),
+            F.col("v").asc(),
+        ).limit(top_k)
     residual: set[int] = set()
     out = _tracked_checkpoint(scored, residual)
     _release_rdds(out, edge_ids)

@@ -3390,13 +3390,7 @@ def coorder_edge_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avocado_spark.operators import components as C
 
     li = _t(spark, sf_dir, "lineitem")
-    scored = C.edge_strength(C.coorder_edges(li))
-    return scored.orderBy(
-        F.col("jaccard_bp").desc(),
-        F.col("support").desc(),
-        F.col("u").asc(),
-        F.col("v").asc(),
-    ).limit(100)
+    return C.edge_strength(C.coorder_edges(li), top_k=100)
 
 
 @query(

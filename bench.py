@@ -494,6 +494,15 @@ _SCALE_CORRECTNESS_QUERIES = [
     "events_spearman_daily",
     "coorder_assortativity",
     "ccnet_perplexity_buckets",
+    # r10: node/edge-sized outputs with unrolled exact-integer oracles
+    # — cheap to value-check at any factor (ktruss's deca-catalog
+    # subgraph is ~100× smaller than the full co-order graph;
+    # dedup_bcubed_eval stays OUT: its oracle embeds the recursive-CC
+    # closure that is quadratic-ish on the replica-clique construction,
+    # the same reason dedup_clusters is represented at sf0.01)
+    "coorder_ktruss",
+    "coorder_feature_prop",
+    "coorder_harmonic",
 ]
 
 _SCALE_QUERIES_100 = [
@@ -541,6 +550,16 @@ _SCALE_QUERIES_100 = [
     ("late_shipment_priority", 150.0),
     ("coorder_edge_strength", 1000.0),
     ("dsir_importance_topk", 150.0),
+    # r10: the EDGE-peeling truss shares the wedge bound (and its
+    # deca-catalog subgraph's distinct edge set stays ~constant under
+    # the multiplicity replication, like the other coorder entries);
+    # harmonic is 3 bit_or join+agg rounds and feature-prop 2 join+agg
+    # rounds over the ~constant distinct-edge graph; B-cubed rides the
+    # LSH→CC chain so it takes the dedup-family allowance
+    ("coorder_ktruss", 1000.0),
+    ("coorder_harmonic", 450.0),
+    ("coorder_feature_prop", 450.0),
+    ("dedup_bcubed_eval", 450.0),
 ]
 
 
