@@ -1062,3 +1062,86 @@ def harmonic_centrality(
     if stats is not None:
         stats["residual_rdd_ids"] = residual
     return out
+
+
+def coorder_weighted_edges(lineitem: DataFrame) -> DataFrame:
+    """Weighted co-order pairs: (u < v, n_orders) — how many orders
+    contain both parts. Same map-side pair explode as
+    :func:`coorder_edges` with a count agg instead of distinct, so the
+    only shuffles are the order-key groupBy and the pair-key agg."""
+    basket = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        basket.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seed_pred,
+    n_rounds: int = 4,
+    weight_col: str = "w",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-seed single-source-shortest-path over a WEIGHTED
+    undirected graph via ``n_rounds`` of synchronous Bellman–Ford
+    relaxation — the weighted member of the distance family
+    (:func:`bfs_hops` = unweighted hops, :func:`harmonic_centrality` =
+    multi-source panel, this = cost-aware reachability, e.g. "how
+    cheaply is every product reached from the anchor catalog when edge
+    cost is inverse co-occurrence strength").
+
+    Exact integer weights (BIGINT, caller-derived, e.g. 10000 div
+    n_orders) make every relaxation deterministic — float weights
+    would tie-break by accumulation order. After ``n_rounds`` rounds
+    the label is the exact min-cost path using ≤ n_rounds edges
+    (Bellman–Ford's standard invariant), so a fixed budget is both
+    replayable (the oracle unrolls the same min-folds) and honest: on
+    graphs whose cheapest paths are short — co-occurrence graphs,
+    where long paths accumulate cost — the budgeted result is the true
+    distance (assert fixpoint like k_core/k_truss when claiming it).
+
+    Per round: ONE equi-join of the current label table onto the
+    symmetrized edges + one min hash agg, lineage truncated with the
+    tracked-checkpoint / release discipline. Returns (node, dist) for
+    reached nodes; seeds have dist 0.
+    """
+    und = edges.select("u", "v", weight_col).unionAll(
+        edges.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col(weight_col)
+        )
+    )
+    adj_ids: set[int] = set()
+    adj = _tracked_checkpoint(und, adj_ids)
+    dist = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .where(seed_pred(F.col("node")))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    prev_ids: set[int] = set()
+    dist = _tracked_checkpoint(dist, prev_ids)
+    for i in range(1, n_rounds + 1):
+        _set_phase(adj, f"avocado:weighted_sssp:round {i}")
+        relaxed = (
+            dist.join(adj, dist["node"] == adj["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col(weight_col)).alias("dist"),
+            )
+            .unionAll(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        cur_ids: set[int] = set()
+        dist = _tracked_checkpoint(relaxed, cur_ids)
+        _release_rdds(dist, prev_ids)
+        prev_ids = cur_ids
+    _release_rdds(dist, adj_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = prev_ids
+    return dist

@@ -1036,3 +1036,88 @@ def bcubed_cluster_eval(
             .alias("f1_milli"),
         )
     )
+
+
+def adjusted_rand_eval(
+    assign: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Rand index + Adjusted Rand Index (Hubert & Arabie 1985) of a
+    predicted clustering against gold — the PAIR-counting complement
+    to :func:`bcubed_cluster_eval`'s item-weighted view: RI is the
+    fraction of item pairs the two clusterings agree on; ARI subtracts
+    the chance agreement of random clusterings with the same cluster
+    sizes (0 expected for random, 1000 for perfect).
+
+    EXACT integer contract: everything is computed in DOUBLED pair
+    counts (x·(x−1) = 2·C(x,2) — always even, never a /2 in sight),
+    cross-multiplied in DECIMAL(38,0) (n2·A2·1000 overflows BIGINT
+    around 10⁶ items — the ks_two_sample discipline), and narrowed to
+    milli by one truncating division per metric:
+      RI_milli  = 1000·(n2 − (A2 + B2 − 2·P2)) div n2
+      ARI_milli = 1000·(2·n2·P2 − 2·A2·B2) div (n2·(A2+B2) − 2·A2·B2)
+    with P2 = Σ_cells n_pg(n_pg−1), A2 = Σ_pred n_p(n_p−1),
+    B2 = Σ_gold n_g(n_g−1), n2 = N(N−1). ARI is NULL when the
+    denominator is 0 (both sides all-singletons or one giant cluster —
+    chance equals observed, undefined).
+
+    Scale shape: the bcubed discipline — ONE hash agg over assign to
+    the (pred, gold) cells, per-cluster sizes as key-partitioned
+    window sums with a row_number flag so each cluster contributes its
+    pair count exactly once, one 1-row final agg. The assignment
+    lineage executes once.
+    """
+    a = assign.select(
+        F.col(id_col).alias("_id"),
+        F.col(pred_col).alias("_p"),
+        F.col(gold_col).alias("_g"),
+    )
+    cells = a.groupBy("_p", "_g").agg(F.count(F.lit(1)).cast("bigint").alias("n_pg"))
+    wp, wg = Window.partitionBy("_p"), Window.partitionBy("_g")
+    flagged = cells.select(
+        "n_pg",
+        F.sum("n_pg").over(wp).alias("n_p"),
+        F.sum("n_pg").over(wg).alias("n_g"),
+        (F.row_number().over(wp.orderBy("_g")) == 1).alias("first_p"),
+        (F.row_number().over(wg.orderBy("_p")) == 1).alias("first_g"),
+    )
+    dec = "decimal(38,0)"
+    s = flagged.agg(
+        F.sum("n_pg").cast(dec).alias("n"),
+        F.sum(F.col("n_pg") * (F.col("n_pg") - 1)).cast(dec).alias("p2"),
+        F.sum(F.when(F.col("first_p"), F.col("n_p") * (F.col("n_p") - 1)).otherwise(0))
+        .cast(dec)
+        .alias("a2"),
+        F.sum(F.when(F.col("first_g"), F.col("n_g") * (F.col("n_g") - 1)).otherwise(0))
+        .cast(dec)
+        .alias("b2"),
+    )
+    n2 = (F.col("n") * (F.col("n") - 1)).cast(dec)
+    num = F.lit(2).cast(dec) * n2 * F.col("p2") - F.lit(2).cast(dec) * F.col("a2") * F.col("b2")
+    den = n2 * (F.col("a2") + F.col("b2")) - F.lit(2).cast(dec) * F.col("a2") * F.col("b2")
+
+    def _floor_div(x, y):
+        # exact ⌊x/y⌋ on DECIMAL(38,0): Spark's decimal division
+        # rounds HALF_UP at result scale, so repair the off-by-one the
+        # ks_two_sample way (DuckDB's HUGEINT // floors natively)
+        q0 = F.floor(x / y).cast(dec)
+        return q0 - F.when(q0 * y > x, 1).otherwise(0)
+
+    return s.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.when(
+            n2 != 0,
+            _floor_div(
+                F.lit(1000).cast(dec)
+                * (n2 - (F.col("a2") + F.col("b2") - 2 * F.col("p2"))),
+                n2,
+            ),
+        )
+        .cast("bigint")
+        .alias("rand_milli"),
+        F.when(den != 0, _floor_div(F.lit(1000).cast(dec) * num, den))
+        .cast("bigint")
+        .alias("ari_milli"),
+    )

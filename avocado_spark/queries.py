@@ -3566,6 +3566,69 @@ def coorder_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sssp_oracle(n_rounds: int) -> str:
+    """Unrolled synchronous Bellman–Ford oracle: weighted co-order
+    edges (w = 10000 // n_orders), seed panel at dist 0, per round one
+    relax-join + UNION + MIN fold — components.weighted_sssp."""
+    parts = [
+        """wpairs AS MATERIALIZED (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ) GROUP BY u, v
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v, 10000 // n AS w FROM wpairs
+      UNION ALL
+      SELECT v, u, 10000 // n FROM wpairs
+    ),
+    d0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist
+      FROM (SELECT DISTINCT u AS node FROM e0)
+      WHERE node % 97 = 0 AND node <= 2000
+    )"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d{i - 1} d JOIN e0 e ON d.node = e.u
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        """
+    WITH """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{n_rounds}
+    """
+    )
+
+
+@query("coorder_weighted_sssp", _sssp_oracle(n_rounds=4))
+def coorder_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-aware reachability from the anchor-catalog seed panel:
+    4 rounds of synchronous Bellman–Ford over the WEIGHTED co-order
+    graph (edge cost 10000 div n_orders — strong ties are cheap), the
+    weighted member of the distance family next to bfs_hops/harmonic.
+    Exact integer weights; after 4 rounds the label is the exact
+    min-cost path using ≤4 edges."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = C.coorder_weighted_edges(li).select(
+        "u", "v", F.expr("10000 div n_orders").cast("bigint").alias("w")
+    )
+    return C.weighted_sssp(
+        w, lambda c: (c % 97 == 0) & (c <= 2000), n_rounds=4
+    )
+
+
 def _nagg_oracle(n_rounds: int) -> str:
     """Unrolled GraphSAGE-style mean-aggregation oracle: per round,
     join features onto the symmetric edge destinations and take the

@@ -435,6 +435,76 @@ def dedup_bcubed_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_rand_index",
+    f"""
+    WITH RECURSIVE {_MINHASH_CHAIN},
+    pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach (u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    assign AS (
+      SELECT a.doc_id AS id,
+             COALESCE(cc.cluster_id, a.doc_id) AS pred,
+             CASE WHEN a.doc_id >= 1000000 THEN a.doc_id - 1000000
+                  ELSE a.doc_id END AS gold
+      FROM aug a LEFT JOIN cc ON a.doc_id = cc.doc_id
+    ),
+    cells AS (SELECT pred, gold, CAST(COUNT(*) AS HUGEINT) AS n_pg
+              FROM assign GROUP BY 1, 2),
+    sums AS (SELECT CAST(SUM(n_pg) AS HUGEINT) AS n,
+                    CAST(SUM(n_pg * (n_pg - 1)) AS HUGEINT) AS p2
+             FROM cells),
+    ap AS (SELECT CAST(SUM(np * (np - 1)) AS HUGEINT) AS a2
+           FROM (SELECT SUM(n_pg) AS np FROM cells GROUP BY pred)),
+    bg AS (SELECT CAST(SUM(ng * (ng - 1)) AS HUGEINT) AS b2
+           FROM (SELECT SUM(n_pg) AS ng FROM cells GROUP BY gold)),
+    fin AS (SELECT n, p2, a2, b2, n * (n - 1) AS n2 FROM sums, ap, bg)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(CASE WHEN n2 <> 0
+                THEN (1000 * (n2 - (a2 + b2 - 2 * p2))) // n2
+                END AS BIGINT) AS rand_milli,
+           CAST(CASE WHEN (n2 * (a2 + b2) - 2 * a2 * b2) <> 0
+                THEN (1000 * (2 * n2 * p2 - 2 * a2 * b2))
+                     // (n2 * (a2 + b2) - 2 * a2 * b2)
+                END AS BIGINT) AS ari_milli
+    FROM fin
+    """,
+)
+def dedup_rand_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand + Adjusted Rand of the MinHash-LSH→CC clustering against
+    the planted near-dup ground truth — the PAIR-counting companion to
+    dedup_bcubed_eval (ARI subtracts chance agreement, so a do-nothing
+    all-singletons clustering scores ~0 where raw RI scores high on a
+    mostly-singleton corpus). Doubled pair counts, DECIMAL(38,0)
+    cross-multiplication, floor-repaired milli divisions — the
+    ks_two_sample discipline; HUGEINT replay in the oracle."""
+    from avocado_spark.operators.components import dedup_clusters
+    from avocado_spark.operators.dedup import adjusted_rand_eval
+
+    docs = _aug_docs(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    assign = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("pred"),
+            F.when(
+                F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("gold"),
+        )
+    )
+    return adjusted_rand_eval(assign)
+
+
+@query(
     "dedup_canonical_keep",
     f"""
     WITH RECURSIVE {_MINHASH_CHAIN},

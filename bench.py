@@ -210,6 +210,12 @@ def main() -> None:
         "coorder_harmonic",
         "coorder_feature_prop",
         "dedup_bcubed_eval",
+        # r10b: weighted Bellman-Ford (4 relax-join + min-fold rounds
+        # over the weighted co-order graph — the weighted distance
+        # family's headline number). dedup_rand_index stays OUT: it
+        # rides the identical LSH→CC chain dedup_bcubed_eval already
+        # times, differing only in the 1-row metric algebra.
+        "coorder_weighted_sssp",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
@@ -503,6 +509,7 @@ _SCALE_CORRECTNESS_QUERIES = [
     "coorder_ktruss",
     "coorder_feature_prop",
     "coorder_harmonic",
+    "coorder_weighted_sssp",
 ]
 
 _SCALE_QUERIES_100 = [
@@ -560,6 +567,7 @@ _SCALE_QUERIES_100 = [
     ("coorder_harmonic", 450.0),
     ("coorder_feature_prop", 450.0),
     ("dedup_bcubed_eval", 450.0),
+    ("coorder_weighted_sssp", 450.0),
 ]
 
 

@@ -326,3 +326,45 @@ def test_harmonic_centrality_releases_blocks(spark):
     ).collect()
     release_result(spark, st["residual_rdd_ids"])
     assert _live_rdd_ids(spark) - before == set()
+
+
+def test_weighted_sssp_relaxes_through_cheaper_path(spark):
+    """Triangle with an expensive direct edge: 0-1 (10), 1-2 (10),
+    0-2 (100). Round 1 labels node 2 at 100; round 2 relaxes it to the
+    two-hop 20 — the Bellman-Ford budget invariant."""
+    from avocado_spark.operators.components import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (0, 2, 100)], ["u", "v", "w"]
+    )
+    one = {
+        r["node"]: r["dist"]
+        for r in weighted_sssp(edges, lambda c: c == 0, n_rounds=1).collect()
+    }
+    assert one == {0: 0, 1: 10, 2: 100}
+    two = {
+        r["node"]: r["dist"]
+        for r in weighted_sssp(edges, lambda c: c == 0, n_rounds=2).collect()
+    }
+    assert two == {0: 0, 1: 10, 2: 20}
+
+
+def test_weighted_sssp_multi_seed_min_and_release(spark):
+    """Path 0-1-2-3 (unit weights), seeds {0, 3}: every node takes the
+    min over seeds; blocks fully released after release_result."""
+    from avocado_spark.operators.components import release_result, weighted_sssp
+
+    before = _live_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], ["u", "v", "w"]
+    )
+    st: dict = {}
+    out = {
+        r["node"]: r["dist"]
+        for r in weighted_sssp(
+            edges, lambda c: (c == 0) | (c == 3), n_rounds=3, stats=st
+        ).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 0}
+    release_result(spark, st["residual_rdd_ids"])
+    assert _live_rdd_ids(spark) - before == set()
