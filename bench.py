@@ -299,7 +299,14 @@ def main() -> None:
             # 100x growth bound rides the same (multiplicity-
             # replicated, ~constant-distinct-edge) argument as the
             # triangle row in the scale gate.
-            "coorder_edge_strength": "~7.9s: triangles' wedge cost + per-edge explode/joins — expected premium, scale-gated at 100x",
+            "coorder_edge_strength": "~7.9s: triangles' wedge cost + per-edge explode/joins — expected premium, scale-gated at 100x; r10's top-k pushdown removed the 1.2M-row result checkpoint (memory win, wall flat — the wedge stream dominates)",
+            # r10: the 83 shared-tail queries drifted +5.3% vs r9 as a
+            # broad uniform shift across UNTOUCHED paths (ks_drift,
+            # rfm, biallelic, ppjoin all +8-20% with identical plans
+            # and code; triangles +1.96s with its path untouched this
+            # round) — machine-state drift, not a regression; the same
+            # adjudication pattern as simhash r6/r7. Re-check in r11.
+            "shared_tail_r10": "+5.3% uniform drift across untouched paths incl. coorder_triangles 5.03->6.99s — environment, plans unchanged",
             # r8d: MMR first landed as k−1 unrolled rounds re-reading
             # the un-materialized candidate plan — 14.2s; tracked-
             # checkpointing cand/sims once and freezing each round's
