@@ -665,6 +665,90 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def modularity(
+    edges: DataFrame, labels: DataFrame, stats: dict | None = None
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over an
+    undirected graph — the one-number "did the clustering find real
+    structure?" score (Q > 0 means more intra-community edges than a
+    degree-preserving random rewiring would give; ~0.3+ is strong).
+    Closes the eval loop on :func:`label_propagation` the way B-cubed /
+    Adjusted Rand close it on the dedup clusters.
+
+    Exactness: with m edges, intra intra-community edges, and D_c the
+    total degree of community c,
+      Q = intra/m − Σ_c D_c² / (4m²) = (4m·intra − Σ_c D_c²) / (4m²),
+    accumulated entirely in DECIMAL(38,0) (Σ D_c² reaches (2m)² when
+    one community swallows the graph) with ONE double division at the
+    end — identical in both engines.
+
+    Scale shape: two node-sized label joins onto the edge list (AQE
+    broadcasts when the label table allows), one degree agg, one
+    per-community degree rollup, then 1-row broadcast cross joins —
+    the edge list is never shuffled beyond the label joins.
+
+    ``edges``: canonical undirected (u < v, distinct); ``labels``:
+    (node, community) covering every edge endpoint. Returns ONE row:
+    n_edges, n_communities, intra_edges (bigint), modularity (6 dp,
+    NULL on an empty graph).
+    """
+    dec = "decimal(38,0)"
+    edge_ids: set[int] = set()
+    edges = _tracked_checkpoint(edges, edge_ids)
+    lab_ids: set[int] = set()
+    labels = _tracked_checkpoint(labels, lab_ids)
+    m = edges.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    intra = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cu") == F.col("cv"), 1)).cast(dec),
+                F.lit(0).cast(dec),
+            ).alias("intra")
+        )
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast(dec).alias("d"))
+    )
+    dc = (
+        deg.join(labels, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("dc"))
+    )
+    sums = dc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.coalesce(
+            F.sum(F.col("dc") * F.col("dc")), F.lit(0).cast(dec)
+        ).alias("sdc2"),
+    )
+    out = (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"),
+            "n_communities",
+            F.col("intra").cast("bigint").alias("intra_edges"),
+            F.expr(
+                "CASE WHEN m > 0 THEN ROUND("
+                "CAST(4 * m * intra - sdc2 AS DOUBLE)"
+                " / CAST(4 * m * m AS DOUBLE), 6) END"
+            ).alias("modularity"),
+        )
+    )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)
+    _release_rdds(out, edge_ids | lab_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = residual
+    return out
+
+
 def _edge_support(
     edges: DataFrame, broadcast_max_edges: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -857,6 +857,13 @@ def chisq_independence(
     exact integers, so the χ² statistic is the identical double
     expression on both engines.
 
+    Computed via the identity χ² = Σ_cells O²/E − n, which needs only
+    the OBSERVED cells: a structural zero's term is exactly its E, and
+    ΣE over the full r×c grid telescopes to n — so sparse contingency
+    tables are handled correctly without ever materializing the grid
+    (r10 fix: the (O−E)²/E form silently dropped zero cells, biasing
+    χ² low whenever a category pair never co-occurred).
+
     Scale shape: one hash agg for the contingency cells, two
     broadcast-sized marginal aggs re-joined on the category keys —
     never a driver-side crosstab collect. Returns one row with the
@@ -876,9 +883,11 @@ def chisq_independence(
         * F.col("col_n").cast("double")
         / F.col("total").cast("double")
     )
-    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    term = F.col("o").cast("double") * F.col("o").cast("double") / e
     return j.agg(
-        F.round(F.sum(F.round(term, 9)), 6).alias("chi2"),
+        F.round(
+            F.sum(F.round(term, 9)) - F.first("total").cast("double"), 6
+        ).alias("chi2"),
         (
             (F.count_distinct(F.col(a_col)) - 1)
             * (F.count_distinct(F.col(b_col)) - 1)
@@ -2295,13 +2304,24 @@ def weighted_quantile(
     totals = g.groupBy(*group_cols).agg(
         F.sum("_wq_w").cast("bigint").alias("_wq_tot")
     )
-    hit = r.join(totals, list(group_cols)).where(
+    if group_cols:
+        j = r.join(totals, list(group_cols))
+    else:
+        # global (ungrouped) quantile: totals is ONE row — broadcast it
+        j = r.crossJoin(F.broadcast(totals))
+    hit = j.where(
         F.lit(int(q_den)) * F.col("_wq_cum") >= F.lit(int(q_num)) * F.col("_wq_tot")
     )
+    # keep exact-integer domains BIGINT (the house output convention);
+    # non-integral value domains (double slopes/residuals) pass through
+    # untouched — a bigint cast would silently truncate them
+    vmin = F.min("_wq_v")
+    if dict(g.dtypes)["_wq_v"] in ("tinyint", "smallint", "int", "bigint"):
+        vmin = vmin.cast("bigint")
     return (
         hit.groupBy(*group_cols)
         .agg(
-            F.min("_wq_v").cast("bigint").alias(out_col),
+            vmin.alias(out_col),
             F.max("_wq_tot").cast("bigint").alias("total_weight"),
         )
     )

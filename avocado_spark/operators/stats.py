@@ -1,0 +1,592 @@
+"""Hypothesis-testing, robust-trend, and distribution-divergence
+operators — the r10b statistical extension family.
+
+The reference engine's statistical surface is the per-site Fisher
+strand-bias test (avocado-core
+.../genotyping/BiallelicGenotyper.scala:560-618 via LogBinomial); this
+module generalizes that "exact-integer contingency in, one small
+scored table out" discipline to the monitoring statistics a corpus /
+feature pipeline runs beside dedup and drift checks: Welch's unequal-
+variance t, Cramér's V effect size, autocorrelation, Kendall's τ-b,
+Theil–Sen robust slope, Benjamini–Hochberg FDR control, and
+Jensen–Shannon source divergence.
+
+Differential-testing discipline (the ks_two_sample / spearman_rho
+house rules, operators/relational.py):
+
+* every count / sum that feeds a statistic is an exact integer,
+  accumulated in DECIMAL(38,0) (HUGEINT replays it in the DuckDB
+  oracles);
+* doubles appear only in the FINAL scoring expression, written as the
+  same arithmetic on the same integers in both engines (IEEE +,-,*,/
+  and SQRT are correctly rounded, so the results are bit-identical);
+  where a transcendental is unavoidable (LOG2, EXP) every per-row term
+  is rounded to 9 digits before the commutative sum so a 1-ulp libm
+  divergence cannot reach the 6-digit output;
+* undefined statistics (empty sample, zero variance) are CASE-guarded
+  to NULL — never a /0 that ANSI mode turns into a runtime error.
+
+Scale shapes: everything is hash-agg + broadcast-sized 1-row cross
+joins except the two PAIR-based estimators (Kendall, Theil–Sen), which
+are only defined here over BOUNDED aggregate series (hourly / daily
+rollups — thousands of points no matter how many raw rows feed them);
+:func:`bounded_self_pairs` enforces the bound with an explicit raise
+and distributes the O(n²/2) pair explode across the cluster instead of
+a driver loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t
+# ---------------------------------------------------------------------------
+
+
+def welch_t(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic with the
+    Welch–Satterthwaite degrees of freedom, between the rows where
+    ``is_a`` holds (sample A) and the rest — the location test to run
+    when the two groups' variances have no reason to agree (the usual
+    case for purchase-vs-view style splits).
+
+    ``value_col`` must be an exact integer column (cents, counts).
+    One conditional-aggregate scan accumulates n, Σx, Σx² per sample
+    in DECIMAL(38,0); the statistic itself is the identical double
+    expression on both engines (+,-,*,/ and SQRT only — no libm).
+
+    Returns ONE row: n_a, n_b (BIGINT), mean_a, mean_b (doubles,
+    6 dp), t_stat (6 dp), df_welch (3 dp). t and df are NULL when
+    either sample has < 2 rows or both variances are zero.
+    """
+    v = F.col(value_col).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    m = df.agg(
+        F.coalesce(F.sum(F.when(is_a, 1)).cast(_DEC), zero).alias("n_a"),
+        F.coalesce(F.sum(F.when(is_a, v)), zero).alias("s_a"),
+        F.coalesce(F.sum(F.when(is_a, v * v)), zero).alias("q_a"),
+        F.coalesce(F.sum(F.when(~is_a, 1)).cast(_DEC), zero).alias("n_b"),
+        F.coalesce(F.sum(F.when(~is_a, v)), zero).alias("s_b"),
+        F.coalesce(F.sum(F.when(~is_a, v * v)), zero).alias("q_b"),
+    )
+    # sample variance and standard error as textual SQL shared with the
+    # oracles: var = (Q - S*S/n) / (n-1), se2 = va/na + vb/nb
+    var_a = "(CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)"
+    var_b = "(CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)"
+    se2 = f"(({var_a}) / CAST(n_a AS DOUBLE) + ({var_b}) / CAST(n_b AS DOUBLE))"
+    t_txt = (
+        f"(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        f" - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / SQRT({se2})"
+    )
+    df_txt = (
+        f"{se2} * {se2} / "
+        f"((({var_a}) / CAST(n_a AS DOUBLE)) * (({var_a}) / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)"
+        f" + (({var_b}) / CAST(n_b AS DOUBLE)) * (({var_b}) / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+    )
+    defined = f"n_a > 1 AND n_b > 1 AND {se2} > 0"
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            "CASE WHEN n_a > 0 THEN ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END"
+        ).alias("mean_a"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END"
+        ).alias("mean_b"),
+        F.expr(f"CASE WHEN {defined} THEN ROUND({t_txt}, 6) END").alias("t_stat"),
+        F.expr(f"CASE WHEN {defined} THEN ROUND({df_txt}, 3) END").alias("df_welch"),
+    )
+
+
+def welch_t_oracle(source_sql: str, value_sql: str, is_a_sql: str) -> str:
+    """DuckDB replay of :func:`welch_t`: the SAME final double formula
+    over HUGEINT conditional sums. ``source_sql`` is a FROM-able
+    relation, ``value_sql`` an integer expression, ``is_a_sql`` a
+    boolean expression."""
+    var_a = "(CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)"
+    var_b = "(CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)"
+    se2 = f"(({var_a}) / CAST(n_a AS DOUBLE) + ({var_b}) / CAST(n_b AS DOUBLE))"
+    t_txt = (
+        f"(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        f" - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / SQRT({se2})"
+    )
+    df_txt = (
+        f"{se2} * {se2} / "
+        f"((({var_a}) / CAST(n_a AS DOUBLE)) * (({var_a}) / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)"
+        f" + (({var_b}) / CAST(n_b AS DOUBLE)) * (({var_b}) / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+    )
+    defined = f"n_a > 1 AND n_b > 1 AND {se2} > 0"
+    return f"""
+    WITH m AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN ia THEN 1 END), 0) AS HUGEINT) AS n_a,
+             CAST(COALESCE(SUM(CASE WHEN ia THEN v END), 0) AS HUGEINT) AS s_a,
+             CAST(COALESCE(SUM(CASE WHEN ia THEN v * v END), 0) AS HUGEINT) AS q_a,
+             CAST(COALESCE(SUM(CASE WHEN NOT ia THEN 1 END), 0) AS HUGEINT) AS n_b,
+             CAST(COALESCE(SUM(CASE WHEN NOT ia THEN v END), 0) AS HUGEINT) AS s_b,
+             CAST(COALESCE(SUM(CASE WHEN NOT ia THEN v * v END), 0) AS HUGEINT) AS q_b
+      FROM (SELECT CAST({value_sql} AS HUGEINT) AS v, ({is_a_sql}) AS ia
+            FROM {source_sql})
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 THEN ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS mean_a,
+           CASE WHEN n_b > 0 THEN ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS mean_b,
+           CASE WHEN {defined} THEN ROUND({t_txt}, 6) END AS t_stat,
+           CASE WHEN {defined} THEN ROUND({df_txt}, 3) END AS df_welch
+    FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """χ² independence test PLUS its Cramér's V effect size over two
+    categorical columns — χ² alone grows with n, V ∈ [0,1] answers
+    "how strong is the association" at any scale.
+
+    Same shape as :func:`relational.chisq_independence` (exact integer
+    cells, broadcast marginals, per-term ROUND 9 before the
+    order-insensitive sum), but via the identity
+    χ² = Σ_cells O²/E − n, which needs only the OBSERVED cells —
+    structural zeros contribute exactly their E, and ΣE over the full
+    grid telescopes to n, so no r×c grid fan-out is ever built. V is
+    derived from the ROUNDED χ² so both engines take the square root
+    of the identical double: V = sqrt((χ²/n) / min(r-1, c-1)). NULL
+    when the table is degenerate (min(r,c) < 2).
+
+    Returns ONE row: chi2 (6 dp), dof, n, n_rows_cat, n_cols_cat,
+    cramers_v (6 dp).
+    """
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").cast("bigint").alias("o"))
+    ra = cells.groupBy(a_col).agg(F.sum("o").alias("row_n"))
+    cb = cells.groupBy(b_col).agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("total"))
+    j = (
+        cells.join(F.broadcast(ra), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    e = _d(F.col("row_n")) * _d(F.col("col_n")) / _d(F.col("total"))
+    term = _d(F.col("o")) * _d(F.col("o")) / e
+    agg = j.agg(
+        F.round(
+            F.sum(F.round(term, 9)) - _d(F.first("total")), 6
+        ).alias("chi2"),
+        F.count_distinct(F.col(a_col)).cast("bigint").alias("n_rows_cat"),
+        F.count_distinct(F.col(b_col)).cast("bigint").alias("n_cols_cat"),
+        F.first("total").cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "chi2",
+        ((F.col("n_rows_cat") - 1) * (F.col("n_cols_cat") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "n",
+        "n_rows_cat",
+        "n_cols_cat",
+        F.expr(
+            "CASE WHEN least(n_rows_cat, n_cols_cat) > 1 AND n > 0 THEN "
+            "ROUND(SQRT((chi2 / CAST(n AS DOUBLE)) / "
+            "CAST(least(n_rows_cat, n_cols_cat) - 1 AS DOUBLE)), 6) END"
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation over a dense integer series
+# ---------------------------------------------------------------------------
+
+
+def acf(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    lags: Sequence[int],
+) -> DataFrame:
+    """Exact sample autocorrelation of a DENSE integer series at the
+    given lags: r_L = Σ_{t}(x_t−x̄)(x_{t+L}−x̄) / Σ_t(x_t−x̄)² — the
+    seasonality detector for event-volume series (a daily cycle shows
+    up as a spike at the 24-hour lag).
+
+    Exactness: deviations are scaled by n so they stay integral —
+    r_L = Σ(n·x_t−S)(n·x_{t+L}−S) / Σ(n·x_t−S)², every product
+    accumulated in DECIMAL(38,0); the single double division happens
+    per lag on identical integers. The mean uses ALL n points (the
+    standard biased-denominator ACF).
+
+    ``series`` must be dense in ``t_col`` (one row per consecutive
+    index — zero-fill gaps upstream) with exact-integer ``x_col``.
+    Scale shape: the lag fan-out is a literal-array explode (L copies
+    per row, map-side) joined back to the series on t+L — an equi
+    hash join, never a window over a single partition; moments ride a
+    broadcast 1-row cross join.
+
+    Returns one row per requested lag: lag, n_terms, acf_r (6 dp,
+    NULL when the lag leaves < 1 overlapping term or variance is 0).
+    """
+    lag_arr = F.array(*[F.lit(int(x)) for x in lags])
+    mom = series.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("_ac_n"),
+        F.coalesce(F.sum(F.col(x_col)).cast(_DEC), F.lit(0).cast(_DEC)).alias(
+            "_ac_s"
+        ),
+    )
+    base = series.crossJoin(F.broadcast(mom)).select(
+        F.col(t_col).alias("_ac_t"),
+        (F.col("_ac_n") * F.col(x_col).cast(_DEC) - F.col("_ac_s")).alias(
+            "_ac_dev"
+        ),
+    )
+    den = base.agg(F.sum(F.col("_ac_dev") * F.col("_ac_dev")).alias("_ac_den"))
+    fan = base.select(
+        "_ac_t", F.col("_ac_dev").alias("_ac_dl"), F.explode(lag_arr).alias("lag")
+    )
+    num = (
+        fan.join(
+            base.select(
+                F.col("_ac_t").alias("_ac_t2"), F.col("_ac_dev").alias("_ac_dr")
+            ),
+            F.col("_ac_t2") == F.col("_ac_t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("_ac_dl") * F.col("_ac_dr")).alias("_ac_num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    all_lags = mom.select(F.explode(lag_arr).alias("lag"))
+    out = (
+        all_lags.join(num, "lag", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.coalesce(F.col("n_terms"), F.lit(0)).cast("bigint").alias("n_terms"),
+            F.expr(
+                "CASE WHEN _ac_num IS NOT NULL AND _ac_den > 0 THEN "
+                "ROUND(CAST(_ac_num AS DOUBLE) / CAST(_ac_den AS DOUBLE), 6) END"
+            ).alias("acf_r"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bounded pair explode (Kendall / Theil–Sen)
+# ---------------------------------------------------------------------------
+
+
+def bounded_self_pairs(
+    series: DataFrame,
+    t_col: str,
+    val_cols: Sequence[str],
+    max_points: int = 5_000,
+) -> DataFrame:
+    """All i<j pairs of a BOUNDED series, distributed: the series is
+    gathered into ONE sorted struct array (≤ ``max_points`` rows —
+    enforced with a raise, the MAX_EVAL_QUERIES discipline from
+    operators/similarity.py), the first endpoint pos-explodes out of
+    it, the per-row remainder slice is repartitioned across the
+    cluster, and the second endpoint explodes map-side — the
+    triangle-wedge slice trick from operators/components.py, so the
+    O(n²/2) pair space never funnels through a driver loop or a
+    cartesian join.
+
+    The bound is SEMANTIC, not a sample: pair estimators here are
+    defined over aggregate series (hourly/daily rollups), whose length
+    is set by the time span, not the raw row count — 100 TB of events
+    still yields one row per hour. Raw-row pair estimation at scale
+    needs a different estimator (bucketed sketches), not a bigger cap.
+
+    Returns one row per (i < j) pair with columns ``l_<c>`` / ``r_<c>``
+    for ``t_col`` and every ``val_cols`` entry.
+    """
+    n = series.count()  # bounded driver scalar (cap check)
+    if n > max_points:
+        raise ValueError(
+            f"bounded_self_pairs: series has {n} points > cap {max_points}; "
+            "pair estimators are defined over bounded aggregate series — "
+            "aggregate coarser or use a sketch-based estimator"
+        )
+    cols = [t_col, *val_cols]
+    arr = series.agg(
+        F.sort_array(F.collect_list(F.struct(*cols))).alias("_bp_arr")
+    )
+    first = arr.select(
+        F.col("_bp_arr"), F.posexplode("_bp_arr").alias("_bp_i", "_bp_l")
+    ).select(
+        "_bp_l",
+        F.expr("slice(_bp_arr, _bp_i + 2, size(_bp_arr))").alias("_bp_rest"),
+    )
+    # one task generated the n first-endpoint rows; spread the heavy
+    # second-level explode across the cluster
+    pairs = first.repartition(F.col("_bp_l")).select(
+        "_bp_l", F.explode("_bp_rest").alias("_bp_r")
+    )
+    sel = [F.col(f"_bp_l.{c}").alias(f"l_{c}") for c in cols] + [
+        F.col(f"_bp_r.{c}").alias(f"r_{c}") for c in cols
+    ]
+    return pairs.select(*sel)
+
+
+def kendall_tau_b(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_points: int = 5_000,
+) -> DataFrame:
+    """Exact Kendall τ-b between two integer columns of a bounded
+    aggregate series — the concordance companion to
+    :func:`relational.spearman_rho` (τ is more robust to outliers and
+    has a direct probabilistic reading: P(concordant) − P(discordant)).
+
+    All pair classification is integer (strict sign comparisons);
+    τ-b = (nc − nd) / sqrt((n0 − t_x)(n0 − t_y)) with n0 = n(n−1)/2 and
+    t_x / t_y the x- and y-tied pair counts, computed as the identical
+    double on both engines. NULL when either factor is zero.
+
+    Returns ONE row: n_points, n_pairs, concordant, discordant,
+    ties_x, ties_y, tau_b (6 dp).
+    """
+    p = bounded_self_pairs(series, t_col, [x_col, y_col], max_points)
+    lx, rx = F.col(f"l_{x_col}"), F.col(f"r_{x_col}")
+    ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
+    conc = ((rx > lx) & (ry > ly)) | ((rx < lx) & (ry < ly))
+    disc = ((rx > lx) & (ry < ly)) | ((rx < lx) & (ry > ly))
+    zero = F.lit(0).cast(_DEC)
+    agg = p.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n_pairs"),
+        F.coalesce(F.sum(F.when(conc, 1)).cast(_DEC), zero).alias("nc"),
+        F.coalesce(F.sum(F.when(disc, 1)).cast(_DEC), zero).alias("nd"),
+        F.coalesce(F.sum(F.when(rx == lx, 1)).cast(_DEC), zero).alias("tx"),
+        F.coalesce(F.sum(F.when(ry == ly, 1)).cast(_DEC), zero).alias("ty"),
+    )
+    tau = (
+        "CASE WHEN n_pairs - tx > 0 AND n_pairs - ty > 0 THEN "
+        "ROUND(CAST(nc - nd AS DOUBLE) / "
+        "SQRT(CAST(n_pairs - tx AS DOUBLE) * CAST(n_pairs - ty AS DOUBLE)), 6) END"
+    )
+    return agg.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("nc").cast("bigint").alias("concordant"),
+        F.col("nd").cast("bigint").alias("discordant"),
+        F.col("tx").cast("bigint").alias("ties_x"),
+        F.col("ty").cast("bigint").alias("ties_y"),
+        F.expr(tau).alias("tau_b"),
+    )
+
+
+def theil_sen(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    max_points: int = 5_000,
+) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes
+    (y_j−y_i)/(t_j−t_i), with the matching median-residual intercept —
+    the trend line a handful of outlier days cannot move (OLS's
+    breakdown point is 0%, Theil–Sen's is 29%).
+
+    Median convention: the LOWER weighted median (smallest value whose
+    running count reaches half the total — the exact-integer-compare
+    convention of :func:`relational.weighted_quantile`, which supplies
+    the frozen-boundary rank machinery), so no midpoint averaging and
+    no interpolation enters the differential. Slopes are the identical
+    integer-ratio doubles on both engines; the intercept pass re-uses
+    the collected median slope as a plan literal (1-row driver scalar,
+    the bounded-collect discipline).
+
+    Returns ONE row: n_points, n_pairs, slope (6 dp), intercept (6 dp).
+    """
+    from avocado_spark.operators.relational import weighted_quantile
+
+    pairs = bounded_self_pairs(series, t_col, [y_col], max_points)
+    slopes = pairs.select(
+        F.expr(
+            f"CAST(r_{y_col} - l_{y_col} AS DOUBLE) / CAST(r_{t_col} - l_{t_col} AS DOUBLE)"
+        ).alias("_ts_slope")
+    )
+    med = weighted_quantile(
+        slopes.withColumn("_ts_w", F.lit(1).cast("bigint")),
+        [],
+        "_ts_slope",
+        "_ts_w",
+    )
+    row = med.first()  # 1-row bounded driver scalar
+    if row is None:
+        return series.sparkSession.createDataFrame(
+            [], "n_points bigint, n_pairs bigint, slope double, intercept double"
+        )
+    slope = float(row["wq_value"])
+    n_pairs = int(row["total_weight"])
+    resid = series.select(
+        F.expr(
+            f"CAST({y_col} AS DOUBLE) - CAST({slope!r} AS DOUBLE) * CAST({t_col} AS DOUBLE)"
+        ).alias("_ts_resid"),
+    )
+    imed = weighted_quantile(
+        resid.withColumn("_ts_w", F.lit(1).cast("bigint")),
+        [],
+        "_ts_resid",
+        "_ts_w",
+    )
+    return imed.select(
+        F.col("total_weight").cast("bigint").alias("n_points"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.round(F.lit(slope), 6).alias("slope"),
+        F.round(F.col("wq_value"), 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erf approximation (|err| < 1.5e-7),
+# written once and embedded textually in BOTH engines so the only
+# cross-engine risk is a 1-ulp EXP divergence — absorbed by rounding
+# the p-value to 9 digits before any comparison or output.
+_AS_P = "0.3275911"
+_AS_COEF = ("0.254829592", "-0.284496736", "1.421413741", "-1.453152027", "1.061405429")
+
+
+def erf_txt(x_txt: str) -> str:
+    """SQL text for erf(x) (x ≥ 0) via A&S 7.1.26 Horner form."""
+    a1, a2, a3, a4, a5 = _AS_COEF
+    t = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + {_AS_P} * ({x_txt})))"
+    poly = f"((((({a5}) * {t} + ({a4})) * {t} + ({a3})) * {t} + ({a2})) * {t} + ({a1})) * {t}"
+    return f"(CAST(1 AS DOUBLE) - {poly} * EXP(-({x_txt}) * ({x_txt})))"
+
+
+def two_sided_z_p_txt(z_txt: str) -> str:
+    """SQL text for the two-sided normal p-value 2·(1−Φ(|z|)) =
+    1 − erf(|z|/√2), rounded to 9 digits."""
+    az = f"(ABS({z_txt}) / SQRT(CAST(2 AS DOUBLE)))"
+    return f"ROUND(CAST(1 AS DOUBLE) - {erf_txt(az)}, 9)"
+
+
+def bh_fdr(
+    tests: DataFrame,
+    id_cols: Sequence[str],
+    p_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a table of
+    hypothesis tests: rank p ascending, find the largest k with
+    p_(k) ≤ k·α/m, reject hypotheses 1..k — the multiple-testing
+    correction for per-segment drift scans (24 hourly tests at α=.05
+    expect one false alarm per day without it).
+
+    Ranks come from global_rank's frozen-boundary machinery (ties
+    broken by ``id_cols``, so the rank is total and deterministic);
+    the threshold compare is the identical double on both engines
+    (p ≤ rank·α_num / (m·α_den)); the step-up maximum is a 1-row agg
+    re-broadcast, NOT a running window.
+
+    Returns one row per test: id_cols…, p, p_rank, m_tests,
+    bh_cutoff (9 dp), rejected.
+    """
+    from avocado_spark.operators.relational import global_rank
+
+    ids = list(id_cols)
+    ranked = global_rank(
+        tests,
+        [F.col(p_col)] + [F.col(c) for c in ids],
+        rank_col="p_rank",
+    )
+    m = tests.agg(F.count(F.lit(1)).cast("bigint").alias("m_tests"))
+    j = ranked.crossJoin(F.broadcast(m))
+    cut = (
+        f"ROUND(CAST(p_rank * {int(alpha_num)} AS DOUBLE) / "
+        f"CAST(m_tests * {int(alpha_den)} AS DOUBLE), 9)"
+    )
+    j = j.withColumn("bh_cutoff", F.expr(cut)).withColumn(
+        "_bh_hit", F.col(p_col) <= F.col("bh_cutoff")
+    )
+    kstar = j.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_bh_hit"), F.col("p_rank"))), F.lit(0)
+        ).alias("_bh_k")
+    )
+    return (
+        j.crossJoin(F.broadcast(kstar))
+        .select(
+            *ids,
+            F.col(p_col),
+            F.col("p_rank").cast("bigint").alias("p_rank"),
+            "m_tests",
+            "bh_cutoff",
+            (F.col("p_rank") <= F.col("_bh_k")).alias("rejected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def jsd_vs_corpus(
+    counts: DataFrame,
+    key_col: str,
+    token_col: str,
+    cnt_col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between each group's token
+    distribution P and the whole-corpus distribution Q — the symmetric,
+    bounded [0,1] drift score for "which source no longer looks like
+    the corpus" (KL is infinite on any unshared token; JSD isn't).
+
+    Closed form needing only the group's OWN support: for t ∉ P,
+    m = q/2 so the Q-side term is q·log2(2) = q, and those terms sum
+    to 1 − Σ_{t∈P} q. Hence
+      JSD = ½·Σ_{t∈P}[p·log2(p/m) + q·log2(q/m) − q] + ½
+    — no corpus×groups fan-out, no cartesian, just the group's rows
+    joined to corpus token totals on the token key. Per-term ROUND 9
+    before the sum bounds libm LOG2 divergence away from the 6-digit
+    output.
+
+    ``counts``: (key, token, cnt) exact-integer rows. Returns one row
+    per key: key, n_tokens, vocab, jsd_bits (6 dp).
+    """
+    per_key = counts.groupBy(key_col).agg(
+        F.sum(cnt_col).cast(_DEC).alias("_js_ns"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    per_tok = counts.groupBy(token_col).agg(
+        F.sum(cnt_col).cast(_DEC).alias("_js_ct")
+    )
+    tot = counts.agg(F.sum(cnt_col).cast(_DEC).alias("_js_n"))
+    j = (
+        counts.join(per_tok, token_col)
+        .join(per_key, key_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    p = f"(CAST({cnt_col} AS DOUBLE) / CAST(_js_ns AS DOUBLE))"
+    q = "(CAST(_js_ct AS DOUBLE) / CAST(_js_n AS DOUBLE))"
+    mm = f"(({p} + {q}) / CAST(2 AS DOUBLE))"
+    term = f"ROUND({p} * LOG2({p} / {mm}) + {q} * LOG2({q} / {mm}) - {q}, 9)"
+    return (
+        j.groupBy(key_col)
+        .agg(
+            F.first("_js_ns").cast("bigint").alias("n_tokens"),
+            F.first("vocab").alias("vocab"),
+            F.expr(
+                f"ROUND((SUM({term}) + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE), 6)"
+            ).alias("jsd_bits"),
+        )
+        .select(key_col, "n_tokens", "vocab", "jsd_bits")
+    )

@@ -1172,9 +1172,9 @@ def lineitem_corr_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb AS (SELECT bnd, SUM(o) AS col_n FROM cells GROUP BY bnd),
     tot AS (SELECT SUM(o) AS total FROM cells)
     SELECT ROUND(SUM(ROUND(
-             (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
-             * (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
-             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE)), 9)), 6) AS chi2,
+             CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE)), 9))
+             - CAST(FIRST(total) AS DOUBLE), 6) AS chi2,
            CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT bnd) - 1) AS BIGINT) AS dof,
            CAST(FIRST(total) AS BIGINT) AS n
     FROM cells JOIN ra USING (a) JOIN cb USING (bnd) CROSS JOIN tot
@@ -1182,9 +1182,11 @@ def lineitem_corr_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence of event_type × value band: exact
-    integer contingency cells, broadcast marginals, one-row statistic.
-    Per-cell terms are rounded before the final sum so the 6-digit
-    statistic is stable under any accumulation order."""
+    integer contingency cells, broadcast marginals, one-row statistic
+    via χ² = ΣO²/E − n (correct under structural zeros — see
+    relational.chisq_independence). Per-cell terms are rounded before
+    the final sum so the 6-digit statistic is stable under any
+    accumulation order."""
     from avocado_spark.operators.relational import chisq_independence
 
     ev = _t(spark, sf_dir, "events").select(
@@ -1673,11 +1675,15 @@ def _kcore_oracle(k: int, n_rounds: int) -> str:
     )
 
 
-def _lpa_oracle(n_rounds: int) -> str:
+def _lpa_oracle(n_rounds: int, tail: str | None = None) -> str:
     """Unrolled synchronous label-propagation oracle: per round, join
     labels onto the symmetric edge set, count votes per (node, label),
     argmax with (count desc, label asc) tie-break — exactly the
-    deterministic rule components.label_propagation applies."""
+    deterministic rule components.label_propagation applies.
+
+    ``tail`` (optional) replaces the default label SELECT with extra
+    CTEs + a final SELECT over ``l{n_rounds}`` — the hook the
+    modularity oracle uses to score the same unrolled communities."""
     parts = [
         """e0 AS MATERIALIZED (
       SELECT u, v FROM coedges UNION ALL SELECT v, u FROM coedges
@@ -1697,6 +1703,13 @@ def _lpa_oracle(n_rounds: int) -> str:
       ) WHERE rn = 1
     )"""
         )
+    final = (
+        tail
+        if tail is not None
+        else f"""
+    SELECT node, CAST(label AS BIGINT) AS community FROM l{n_rounds}
+    """
+    )
     return (
         """
     WITH coedges AS MATERIALIZED (
@@ -1706,9 +1719,7 @@ def _lpa_oracle(n_rounds: int) -> str:
     ),
     """
         + ",\n    ".join(parts)
-        + f"""
-    SELECT node, CAST(label AS BIGINT) AS community FROM l{n_rounds}
-    """
+        + final
     )
 
 
@@ -1725,6 +1736,56 @@ def coorder_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return C.label_propagation(C.coorder_edges(li), n_rounds=3)
+
+
+_MODULARITY_TAIL = """,
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+        SELECT u AS node FROM coedges UNION ALL SELECT v FROM coedges
+      ) GROUP BY node
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM coedges),
+    intra AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN la.label = lb.label THEN 1 END), 0)
+                  AS HUGEINT) AS intra
+      FROM coedges e
+      JOIN l3 la ON la.node = e.u
+      JOIN l3 lb ON lb.node = e.v
+    ),
+    dc AS (
+      SELECT l.label, CAST(SUM(d) AS HUGEINT) AS dc
+      FROM deg JOIN l3 l ON l.node = deg.node GROUP BY l.label
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             CAST(COALESCE(SUM(dc * dc), 0) AS HUGEINT) AS sdc2
+      FROM dc
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           s.n_communities,
+           CAST(intra AS BIGINT) AS intra_edges,
+           CASE WHEN m > 0 THEN ROUND(
+             CAST(4 * m * intra - sdc2 AS DOUBLE)
+             / CAST(4 * m * m AS DOUBLE), 6) END AS modularity
+    FROM mm, intra, s
+    """
+
+
+@query("coorder_modularity", _lpa_oracle(3, tail=_MODULARITY_TAIL))
+def coorder_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the 3-round LPA communities over the co-order
+    graph — the cluster-quality evaluation that closes the graph
+    family's loop the way B-cubed / Adjusted Rand close the dedup
+    clusters': exact DECIMAL(38,0) accumulation of
+    (4m·intra − Σ D_c²) / 4m², one double division out
+    (components.modularity). The oracle replays the SAME unrolled LPA
+    rounds as coorder_communities, then scores them in HUGEINT."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = C.coorder_edges(li)
+    labels = C.label_propagation(edges, n_rounds=3)
+    return C.modularity(edges, labels)
 
 
 def _bfs_oracle(n_rounds: int) -> str:
@@ -3874,3 +3935,70 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+# ===========================================================================
+# r10b: robust-trend + rank-concordance statistics (stats operator family)
+# ===========================================================================
+
+
+@query(
+    "orders_theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS w FROM p GROUP BY s),
+    r AS (
+      SELECT s, SUM(w) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER () AS tot
+      FROM g
+    ),
+    med AS (SELECT MIN(s) AS slope, MAX(tot) AS n_pairs FROM r WHERE 2 * cum >= tot),
+    res AS (
+      SELECT CAST(y AS DOUBLE) - (SELECT slope FROM med) * CAST(d AS DOUBLE) AS rv
+      FROM daily
+    ),
+    g2 AS (SELECT rv, CAST(COUNT(*) AS BIGINT) AS w FROM res GROUP BY rv),
+    r2 AS (
+      SELECT rv, SUM(w) OVER (ORDER BY rv ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER () AS tot
+      FROM g2
+    ),
+    med2 AS (SELECT MIN(rv) AS intercept, MAX(tot) AS n_points FROM r2 WHERE 2 * cum >= tot)
+    SELECT CAST(med2.n_points AS BIGINT) AS n_points,
+           CAST(med.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(med.slope, 6) AS slope,
+           ROUND(med2.intercept, 6) AS intercept
+    FROM med, med2
+    """,
+)
+def orders_theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust revenue trend: the median of all pairwise
+    slopes of the DAILY revenue series (cents/day) with the
+    median-residual intercept — the trend estimate a handful of
+    blowout days cannot move, beside events_type_trend_slope's OLS.
+    The daily rollup bounds the pair space by the calendar (~2.4k days
+    → ~2.9M slopes) no matter how many raw orders feed it; pairs
+    explode distributed via the triangle-slice trick and the medians
+    ride weighted_quantile's frozen-boundary rank machinery — the
+    LOWER-median convention, so no interpolation enters the
+    differential (operators/stats.theil_sen)."""
+    from avocado_spark.functions.time_fns import ts_us
+    from avocado_spark.operators import stats as ST
+
+    o = _t(spark, sf_dir, "orders").select(
+        ts_us("o_orderdate").alias("us"), F.col("o_totalprice")
+    )
+    daily = o.groupBy(F.expr("us div 86400000000").cast("bigint").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    return ST.theil_sen(daily, "d", "y")

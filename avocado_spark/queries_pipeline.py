@@ -5212,3 +5212,65 @@ def semantic_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(~is_eval), e.where(is_eval), threshold=0.9
     )
     return out.select("vec_id", "eval_id", F.round("cos", 6).alias("cos"))
+
+
+# ===========================================================================
+# r10b: source-vs-corpus Jensen–Shannon divergence (stats family)
+# ===========================================================================
+
+
+@query(
+    "source_js_divergence",
+    f"""
+    WITH tk AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY 1, 2
+    ),
+    pk AS (
+      SELECT source, CAST(SUM(cnt) AS HUGEINT) AS ns,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM counts GROUP BY 1
+    ),
+    pt AS (SELECT token, CAST(SUM(cnt) AS HUGEINT) AS ct FROM counts GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n FROM counts)
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_tokens,
+           vocab,
+           ROUND((SUM(ROUND(
+               (CAST(cnt AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * LOG2((CAST(cnt AS DOUBLE) / CAST(ns AS DOUBLE))
+                        / (((CAST(cnt AS DOUBLE) / CAST(ns AS DOUBLE))
+                            + (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(2 AS DOUBLE)))
+               + (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LOG2((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                        / (((CAST(cnt AS DOUBLE) / CAST(ns AS DOUBLE))
+                            + (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(2 AS DOUBLE)))
+               - (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 9))
+             + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE), 6) AS jsd_bits
+    FROM counts JOIN pt USING (token) JOIN pk USING (source) CROSS JOIN tot
+    GROUP BY source, ns, vocab
+    """,
+)
+def source_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) of every source's unigram
+    distribution vs the whole corpus — the symmetric, bounded drift
+    score for "which ingest feed stopped looking like the rest"
+    (beside source_vocab_overlap's set view, this weighs by mass; KL
+    would blow up on any token the source lacks, JSD can't). The
+    closed form needs only each source's OWN support — the Q-side
+    tail over unshared tokens telescopes to 1 − Σq — so the plan is
+    two hash aggs + a token equi-join, no corpus×sources fan-out
+    (operators/stats.jsd_vs_corpus). Per-term ROUND 9 bounds libm
+    LOG2 divergence away from the 6-digit output."""
+    from avocado_spark.operators.stats import jsd_vs_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return jsd_vs_corpus(counts, "source", "token", "cnt")

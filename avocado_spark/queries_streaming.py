@@ -3225,3 +3225,292 @@ def stream_rankstat_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     true-streaming path to convergence and folds the U statistic from
     the streamed state)."""
     return EV.rankstat_state_agg(load_table(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# r10b: hypothesis-testing statistics over the event stream (stats family)
+# ===========================================================================
+
+from avocado_spark.operators.stats import (  # noqa: E402
+    two_sided_z_p_txt,
+    welch_t_oracle,
+)
+
+
+@query(
+    "events_welch_ttest",
+    welch_t_oracle(
+        "events WHERE event_type IN ('purchase', 'view')",
+        "CAST(ROUND(value * 100) AS BIGINT)",
+        "event_type = 'purchase'",
+    ),
+)
+def events_welch_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between purchase and view order
+    values — the parametric location test beside events_mannwhitney's
+    rank test (Welch because the two event populations' variances have
+    no reason to agree). Integer-cent moments in DECIMAL(38,0), the
+    t statistic and Welch–Satterthwaite df as the identical
+    double expression on both engines — no libm beyond SQRT
+    (operators/stats.welch_t)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import welch_t
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+            "event_type",
+        )
+    )
+    return welch_t(ev, "v_c", F.col("event_type") == "purchase")
+
+
+@query(
+    "events_cramers_v",
+    """
+    WITH b AS (
+      SELECT event_type AS a, (epoch_us(ts) // 86400000000) % 7 AS bnd
+      FROM events
+    ),
+    cells AS (SELECT a, bnd, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY a, bnd),
+    ra AS (SELECT a, SUM(o) AS row_n FROM cells GROUP BY a),
+    cb AS (SELECT bnd, SUM(o) AS col_n FROM cells GROUP BY bnd),
+    tot AS (SELECT SUM(o) AS total FROM cells),
+    agg AS (
+      SELECT ROUND(SUM(ROUND(
+               CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+               / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE)), 9))
+               - CAST(FIRST(total) AS DOUBLE), 6) AS chi2,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows_cat,
+             CAST(COUNT(DISTINCT bnd) AS BIGINT) AS n_cols_cat,
+             CAST(FIRST(total) AS BIGINT) AS n
+      FROM cells JOIN ra USING (a) JOIN cb USING (bnd) CROSS JOIN tot
+    )
+    SELECT chi2,
+           CAST((n_rows_cat - 1) * (n_cols_cat - 1) AS BIGINT) AS dof,
+           n, n_rows_cat, n_cols_cat,
+           CASE WHEN least(n_rows_cat, n_cols_cat) > 1 AND n > 0 THEN
+             ROUND(SQRT((chi2 / CAST(n AS DOUBLE))
+                        / CAST(least(n_rows_cat, n_cols_cat) - 1 AS DOUBLE)), 6)
+           END AS cramers_v
+    FROM agg
+    """,
+)
+def events_cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and day-of-week — the BOUNDED
+    [0,1] effect size events_chisq's raw χ² (which grows with n)
+    doesn't give: "is the type mix actually weekday-dependent, and how
+    much?". Same exact-integer contingency + per-term ROUND-9
+    discipline; V is derived from the ROUNDED χ² so both engines root
+    the identical double (operators/stats.cramers_v)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import cramers_v
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_us("ts").alias("us"),
+    ).select(
+        "event_type",
+        F.expr("(us div 86400000000) % 7").cast("bigint").alias("dow"),
+    )
+    return cramers_v(ev, "event_type", "dow")
+
+
+@query(
+    "events_acf_hourly",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+    dense AS (
+      SELECT gs.h, COALESCE(c.x, 0) AS x
+      FROM (SELECT UNNEST(generate_series(h0, h1)) AS h FROM r) gs
+      LEFT JOIN c USING (h)
+    ),
+    mom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s FROM dense),
+    base AS (SELECT h, n * CAST(x AS HUGEINT) - s AS dev FROM dense CROSS JOIN mom),
+    den AS (SELECT SUM(dev * dev) AS den FROM base),
+    lags AS (SELECT UNNEST([1, 2, 3, 6, 12, 24, 48, 168]) AS lag),
+    num AS (
+      SELECT lag, SUM(b1.dev * b2.dev) AS num, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM lags l
+      JOIN base b1 ON TRUE
+      JOIN base b2 ON b2.h = b1.h + l.lag
+      GROUP BY lag
+    )
+    SELECT CAST(l.lag AS BIGINT) AS lag,
+           COALESCE(num.n_terms, 0) AS n_terms,
+           CASE WHEN num.num IS NOT NULL AND den.den > 0 THEN
+             ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+           END AS acf_r
+    FROM lags l LEFT JOIN num USING (lag) CROSS JOIN den
+    """,
+)
+def events_acf_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the HOURLY event-volume series at lags
+    1–168: the seasonality detector — a daily cycle spikes lag 24, a
+    weekly one lag 168. The hourly series is densified (zero-filled
+    gaps via sequence explode) so lags mean wall-clock hours; the
+    n-scaled deviation trick keeps every numerator/denominator an
+    exact DECIMAL(38,0) integer, one double division per lag
+    (operators/stats.acf). Series length is calendar-bounded: 100 TB
+    of events is still one row per hour."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import acf
+
+    ev = load_table(spark, sf_dir, "events").select(ts_us("ts").alias("us"))
+    counts = ev.groupBy(
+        F.expr("us div 3600000000").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    rng = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (
+        rng.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .join(counts, "h", "left")
+        .select("h", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
+    )
+    return acf(dense, "h", "x", [1, 2, 3, 6, 12, 24, 48, 168])
+
+
+@query(
+    "events_kendall_hourly",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.x AS lx, a.y AS ly, b.x AS rx, b.y AS ry
+      FROM c a JOIN c b ON b.h > a.h
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN (rx > lx AND ry > ly) OR (rx < lx AND ry < ly) THEN 1 END), 0) AS HUGEINT) AS nc,
+             CAST(COALESCE(SUM(CASE WHEN (rx > lx AND ry < ly) OR (rx < lx AND ry > ly) THEN 1 END), 0) AS HUGEINT) AS nd,
+             CAST(COALESCE(SUM(CASE WHEN rx = lx THEN 1 END), 0) AS HUGEINT) AS tx,
+             CAST(COALESCE(SUM(CASE WHEN ry = ly THEN 1 END), 0) AS HUGEINT) AS ty
+      FROM p
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(nc AS BIGINT) AS concordant,
+           CAST(nd AS BIGINT) AS discordant,
+           CAST(tx AS BIGINT) AS ties_x,
+           CAST(ty AS BIGINT) AS ties_y,
+           CASE WHEN n_pairs - tx > 0 AND n_pairs - ty > 0 THEN
+             ROUND(CAST(nc - nd AS DOUBLE)
+                   / SQRT(CAST(n_pairs - tx AS DOUBLE) * CAST(n_pairs - ty AS DOUBLE)), 6)
+           END AS tau_b
+    FROM agg
+    """,
+)
+def events_kendall_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between hourly event volume and hourly revenue —
+    the concordance twin of events_spearman_daily (τ has the direct
+    probabilistic reading P(concordant) − P(discordant) and a 29%
+    breakdown point). All pair classification is strict integer
+    comparison; the O(n²/2) pair space is calendar-bounded (hourly
+    rollup) and explodes distributed via the triangle-slice trick —
+    never a driver loop (operators/stats.kendall_tau_b)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import kendall_tau_b
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(ts_us("ts").alias("us"), "value")
+        .groupBy(F.expr("us div 3600000000").cast("bigint").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    return kendall_tau_b(hourly, "h", "x", "y")
+
+
+_BH_Z_TXT = (
+    "(CAST(kh AS DOUBLE) / CAST(nh AS DOUBLE)"
+    " - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " / SQRT(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " * (CAST(1 AS DOUBLE) - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " / CAST(nh AS DOUBLE))"
+)
+_BH_P_TXT = (
+    f"CASE WHEN nh > 0 AND kk > 0 AND kk < nn THEN "
+    f"{two_sided_z_p_txt(_BH_Z_TXT)} END"
+)
+
+
+@query(
+    "events_bh_fdr",
+    f"""
+    WITH g AS (
+      SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS kh
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(nh) AS BIGINT) AS nn, CAST(SUM(kh) AS BIGINT) AS kk FROM g),
+    tests AS (SELECT hod, {_BH_P_TXT} AS p_value FROM g CROSS JOIN tot),
+    ranked AS (
+      SELECT hod, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value NULLS FIRST, hod) AS p_rank,
+             COUNT(*) OVER () AS m_tests
+      FROM tests
+    ),
+    cut AS (
+      SELECT hod, p_value, p_rank, m_tests,
+             ROUND(CAST(p_rank * 5 AS DOUBLE) / CAST(m_tests * 100 AS DOUBLE), 9) AS bh_cutoff
+      FROM ranked
+    ),
+    k AS (SELECT COALESCE(MAX(CASE WHEN p_value <= bh_cutoff THEN p_rank END), 0) AS ks FROM cut)
+    SELECT CAST(hod AS BIGINT) AS hod, p_value,
+           CAST(p_rank AS BIGINT) AS p_rank,
+           CAST(m_tests AS BIGINT) AS m_tests,
+           bh_cutoff,
+           p_rank <= ks AS rejected
+    FROM cut CROSS JOIN k
+    """,
+)
+def events_bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over 24 hour-of-day purchase-
+    share z-tests — the multiple-testing correction a per-segment
+    drift scan needs (24 tests at α=.05 expect >1 false alarm a day
+    uncorrected). The two-sided normal p-value uses the A&S 7.1.26 erf
+    polynomial written textually identically in both engines (the one
+    EXP per row is rounded to 9 digits before any compare); ranks ride
+    global_rank's frozen-boundary machinery with hod tie-break; the
+    step-up maximum is a 1-row broadcast, not a running window
+    (operators/stats.bh_fdr)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import bh_fdr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_us("ts").alias("us"), "event_type"
+    )
+    g = ev.groupBy(
+        F.expr("(us div 3600000000) % 24").cast("bigint").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("kh"),
+    )
+    tot = g.agg(
+        F.sum("nh").cast("bigint").alias("nn"),
+        F.sum("kh").cast("bigint").alias("kk"),
+    )
+    tests = g.crossJoin(F.broadcast(tot)).select(
+        "hod", F.expr(_BH_P_TXT).alias("p_value")
+    )
+    return bh_fdr(tests, ["hod"], "p_value")

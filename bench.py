@@ -216,6 +216,16 @@ def main() -> None:
         # rides the identical LSH→CC chain dedup_bcubed_eval already
         # times, differing only in the 1-row metric algebra.
         "coorder_weighted_sssp",
+        # r10c: Theil-Sen — the bounded-series pair explode + two
+        # frozen-boundary medians, the ONE new physical shape in the
+        # stats family (~2.9M slopes at sf0.1). The other r10c stats
+        # (welch/cramers/acf/kendall/bh_fdr/jsd) stay OUT: single-scan
+        # conditional aggs or calendar-bounded series the sf0.01 gate
+        # covers. coorder_modularity also stays OUT: it embeds the
+        # 3-round LPA loop (the kcore/pagerank precedent) and its own
+        # marginal work is two label joins + a community rollup; the
+        # 10x scale gate times it instead.
+        "orders_theilsen_trend",
     ]
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
@@ -414,6 +424,16 @@ _SCALE_QUERIES = [
     # r8d: three independent global_ranks over a checkpointed 10×
     # customer rollup, joined back on the key
     ("customer_rfm_segments", 15.0),
+    # r10c: Theil-Sen — the pair space is CALENDAR-bounded (same date
+    # range at 10×, so the 2.9M-slope explode is constant; only the
+    # daily rollup scan grows), and modularity — the co-order edge set
+    # is multiplicity-replicated at 10× (distinct pairs constant), so
+    # LPA + the label joins re-run on the same graph over a 10× scan
+    ("orders_theilsen_trend", 15.0),
+    ("coorder_modularity", 15.0),
+    # r10c: hourly ACF — series length is calendar-fixed; the 10× cost
+    # is the first hash agg only
+    ("events_acf_hourly", 15.0),
 ]
 
 
