@@ -247,6 +247,7 @@ def triangle_counts(
     broadcast_max_edges: int = 5_000_000,
     stats: dict | None = None,
     materialize_result: bool = True,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-oriented node-iterator
     (Suri & Vassilvitskii, WWW'11 — the MapReduce-era answer to the
@@ -278,9 +279,12 @@ def triangle_counts(
     # closure): one eager tracked checkpoint, RELEASED after the final
     # per-node counts materialize — not DataFrame.persist, which pinned
     # it in the session CacheManager for the session lifetime (the r7
-    # leak)
+    # leak). ``assume_materialized`` skips the checkpoint when the
+    # CALLER already owns one (clustering_coefficients feeds the same
+    # blocks to its degree agg) — the caller then owns the release.
     edge_ids: set[int] = set()
-    edges = _tracked_checkpoint(edges, edge_ids)
+    if not assume_materialized:
+        edges = _tracked_checkpoint(edges, edge_ids)
     n_edges = edges.count()  # bounded driver scalar
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -357,6 +361,127 @@ def coorder_edges(lineitem: DataFrame) -> DataFrame:
         .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
         .distinct()
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    broadcast_max_edges: int = 5_000_000,
+    top_k: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per node, in exact basis points:
+    c_bp = (10000·2·tri_u) div (d_u·(d_u−1)) — "how clique-like is
+    u's neighborhood", the per-node companion to :func:`transitivity`.
+    Every node with degree ≥ 2 is returned (zero-triangle nodes
+    INCLUDED at c_bp = 0 — dropping them biases any average up);
+    truncating division over positives, so Spark ``div`` and DuckDB
+    ``//`` agree with no repair.
+
+    Scale shape: ONE edge checkpoint feeds both the degree agg and
+    the degree-oriented wedge machinery (triangle_counts with
+    assume_materialized — no second copy of the edge blocks), then a
+    node-keyed left join. ``top_k`` pushes a deterministic
+    (c_bp desc, n_triangles desc, node) TakeOrderedAndProject inside
+    the operator so the materialization that releases the edge blocks
+    is k rows, not node-sized (the edge_strength discipline).
+    """
+    edge_ids: set[int] = set()
+    edges = _tracked_checkpoint(edges, edge_ids)
+    tri = triangle_counts(
+        edges,
+        broadcast_max_edges=broadcast_max_edges,
+        materialize_result=False,
+        assume_materialized=True,
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dec = "decimal(38,0)"
+    scored = (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+        .withColumn(
+            "c_bp",
+            F.expr(
+                f"(CAST(20000 AS {dec}) * n_triangles)"
+                f" div (CAST(d AS {dec}) * (d - 1))"
+            ).cast("bigint"),
+        )
+    )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.col("c_bp").desc(),
+            F.col("n_triangles").desc(),
+            F.col("node").asc(),
+        ).limit(top_k)
+    residual: set[int] = set()
+    out = _tracked_checkpoint(scored, residual)
+    _release_rdds(out, edge_ids)
+    if stats is not None:
+        stats["residual_rdd_ids"] = residual
+    return out
+
+
+def transitivity(
+    edges: DataFrame, broadcast_max_edges: int = 5_000_000
+) -> DataFrame:
+    """Global transitivity (triangle-closure ratio) 3T/W, W = Σ C(d,2):
+    "given two edges at a shared endpoint, how often does the third
+    close?" — the one-number structure summary beside
+    degree_assortativity. Transitivity ≠ mean local coefficient (it
+    weighs hubs by their wedge count), so the row carries the
+    truncated mean of per-node c_bp for the contrast.
+
+    Exactness: 3T = Σ tri_u and 2W = Σ d(d−1) accumulate in
+    DECIMAL(38,0); trans_bp = (10000·2·Σtri) div Σd(d−1), truncating
+    over positives. ONE row: n_nodes_deg2, wedges2 (= 2W), tri3
+    (= 3T), trans_bp, mean_local_c_bp (NULL on a wedge-free graph).
+    """
+    dec = "decimal(38,0)"
+    cstats: dict = {}
+    cc = clustering_coefficients(
+        edges, broadcast_max_edges=broadcast_max_edges, stats=cstats
+    )
+    agg = cc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes_deg2"),
+        F.coalesce(
+            F.sum((F.col("d") * (F.col("d") - 1)).cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("wedges2"),
+        F.coalesce(
+            F.sum(F.col("n_triangles").cast(dec)), F.lit(0).cast(dec)
+        ).alias("tri3"),
+        F.coalesce(F.sum(F.col("c_bp").cast(dec)), F.lit(0).cast(dec)).alias(
+            "_sum_cbp"
+        ),
+    )
+    out = agg.select(
+        "n_nodes_deg2",
+        F.col("wedges2").cast("bigint").alias("wedges2"),
+        F.col("tri3").cast("bigint").alias("tri3"),
+        F.expr(
+            "CASE WHEN wedges2 > 0 THEN "
+            "CAST((10000 * 2 * tri3) div wedges2 AS BIGINT) END"
+        ).alias("trans_bp"),
+        F.expr(
+            "CASE WHEN n_nodes_deg2 > 0 THEN "
+            "CAST(_sum_cbp div n_nodes_deg2 AS BIGINT) END"
+        ).alias("mean_local_c_bp"),
+    )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)
+    _release_rdds(out, cstats["residual_rdd_ids"])
+    return out
 
 
 PAGERANK_SCALE = 1_000_000

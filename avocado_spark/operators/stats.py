@@ -590,3 +590,203 @@ def jsd_vs_corpus(
         )
         .select(key_col, "n_tokens", "vocab", "jsd_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# additive seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def floor_div_txt(num: str, den: str, spark_side: bool) -> str:
+    """SQL text for EXACT floor division of integers with possibly
+    NEGATIVE numerators: subtract the canonical (always-non-negative)
+    remainder first, then divide the now exactly-divisible pair — so
+    Spark's truncating ``div`` and DuckDB's ``//`` agree bit-for-bit
+    regardless of their native negative-division conventions (Spark
+    truncates toward zero, DuckDB floors — the r9 ADVICE footgun)."""
+    pm = f"((({num}) % ({den})) + ({den})) % ({den})"
+    op = "div" if spark_side else "//"
+    return f"((({num}) - {pm}) {op} ({den}))"
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    period: int = 7,
+    half_window: int = 3,
+) -> DataFrame:
+    """Additive seasonal decomposition of a DENSE integer series:
+    x = trend + seasonal + residual, the classical-decomposition
+    first pass (the diagnosis step before events_seasonal_backtest's
+    forecast scoring): trend is the centered (2h+1)-term moving mean,
+    seasonal the per-phase mean of the detrended interior, residual
+    the rest.
+
+    Everything is EXACT milli-integer arithmetic: trend_milli =
+    ⌊1000·Σwindow / (2h+1)⌋ and seas_milli = ⌊Σdetr / n_phase⌋ both
+    via :func:`floor_div_txt` (canonical-remainder floor division —
+    detrended values go negative, where Spark ``div`` and DuckDB
+    ``//`` would otherwise disagree). No libm anywhere.
+
+    Scale shape: the window is a literal-offset explode (2h+1 copies,
+    map-side) + one equi join back on t — never a single-partition
+    ORDER BY window; the phase table is period-sized and broadcast.
+    ``series`` must be dense in ``t_col`` (zero-fill upstream);
+    edge days (incomplete window) carry NULL trend/residual and are
+    excluded from the seasonal means, the textbook convention.
+
+    Returns one row per input row: t, x, trend_milli, phase,
+    seas_milli, resid_milli.
+    """
+    dec = "decimal(38,0)"
+    w = 2 * half_window + 1
+    offs = F.array(*[F.lit(int(o)) for o in range(-half_window, half_window + 1)])
+    base = series.select(
+        F.col(t_col).cast("bigint").alias("_sd_t"),
+        F.col(x_col).cast(_DEC).alias("_sd_x"),
+    )
+    fan = base.select("_sd_t", F.explode(offs).alias("_sd_off"))
+    win = (
+        fan.join(
+            base.select(
+                F.col("_sd_t").alias("_sd_t2"), F.col("_sd_x").alias("_sd_xn")
+            ),
+            F.col("_sd_t2") == F.col("_sd_t") + F.col("_sd_off"),
+        )
+        .groupBy("_sd_t")
+        .agg(
+            F.sum("_sd_xn").alias("_sd_s"),
+            F.count(F.lit(1)).alias("_sd_c"),
+        )
+    )
+    trend = F.expr(
+        "CASE WHEN _sd_c = {w} THEN {q} END".format(
+            w=w,
+            q=floor_div_txt(
+                f"CAST(1000 AS {dec}) * _sd_s", f"CAST({w} AS {dec})", True
+            ),
+        )
+    )
+    j = (
+        base.join(win, "_sd_t", "left")
+        .withColumn("trend_milli", trend.cast(_DEC))
+        .withColumn(
+            "_sd_detr",
+            F.expr(f"CAST(1000 AS {dec}) * _sd_x") - F.col("trend_milli"),
+        )
+        .withColumn("phase", F.expr(f"_sd_t % {int(period)}").cast("bigint"))
+    )
+    seas = (
+        j.where(F.col("_sd_detr").isNotNull())
+        .groupBy("phase")
+        .agg(
+            F.sum("_sd_detr").alias("_sd_sn"),
+            F.count(F.lit(1)).cast(_DEC).alias("_sd_np"),
+        )
+        .select(
+            "phase",
+            F.expr(floor_div_txt("_sd_sn", "_sd_np", True))
+            .cast(_DEC)
+            .alias("seas_milli"),
+        )
+    )
+    out = j.join(F.broadcast(seas), "phase", "left").select(
+        F.col("_sd_t").alias(t_col),
+        F.col("_sd_x").cast("bigint").alias(x_col),
+        F.col("trend_milli").cast("bigint").alias("trend_milli"),
+        "phase",
+        F.col("seas_milli").cast("bigint").alias("seas_milli"),
+        (F.col("_sd_detr") - F.col("seas_milli"))
+        .cast("bigint")
+        .alias("resid_milli"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter record-linkage weights
+# ---------------------------------------------------------------------------
+
+
+def fellegi_sunter_weights(
+    cand: DataFrame,
+    truth: DataFrame,
+    feature_cols: Sequence[str],
+    id_cols: Sequence[str] = ("a_id", "b_id"),
+) -> DataFrame:
+    """Fellegi–Sunter (1969) match/non-match weight estimation over a
+    blocked candidate-pair table: for each boolean agreement feature,
+    estimate m = P(agree | match) from the labeled true pairs and
+    u = P(agree | non-match) from the rest, and emit the log-odds
+    agreement / disagreement weights a probabilistic record-linkage
+    scorer sums per pair — the principled replacement for hand-tuned
+    fuzzy-match thresholds (customer_er_clusters' levenshtein ≤ 1).
+
+    Estimation is add-one (Laplace) smoothed so the weights stay
+    finite when a feature agrees on EVERY true pair (the planted-dup
+    case): m = (agree_m + 1)/(n_m + 2). Everything up to the final
+    LOG2 is exact integer arithmetic — the odds ratio enters the log
+    as one integer-product fraction, rounded to 6 dp — so both
+    engines log the identical double.
+
+    Scale shape: one left-semi-style label join on the pair ids, one
+    map-side explode of the per-pair feature struct array (|features|
+    copies), one hash agg per feature. The candidate table itself
+    comes from the caller's BLOCKING equi-join — this never builds
+    pairs.
+
+    Returns one row per feature: feature, n_match, n_unmatch,
+    match_agree, unmatch_agree, w_agree, w_disagree (6 dp).
+    """
+    ids = list(id_cols)
+    lab = cand.join(
+        truth.select(*ids).withColumn("_fs_m", F.lit(True)), ids, "left"
+    ).withColumn("_fs_is_m", F.coalesce(F.col("_fs_m"), F.lit(False)))
+    melted = lab.select(
+        "_fs_is_m",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feature"),
+                        F.col(f).cast("boolean").alias("agree"),
+                    )
+                    for f in feature_cols
+                ]
+            )
+        ).alias("_fs_f"),
+    ).select("_fs_is_m", "_fs_f.feature", "_fs_f.agree")
+    g = melted.groupBy("feature").agg(
+        F.sum(F.when(F.col("_fs_is_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+        F.sum(F.when(~F.col("_fs_is_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatch"),
+        F.sum(F.when(F.col("_fs_is_m") & F.col("agree"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("match_agree"),
+        F.sum(F.when((~F.col("_fs_is_m")) & F.col("agree"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("unmatch_agree"),
+    )
+    # m/u = (am+1)(nu+2) / ((au+1)(nm+2));  (1−m)/(1−u) mirrors with
+    # the complements — all exact integers into ONE LOG2 each
+    w_agree = (
+        "ROUND(LOG2(CAST((match_agree + 1) * (n_unmatch + 2) AS DOUBLE)"
+        " / CAST((unmatch_agree + 1) * (n_match + 2) AS DOUBLE)), 6)"
+    )
+    w_disagree = (
+        "ROUND(LOG2(CAST((n_match + 1 - match_agree) * (n_unmatch + 2) AS DOUBLE)"
+        " / CAST((n_unmatch + 1 - unmatch_agree) * (n_match + 2) AS DOUBLE)), 6)"
+    )
+    return g.select(
+        "feature",
+        "n_match",
+        "n_unmatch",
+        "match_agree",
+        "unmatch_agree",
+        F.expr(w_agree).alias("w_agree"),
+        F.expr(w_disagree).alias("w_disagree"),
+    )

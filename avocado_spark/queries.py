@@ -4002,3 +4002,98 @@ def orders_theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return ST.theil_sen(daily, "d", "y")
+
+_TRIANGLE_CTES = """
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS t
+      FROM edges
+      JOIN deg du ON du.node = edges.u
+      JOIN deg dv ON dv.node = edges.v
+    ),
+    wedges AS (
+      SELECT e1.s, e1.t AS x, e2.t AS y
+      FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+    ),
+    tri AS (
+      SELECT s, x, y FROM wedges
+      JOIN edges ON edges.u = wedges.x AND edges.v = wedges.y
+    ),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT s AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri
+      ) GROUP BY node
+    ),
+    cbase AS (
+      SELECT d.node, CAST(d.d AS BIGINT) AS d,
+             COALESCE(t.n_triangles, 0) AS n_triangles,
+             CAST((CAST(20000 AS HUGEINT) * COALESCE(t.n_triangles, 0))
+                  // (CAST(d.d AS HUGEINT) * (d.d - 1)) AS BIGINT) AS c_bp
+      FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+      WHERE d.d >= 2
+    )"""
+
+
+@query(
+    "coorder_clustering",
+    f"""
+    WITH {_TRIANGLE_CTES}
+    SELECT node, d, n_triangles, c_bp
+    FROM cbase
+    ORDER BY c_bp DESC, n_triangles DESC, node ASC
+    LIMIT 100
+    """,
+)
+def coorder_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part in the co-order graph,
+    top-100 clique-like neighborhoods — exact basis points off the
+    same degree-oriented wedge machinery as coorder_triangles, with
+    ONE edge checkpoint feeding both the degree agg and the wedge
+    stream, and the top-k pushed inside the operator
+    (components.clustering_coefficients)."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.clustering_coefficients(C.coorder_edges(li), top_k=100)
+
+
+@query(
+    "coorder_transitivity",
+    f"""
+    WITH {_TRIANGLE_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_deg2,
+           CAST(COALESCE(SUM(CAST(d * (d - 1) AS HUGEINT)), 0) AS BIGINT) AS wedges2,
+           CAST(COALESCE(SUM(CAST(n_triangles AS HUGEINT)), 0) AS BIGINT) AS tri3,
+           CASE WHEN COALESCE(SUM(CAST(d * (d - 1) AS HUGEINT)), 0) > 0 THEN
+             CAST((10000 * 2 * COALESCE(SUM(CAST(n_triangles AS HUGEINT)), 0))
+                  // SUM(CAST(d * (d - 1) AS HUGEINT)) AS BIGINT)
+           END AS trans_bp,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(CAST(c_bp AS HUGEINT)) // COUNT(*) AS BIGINT)
+           END AS mean_local_c_bp
+    FROM cbase
+    """,
+)
+def coorder_transitivity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity 3T/W of the co-order graph (+ the truncated
+    mean local coefficient for the hub-weighting contrast) — exact
+    DECIMAL(38,0) sums over the per-node clustering table, truncating
+    basis-point divisions (components.transitivity)."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.transitivity(C.coorder_edges(li))

@@ -5274,3 +5274,125 @@ def source_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     return jsd_vs_corpus(counts, "source", "token", "cnt")
+
+
+_FS_W_AGREE = (
+    "ROUND(LOG2(CAST((match_agree + 1) * (n_unmatch + 2) AS DOUBLE)"
+    " / CAST((unmatch_agree + 1) * (n_match + 2) AS DOUBLE)), 6)"
+)
+_FS_W_DISAGREE = (
+    "ROUND(LOG2(CAST((n_match + 1 - match_agree) * (n_unmatch + 2) AS DOUBLE)"
+    " / CAST((n_unmatch + 1 - unmatch_agree) * (n_match + 2) AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "customer_fs_weights",
+    f"""
+    WITH aug AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey + 100000, c_name || 'x', c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    rec AS (
+      SELECT c_custkey AS id, c_name, c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+             CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bkt
+      FROM aug
+    ),
+    cand AS (
+      SELECT a.id AS a_id, b.id AS b_id,
+             a.seg = b.seg AS seg_agree,
+             a.bal_c = b.bal_c AS bal_agree,
+             levenshtein(a.c_name, b.c_name) <= 1 AS name_agree
+      FROM rec a JOIN rec b
+        ON a.nk = b.nk AND a.bkt = b.bkt AND a.id < b.id
+    ),
+    truth AS (
+      SELECT c_custkey AS a_id, c_custkey + 100000 AS b_id
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    lab AS (
+      SELECT c.*, t.a_id IS NOT NULL AS is_m
+      FROM cand c LEFT JOIN truth t USING (a_id, b_id)
+    ),
+    melt AS (
+      SELECT is_m, 'seg_agree' AS feature, seg_agree AS agree FROM lab
+      UNION ALL SELECT is_m, 'bal_agree', bal_agree FROM lab
+      UNION ALL SELECT is_m, 'name_agree', name_agree FROM lab
+    ),
+    g AS (
+      SELECT feature,
+             CAST(SUM(CASE WHEN is_m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             CAST(SUM(CASE WHEN NOT is_m THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatch,
+             CAST(SUM(CASE WHEN is_m AND agree THEN 1 ELSE 0 END) AS BIGINT) AS match_agree,
+             CAST(SUM(CASE WHEN (NOT is_m) AND agree THEN 1 ELSE 0 END) AS BIGINT) AS unmatch_agree
+      FROM melt GROUP BY feature
+    )
+    SELECT feature, n_match, n_unmatch, match_agree, unmatch_agree,
+           {_FS_W_AGREE} AS w_agree,
+           {_FS_W_DISAGREE} AS w_disagree
+    FROM g
+    """,
+)
+def customer_fs_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage weights over the
+    planted-duplicate customer fixture: m/u probabilities per
+    agreement feature (segment match, exact balance cents, name
+    levenshtein ≤ 1) estimated from the labeled true pairs inside a
+    (nation, $100-balance-bucket) BLOCKING join, add-one smoothed so
+    the always-agree planted features stay finite, log-odds weights
+    as one integer-fraction LOG2 each — the principled scorer the
+    hand-thresholded customer_er_clusters matcher graduates to
+    (operators/stats.fellegi_sunter_weights)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import fellegi_sunter_weights
+
+    cust = load_table(spark, sf_dir, "customer")
+    aug = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 10 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.concat(F.col("c_name"), F.lit("x")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    rec = aug.select(
+        F.col("c_custkey").alias("id"),
+        "c_name",
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        F.floor(F.col("c_acctbal") / 100.0).cast("bigint").alias("bkt"),
+    )
+    a = rec.select(*[F.col(c).alias(f"a_{c}") for c in rec.columns])
+    b = rec.select(*[F.col(c).alias(f"b_{c}") for c in rec.columns])
+    cand = (
+        a.join(
+            b,
+            (F.col("a_nk") == F.col("b_nk"))
+            & (F.col("a_bkt") == F.col("b_bkt"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            F.col("a_id"),
+            F.col("b_id"),
+            (F.col("a_seg") == F.col("b_seg")).alias("seg_agree"),
+            (F.col("a_bal_c") == F.col("b_bal_c")).alias("bal_agree"),
+            (
+                F.levenshtein(F.col("a_c_name"), F.col("b_c_name")) <= 1
+            ).alias("name_agree"),
+        )
+    )
+    truth = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") + 100000).alias("b_id"),
+    )
+    return fellegi_sunter_weights(
+        cand, truth, ["seg_agree", "bal_agree", "name_agree"]
+    )

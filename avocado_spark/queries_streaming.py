@@ -3514,3 +3514,80 @@ def events_bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod", F.expr(_BH_P_TXT).alias("p_value")
     )
     return bh_fdr(tests, ["hod"], "p_value")
+
+
+def _sd_oracle() -> str:
+    from avocado_spark.operators.stats import floor_div_txt
+
+    trend_q = floor_div_txt("CAST(1000 AS HUGEINT) * s", "CAST(7 AS HUGEINT)", False)
+    seas_q = floor_div_txt("SUM(dt)", "CAST(COUNT(*) AS HUGEINT)", False)
+    return f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM c),
+    dense AS (
+      SELECT gs.d, CAST(COALESCE(c.x, 0) AS HUGEINT) AS x
+      FROM (SELECT UNNEST(generate_series(d0, d1)) AS d FROM r) gs
+      LEFT JOIN c USING (d)
+    ),
+    offs AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS o),
+    win AS (
+      SELECT b.d, SUM(n.x) AS s, COUNT(*) AS cnt
+      FROM dense b JOIN offs ON TRUE JOIN dense n ON n.d = b.d + offs.o
+      GROUP BY b.d
+    ),
+    j AS (
+      SELECT dense.d, dense.x,
+             CASE WHEN cnt = 7 THEN {trend_q} END AS trend_milli,
+             dense.d % 7 AS phase
+      FROM dense LEFT JOIN win ON win.d = dense.d
+    ),
+    detr AS (
+      SELECT *, CASE WHEN trend_milli IS NOT NULL
+                     THEN CAST(1000 AS HUGEINT) * x - trend_milli END AS dt
+      FROM j
+    ),
+    seas AS (
+      SELECT phase, {seas_q} AS seas_milli
+      FROM detr WHERE dt IS NOT NULL GROUP BY phase
+    )
+    SELECT CAST(detr.d AS BIGINT) AS d,
+           CAST(detr.x AS BIGINT) AS x,
+           CAST(detr.trend_milli AS BIGINT) AS trend_milli,
+           CAST(detr.phase AS BIGINT) AS phase,
+           CAST(seas.seas_milli AS BIGINT) AS seas_milli,
+           CAST(detr.dt - seas.seas_milli AS BIGINT) AS resid_milli
+    FROM detr LEFT JOIN seas USING (phase)
+    """
+
+
+@query("events_seasonal_decompose", _sd_oracle())
+def events_seasonal_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume:
+    x = trend + seasonal + residual — the diagnosis companion to
+    events_seasonal_backtest's forecast scoring (is there a weekly
+    cycle, and how big is it against the trend?). Exact milli-integer
+    arithmetic throughout: centered 7-day trend and per-dow seasonal
+    means via canonical-remainder floor division (detrended values go
+    NEGATIVE, where Spark div truncates but DuckDB // floors — the
+    pmod trick makes both exact-divisible first, operators/stats.
+    seasonal_decompose + floor_div_txt). Window = literal-offset
+    explode + equi join on the zero-filled daily spine, never a
+    single-partition ORDER BY window."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events").select(ts_us("ts").alias("us"))
+    counts = ev.groupBy(
+        F.expr("us div 86400000000").cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    rng = counts.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dense = (
+        rng.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(counts, "d", "left")
+        .select("d", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
+    )
+    return seasonal_decompose(dense, "d", "x", period=7, half_window=3)

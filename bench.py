@@ -434,6 +434,10 @@ _SCALE_QUERIES = [
     # r10c: hourly ACF — series length is calendar-fixed; the 10× cost
     # is the first hash agg only
     ("events_acf_hourly", 15.0),
+    # r10c: transitivity rides the same O(m^1.5) wedge stream as
+    # triangles (constant-distinct-edge graph at 10×) plus a node-
+    # keyed join — the triangles allowance applies
+    ("coorder_transitivity", 45.0),
 ]
 
 
@@ -595,6 +599,15 @@ _SCALE_QUERIES_100 = [
     ("coorder_feature_prop", 450.0),
     ("dedup_bcubed_eval", 450.0),
     ("coorder_weighted_sssp", 450.0),
+    # r10c: Theil-Sen's pair space and ACF's series are CALENDAR-
+    # bounded (constant at any factor; only the first rollup scan
+    # grows); modularity is LPA join+agg rounds over the ~constant
+    # distinct-edge graph; transitivity rides the triangles wedge
+    # bound
+    ("orders_theilsen_trend", 150.0),
+    ("events_acf_hourly", 150.0),
+    ("coorder_modularity", 450.0),
+    ("coorder_transitivity", 1000.0),
 ]
 
 

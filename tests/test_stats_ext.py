@@ -294,3 +294,270 @@ def test_modularity_no_leaked_persists(spark):
     assert leaked == stats["residual_rdd_ids"]
     release_result(spark, stats["residual_rdd_ids"])
     assert _ids() - before == set()
+
+
+# ------------------------------------------------- clustering/transitivity
+
+
+def test_clustering_coefficients_triangle_plus_tail(spark):
+    """Triangle {1,2,3} + pendant edge (1,4): c(1) = 2·1/(3·2) = 3333bp,
+    c(2) = c(3) = 10000bp, node 4 (d=1) excluded."""
+    from avocado_spark.operators.components import clustering_coefficients
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    got = {r["node"]: r for r in clustering_coefficients(e).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["c_bp"] == 3333 and got[1]["d"] == 3
+    assert got[2]["c_bp"] == 10000 and got[3]["c_bp"] == 10000
+
+
+def test_clustering_zero_triangle_nodes_included(spark):
+    """A path a-b-c has d(b)=2 but no triangle → c_bp 0, row present."""
+    from avocado_spark.operators.components import clustering_coefficients
+
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {r["node"]: r["c_bp"] for r in clustering_coefficients(e).collect()}
+    assert got == {2: 0}
+
+
+def test_transitivity_triangle_plus_tail(spark):
+    """W = 5 wedges, T = 1 → transitivity 3/5 → 6000 bp; mean local
+    = (3333+10000+10000) div 3 = 7777."""
+    from avocado_spark.operators.components import transitivity
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    row = transitivity(e).first()
+    assert row["n_nodes_deg2"] == 3
+    assert row["wedges2"] == 10 and row["tri3"] == 3
+    assert row["trans_bp"] == 6000
+    assert row["mean_local_c_bp"] == 7777
+
+
+def test_transitivity_wedge_free_graph(spark):
+    """A single edge has no node with d ≥ 2 → NULLs, zero counts."""
+    from avocado_spark.operators.components import transitivity
+
+    e = _edges(spark, [(1, 2)])
+    row = transitivity(e).first()
+    assert row["n_nodes_deg2"] == 0
+    assert row["trans_bp"] is None and row["mean_local_c_bp"] is None
+
+
+def test_clustering_releases_edge_blocks(spark):
+    from avocado_spark.operators.components import (
+        clustering_coefficients,
+        release_result,
+    )
+
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = _ids()
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    stats: dict = {}
+    clustering_coefficients(e, stats=stats).collect()
+    leaked = _ids() - before
+    assert leaked == stats["residual_rdd_ids"]
+    release_result(spark, stats["residual_rdd_ids"])
+    assert _ids() - before == set()
+
+
+# ------------------------------------------------- hypothesis differentials
+
+
+def test_kendall_hypothesis_differential(spark):
+    """Randomized differential vs the O(n²) textbook pair count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pairs = st.lists(
+        st.tuples(
+            st.integers(min_value=-9, max_value=9),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+
+    def _brute(xy):
+        nc = nd = tx = ty = 0
+        for i in range(len(xy)):
+            for j in range(i + 1, len(xy)):
+                dx = xy[j][0] - xy[i][0]
+                dy = xy[j][1] - xy[i][1]
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+                if dx * dy > 0:
+                    nc += 1
+                elif dx * dy < 0:
+                    nd += 1
+        return nc, nd, tx, ty
+
+    @given(xy=pairs)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _case(xy):
+        rows = [(i, x, y) for i, (x, y) in enumerate(xy)]
+        out = kendall_tau_b(
+            _df(spark, rows, "t long, x long, y long"), "t", "x", "y"
+        ).first()
+        nc, nd, tx, ty = _brute(xy)
+        n0 = len(xy) * (len(xy) - 1) // 2
+        assert (out["concordant"], out["discordant"]) == (nc, nd), xy
+        assert (out["ties_x"], out["ties_y"]) == (tx, ty)
+        if n0 - tx > 0 and n0 - ty > 0:
+            assert out["tau_b"] == pytest.approx(
+                (nc - nd) / math.sqrt((n0 - tx) * (n0 - ty)), abs=1e-6
+            )
+        else:
+            assert out["tau_b"] is None
+
+    _case()
+
+
+def test_theil_sen_hypothesis_differential(spark):
+    """Randomized differential vs the brute-force LOWER-median of all
+    pairwise slopes (and the residual median with that slope)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pts = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda p: p[0],
+    )
+
+    def _lower_median(vals):
+        # smallest v whose running count reaches half the total
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        for v in vals:
+            cum += 1
+            if 2 * cum >= n:
+                return v
+        return vals[-1]
+
+    @given(xy=pts)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _case(xy):
+        xy_sorted = sorted(xy)
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(xy_sorted)
+            for (x2, y2) in xy_sorted[i + 1 :]
+        ]
+        out = theil_sen(
+            _df(spark, list(xy), "d long, y long"), "d", "y"
+        ).first()
+        slope = _lower_median(slopes)
+        resid = [y - slope * x for x, y in xy]
+        assert out["slope"] == pytest.approx(round(slope, 6), abs=1e-9), xy
+        assert out["intercept"] == pytest.approx(
+            round(_lower_median(resid), 6), abs=1e-9
+        )
+
+    _case()
+
+
+# ------------------------------------------------- seasonal decomposition
+
+
+def test_floor_div_txt_negative_parity(spark):
+    """The canonical-remainder floor division must equal Python's //
+    in BOTH engines, including negative numerators (where Spark div
+    truncates and DuckDB // floors natively)."""
+    import duckdb
+
+    from avocado_spark.operators.stats import floor_div_txt
+
+    nums = [-7, -6, -5, -1, 0, 1, 5, 6, 7]
+    df = _df(spark, [(n,) for n in nums], "n long")
+    got = {
+        r["n"]: r["q"]
+        for r in df.select(
+            "n", F.expr(floor_div_txt("n", "3", True)).alias("q")
+        ).collect()
+    }
+    duck = dict(
+        duckdb.sql(
+            "SELECT n, "
+            + floor_div_txt("n", "3", False)
+            + " AS q FROM (SELECT UNNEST(["
+            + ",".join(map(str, nums))
+            + "]) AS n)"
+        ).fetchall()
+    )
+    for n in nums:
+        assert got[n] == n // 3, (n, got[n])
+        assert duck[n] == n // 3, (n, duck[n])
+
+
+def test_seasonal_decompose_alternating(spark):
+    """x = 0,6,0,6,0,6 with period 2, window 3: trend 2000/4000
+    alternating on the interior, seasonal ±4000, residual exactly 0;
+    edge rows carry NULL trend/residual."""
+    from avocado_spark.operators.stats import seasonal_decompose
+
+    s = _df(spark, [(t, 6 * (t % 2)) for t in range(6)], "d long, x long")
+    out = {
+        r["d"]: r
+        for r in seasonal_decompose(s, "d", "x", period=2, half_window=1).collect()
+    }
+    assert len(out) == 6
+    assert out[0]["trend_milli"] is None and out[0]["resid_milli"] is None
+    assert out[1]["trend_milli"] == 2000 and out[2]["trend_milli"] == 4000
+    assert out[1]["seas_milli"] == 4000 and out[2]["seas_milli"] == -4000
+    for t in (1, 2, 3, 4):
+        assert out[t]["resid_milli"] == 0, out[t]
+
+
+# ------------------------------------------------- Fellegi–Sunter
+
+
+def test_fellegi_sunter_hand_computed(spark):
+    """1 true pair (agrees), 2 non-matches (one agrees): smoothed
+    m = 2/3, u = 2/4 → w_agree = log2(4/3), w_dis = log2(2/3)."""
+    from avocado_spark.operators.stats import fellegi_sunter_weights
+
+    cand = _df(
+        spark,
+        [(1, 2, True), (3, 4, False), (5, 6, True)],
+        "a_id long, b_id long, f boolean",
+    )
+    truth = _df(spark, [(1, 2)], "a_id long, b_id long")
+    row = fellegi_sunter_weights(cand, truth, ["f"]).first()
+    assert (row["n_match"], row["n_unmatch"]) == (1, 2)
+    assert (row["match_agree"], row["unmatch_agree"]) == (1, 1)
+    assert row["w_agree"] == pytest.approx(math.log2(4 / 3), abs=1e-6)
+    assert row["w_disagree"] == pytest.approx(math.log2(2 / 3), abs=1e-6)
+
+
+def test_fellegi_sunter_always_agree_stays_finite(spark):
+    """Add-one smoothing: a feature that agrees on every true pair and
+    never on a non-match must still yield finite weights."""
+    from avocado_spark.operators.stats import fellegi_sunter_weights
+
+    cand = _df(
+        spark,
+        [(1, 2, True), (3, 4, False)],
+        "a_id long, b_id long, f boolean",
+    )
+    truth = _df(spark, [(1, 2)], "a_id long, b_id long")
+    row = fellegi_sunter_weights(cand, truth, ["f"]).first()
+    assert row["w_agree"] is not None and row["w_disagree"] is not None
+    assert row["w_agree"] > 0 > row["w_disagree"]
