@@ -2274,6 +2274,7 @@ def weighted_quantile(
     q_num: int = 1,
     q_den: int = 2,
     out_col: str = "wq_value",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact weighted quantile per group: the smallest ``value_col``
     whose running weight (in value order) reaches q_num/q_den of the
@@ -2294,6 +2295,18 @@ def weighted_quantile(
     g = df.groupBy(*group_cols, F.col(value_col).alias("_wq_v")).agg(
         F.sum(F.col(weight_col)).cast("bigint").alias("_wq_w")
     )
+    if not group_cols:
+        # Ungrouped single-quantile fast path: a rank over EVERY
+        # distinct value is wasted work when only one order statistic
+        # is needed. Range-partition once, histogram the ≤32 partition
+        # weights on the driver, and run the cumsum window over ONLY
+        # the partition containing the quantile (≤ input/32 rows —
+        # bounded further by the callers' own caps: the pair-based
+        # estimators feed ≤ max_points²/2 values). This also avoids
+        # global_rank's 31-literal bucket expression, whose first
+        # compile cost (~10 s) re-paid on every fresh plan was the
+        # whole cost of the 2.9M-slope Theil–Sen median.
+        return _ungrouped_weighted_quantile(g, q_num, q_den, out_col, stats)
     r = global_rank(
         g,
         [F.col("_wq_v")],
@@ -2325,3 +2338,80 @@ def weighted_quantile(
             F.max("_wq_tot").cast("bigint").alias("total_weight"),
         )
     )
+
+
+def _ungrouped_weighted_quantile(
+    g: DataFrame,
+    q_num: int,
+    q_den: int,
+    out_col: str,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Single-order-statistic refinement for the ungrouped quantile:
+    (1) ONE range exchange of the (value, weight) table, pinned with a
+    tracked checkpoint so every later read sees the same partitioning;
+    (2) per-partition weight totals (≤ partitions rows) to the driver;
+    (3) the exact threshold compare runs only inside the one partition
+    that straddles q — its cumsum window is single-partition but holds
+    ≤ input/partitions rows by the range exchange, and the exchange's
+    blocks are released once the 1-row result materializes.
+    Same semantics as the grouped path: smallest value whose running
+    weight satisfies q_den·cum ≥ q_num·total, exact integers only."""
+    from pyspark.sql import Window
+
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
+
+    sess = g.sparkSession
+    nparts = _default_buckets(sess)
+    ids: set[int] = set()
+    rg = _tracked_checkpoint(
+        g.repartitionByRange(nparts, F.col("_wq_v").asc()), ids
+    )
+    parts = (
+        rg.groupBy(F.spark_partition_id().alias("_wq_pid"))
+        .agg(F.sum("_wq_w").alias("_wq_pw"))
+        .collect()
+    )  # ≤ nparts rows — bounded driver scalar set
+    if not parts:
+        _release_rdds(rg, ids)
+        return g.agg(
+            F.min("_wq_v").alias(out_col),
+            F.coalesce(F.sum("_wq_w"), F.lit(0)).cast("bigint").alias(
+                "total_weight"
+            ),
+        ).where(F.col(out_col).isNotNull())
+    by_pid = sorted((int(r["_wq_pid"]), int(r["_wq_pw"])) for r in parts)
+    tot = sum(pw for _, pw in by_pid)
+    cum_before = 0
+    target = by_pid[-1][0]
+    for pid, pw in by_pid:
+        if q_den * (cum_before + pw) >= q_num * tot:
+            target = pid
+            break
+        cum_before += pw
+    local = rg.withColumn("_wq_pid", F.spark_partition_id()).where(
+        F.col("_wq_pid") == target
+    )
+    w = Window.orderBy(F.col("_wq_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit = local.withColumn("_wq_lc", F.sum("_wq_w").over(w)).where(
+        F.lit(int(q_den)) * (F.lit(cum_before) + F.col("_wq_lc"))
+        >= F.lit(int(q_num)) * F.lit(tot)
+    )
+    vmin = F.min("_wq_v")
+    if dict(g.dtypes)["_wq_v"] in ("tinyint", "smallint", "int", "bigint"):
+        vmin = vmin.cast("bigint")
+    out = hit.agg(
+        vmin.alias(out_col),
+        F.lit(int(tot)).cast("bigint").alias("total_weight"),
+    )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)  # 1-row residual block
+    _release_rdds(out, ids)
+    if stats is not None:
+        stats.setdefault("residual_rdd_ids", set()).update(residual)
+    return out

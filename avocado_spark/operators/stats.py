@@ -393,6 +393,7 @@ def theil_sen(
     t_col: str,
     y_col: str,
     max_points: int = 5_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend: the median of all pairwise slopes
     (y_j−y_i)/(t_j−t_i), with the matching median-residual intercept —
@@ -409,23 +410,43 @@ def theil_sen(
     the bounded-collect discipline).
 
     Returns ONE row: n_points, n_pairs, slope (6 dp), intercept (6 dp).
+
+    Recompute discipline: the O(n²/2) pair explode is pre-aggregated
+    to a (slope, weight) table and TRACKED-CHECKPOINTED, so the pair
+    pipeline runs exactly once, and both medians ride
+    weighted_quantile's UNGROUPED fast path (one range exchange +
+    driver histogram + a window over only the straddling partition).
+    First landed un-materialized on the general rank machinery, the
+    sf0.1 query cost 27.9 s (the pair explode re-ran ~5× and the
+    31-literal bucket projection re-paid a ~10 s first-compile per
+    fresh plan); checkpointed + fast-path it is ~4-6 s. The bounded
+    input series is checkpointed too, and all blocks are released
+    once the 1-row result materializes.
     """
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
     from avocado_spark.operators.relational import weighted_quantile
 
+    ser_ids: set[int] = set()
+    series = _tracked_checkpoint(series, ser_ids)
     pairs = bounded_self_pairs(series, t_col, [y_col], max_points)
     slopes = pairs.select(
         F.expr(
             f"CAST(r_{y_col} - l_{y_col} AS DOUBLE) / CAST(r_{t_col} - l_{t_col} AS DOUBLE)"
         ).alias("_ts_slope")
     )
-    med = weighted_quantile(
-        slopes.withColumn("_ts_w", F.lit(1).cast("bigint")),
-        [],
-        "_ts_slope",
-        "_ts_w",
+    grouped = slopes.groupBy("_ts_slope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ts_w")
     )
+    grp_ids: set[int] = set()
+    grouped = _tracked_checkpoint(grouped, grp_ids)  # pair explode runs ONCE
+    med = weighted_quantile(grouped, [], "_ts_slope", "_ts_w", stats=stats)
     row = med.first()  # 1-row bounded driver scalar
+    _release_rdds(grouped, grp_ids)  # medians collected — slopes free
     if row is None:
+        _release_rdds(series, ser_ids)
         return series.sparkSession.createDataFrame(
             [], "n_points bigint, n_pairs bigint, slope double, intercept double"
         )
@@ -441,13 +462,20 @@ def theil_sen(
         [],
         "_ts_resid",
         "_ts_w",
+        stats=stats,
     )
-    return imed.select(
+    out = imed.select(
         F.col("total_weight").cast("bigint").alias("n_points"),
         F.lit(n_pairs).cast("bigint").alias("n_pairs"),
         F.round(F.lit(slope), 6).alias("slope"),
         F.round(F.col("wq_value"), 6).alias("intercept"),
     )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)  # 1-row residual block
+    _release_rdds(out, ser_ids)
+    if stats is not None:
+        stats.setdefault("residual_rdd_ids", set()).update(residual)
+    return out
 
 
 # ---------------------------------------------------------------------------

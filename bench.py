@@ -302,6 +302,16 @@ def main() -> None:
             # Verdict: bench noise, same adjudication as simhash in
             # r6/r7.
             "revenue_multijoin": "r8 +30% did not reproduce (r9 in-bench 0.97s ~ r7 band, plan unchanged) — noise",
+            # r10c: first landed at 27.9s — the 2.9M-slope pair explode
+            # re-executed ~5x across weighted_quantile's rank/offset/
+            # total branches, and the 31-literal frozen-bucket
+            # projection re-paid a ~10s first-compile on every fresh
+            # plan. Fixed by (a) tracked-checkpointing the pre-
+            # aggregated (slope, weight) table and (b) an ungrouped
+            # weighted_quantile fast path: ONE range exchange + a
+            # <=32-row driver histogram + the cumsum window over only
+            # the straddling partition. 27.9s -> ~4-6s measured.
+            "orders_theilsen_trend": "27.9s un-materialized -> ~4-6s (checkpointed pair table + ungrouped range-refinement quantile)",
             # r9b: edge strength shares coorder_triangles' oriented
             # O(m^1.5) wedge machinery (~5s of its time) and adds the
             # 3x per-triangle edge explode + two degree joins +
