@@ -818,3 +818,100 @@ def fellegi_sunter_weights(
         F.expr(w_agree).alias("w_agree"),
         F.expr(w_disagree).alias("w_disagree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+
+def conformal_interval(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    period: int = 7,
+    holdout: int = 7,
+    alpha_num: int = 1,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecaster x̂(t) = x(t−period): calibrate the nonconformity score
+    r = |x − x̂| on the pre-holdout window, take
+    q̂ = the k-th smallest calibration score with
+    k = ⌈(n_cal+1)·(1−α)⌉ (the finite-sample-valid split-conformal
+    quantile, Vovk et al.), and emit x̂ ± q̂ with a coverage flag for
+    every holdout point — distribution-free uncertainty for the
+    forecast backtest family (events_seasonal_backtest scores point
+    error; this bounds it).
+
+    Everything is exact integer arithmetic: scores are integer
+    absolute residuals, k is integer-ceil division, and q̂ is an exact
+    order statistic via weighted_quantile's ungrouped fast path with
+    q_num/q_den = k/n_cal (n·cum ≥ k·n ⟺ cum ≥ k). Driver scalars
+    (max t, n_cal, q̂) are bounded collects on the calendar-bounded
+    series. When k > n_cal the conformal quantile is undefined
+    (+∞) and the result is EMPTY — mirroring the oracle's empty
+    quantile relation.
+
+    Returns one row per holdout point: t, x, pred, lo, hi, covered.
+    """
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
+    from avocado_spark.operators.relational import weighted_quantile
+
+    schema = (
+        f"{t_col} bigint, {x_col} bigint, pred bigint, "
+        "lo bigint, hi bigint, covered boolean"
+    )
+    ids: set[int] = set()
+    ser = _tracked_checkpoint(
+        series.select(
+            F.col(t_col).cast("bigint").alias("_cf_t"),
+            F.col(x_col).cast("bigint").alias("_cf_x"),
+        ),
+        ids,
+    )
+    mx = ser.agg(F.max("_cf_t").alias("m")).first()
+    if mx is None or mx["m"] is None:
+        _release_rdds(ser, ids)
+        return series.sparkSession.createDataFrame([], schema)
+    maxd = int(mx["m"])
+    pred = ser.select(
+        (F.col("_cf_t") + F.lit(int(period))).alias("_cf_t"),
+        F.col("_cf_x").alias("_cf_pred"),
+    )
+    j = ser.join(pred, "_cf_t")
+    cal = j.where(F.col("_cf_t") <= F.lit(maxd - int(holdout))).select(
+        F.abs(F.col("_cf_x") - F.col("_cf_pred")).alias("_cf_r"),
+        F.lit(1).cast("bigint").alias("_cf_w"),
+    )
+    n_cal = cal.count()  # bounded driver scalar
+    cov_num = alpha_den - alpha_num
+    k = ((n_cal + 1) * cov_num + alpha_den - 1) // alpha_den
+    if n_cal == 0 or k > n_cal:
+        _release_rdds(ser, ids)
+        return series.sparkSession.createDataFrame([], schema)
+    qrow = weighted_quantile(
+        cal, [], "_cf_r", "_cf_w", q_num=k, q_den=n_cal
+    ).first()
+    qhat = int(qrow["wq_value"])
+    out = (
+        j.where(F.col("_cf_t") > F.lit(maxd - int(holdout)))
+        .select(
+            F.col("_cf_t").alias(t_col),
+            F.col("_cf_x").alias(x_col),
+            F.col("_cf_pred").alias("pred"),
+            (F.col("_cf_pred") - F.lit(qhat)).alias("lo"),
+            (F.col("_cf_pred") + F.lit(qhat)).alias("hi"),
+            (
+                (F.col("_cf_x") >= F.col("_cf_pred") - F.lit(qhat))
+                & (F.col("_cf_x") <= F.col("_cf_pred") + F.lit(qhat))
+            ).alias("covered"),
+        )
+    )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)  # holdout-sized result
+    _release_rdds(out, ids)
+    return out

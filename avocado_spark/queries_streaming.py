@@ -3591,3 +3591,64 @@ def events_seasonal_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
     )
     return seasonal_decompose(dense, "d", "x", period=7, half_window=3)
+
+
+@query(
+    "events_conformal_interval",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM c),
+    dense AS (
+      SELECT gs.d, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM (SELECT UNNEST(generate_series(d0, d1)) AS d FROM r) gs
+      LEFT JOIN c USING (d)
+    ),
+    p AS (
+      SELECT a.d, a.x, b.x AS pred
+      FROM dense a JOIN dense b ON b.d = a.d - 7
+    ),
+    mx AS (SELECT MAX(d) AS maxd FROM dense),
+    cal AS (SELECT ABS(x - pred) AS rr FROM p, mx WHERE d <= maxd - 7),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    kk AS (SELECT ((n_cal + 1) * 4 + 4) // 5 AS k, n_cal FROM n),
+    g AS (SELECT rr, CAST(COUNT(*) AS BIGINT) AS w FROM cal GROUP BY rr),
+    cm AS (SELECT rr, SUM(w) OVER (ORDER BY rr ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+    q AS (SELECT MIN(rr) AS qhat FROM cm, kk WHERE cum >= kk.k AND kk.k <= kk.n_cal),
+    qq AS (SELECT qhat FROM q WHERE qhat IS NOT NULL)
+    SELECT CAST(p.d AS BIGINT) AS d,
+           p.x,
+           p.pred,
+           p.pred - qq.qhat AS lo,
+           p.pred + qq.qhat AS hi,
+           p.x BETWEEN p.pred - qq.qhat AND p.pred + qq.qhat AS covered
+    FROM p, mx, qq WHERE p.d > maxd - 7
+    """,
+)
+def events_conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    daily-volume forecast: calibrate |x − x(d−7)| on the pre-holdout
+    window, take the finite-sample-valid k-th smallest score
+    (k = ⌈(n+1)·0.8⌉, 80% target coverage), band the last week with
+    pred ± q̂ and flag coverage — distribution-free uncertainty for
+    the forecast family (events_seasonal_backtest scores the point
+    error; this bounds it). Exact integer scores, integer-ceil k, and
+    the order statistic rides weighted_quantile's ungrouped range-
+    refinement fast path (operators/stats.conformal_interval)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import conformal_interval
+
+    ev = load_table(spark, sf_dir, "events").select(ts_us("ts").alias("us"))
+    counts = ev.groupBy(
+        F.expr("us div 86400000000").cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    rng = counts.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dense = (
+        rng.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(counts, "d", "left")
+        .select("d", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
+    )
+    return conformal_interval(dense, "d", "x", period=7, holdout=7)

@@ -561,3 +561,29 @@ def test_fellegi_sunter_always_agree_stays_finite(spark):
     row = fellegi_sunter_weights(cand, truth, ["f"]).first()
     assert row["w_agree"] is not None and row["w_disagree"] is not None
     assert row["w_agree"] > 0 > row["w_disagree"]
+
+
+# ------------------------------------------------- conformal intervals
+
+
+def test_conformal_linear_series(spark):
+    """x = t: every calibration residual is exactly 7, so q-hat = 7 and
+    each holdout day is covered at its interval edge."""
+    from avocado_spark.operators.stats import conformal_interval
+
+    s = _df(spark, [(t, t) for t in range(21)], "d long, x long")
+    out = {r["d"]: r for r in conformal_interval(s, "d", "x").collect()}
+    assert sorted(out) == list(range(14, 21))
+    for d, r in out.items():
+        assert r["pred"] == d - 7
+        assert (r["lo"], r["hi"]) == (d - 14, d)
+        assert r["covered"]
+
+
+def test_conformal_empty_when_uncalibratable(spark):
+    """Too few points for any calibration residual → empty result (the
+    split-conformal quantile is undefined), not a crash."""
+    from avocado_spark.operators.stats import conformal_interval
+
+    s = _df(spark, [(t, t) for t in range(8)], "d long, x long")
+    assert conformal_interval(s, "d", "x").count() == 0
