@@ -915,3 +915,96 @@ def conformal_interval(
     out = _tracked_checkpoint(out, residual)  # holdout-sized result
     _release_rdds(out, ids)
     return out
+
+
+# ---------------------------------------------------------------------------
+# decision stump (exact-integer Gini surrogate)
+# ---------------------------------------------------------------------------
+
+
+def decision_stump(
+    df: DataFrame, value_col: str, is_pos: Column
+) -> DataFrame:
+    """Train a depth-1 decision tree (a stump: one threshold on one
+    integer feature) for a boolean label — the weak learner under
+    boosted quality classifiers and the simplest "train a filter
+    model in the engine" primitive a curation pipeline wants before
+    reaching for external ML.
+
+    Split criterion is the Gini-impurity decrease, maximized through
+    its sum-of-squares surrogate H = Σ_side (k² + (n−k)²)/n — exact
+    rational; candidates are compared on the fixed-point
+    score_nano = (10⁹·A) div (nL·nR) with
+    A = (kL²+(nL−kL)²)·nR + (kR²+(nR−kR)²)·nL, all DECIMAL(38,0)
+    (n³·10⁹ headroom holds to ~10⁹ rows), truncating division over
+    positives, ties broken by the SMALLEST split value — fully
+    deterministic, identical in both engines.
+
+    Scale shape: one hash agg to the DISTINCT value domain (bounded
+    by the feature's cardinality, the ks_two_sample discipline),
+    running (count, positive) totals via global_rank's frozen-
+    boundary cumsum, a 1-row broadcast total, and a
+    TakeOrderedAndProject argmax — per-row data is never ranked.
+
+    Returns ONE row: split_value (predict on v ≤ split), n_left,
+    pos_left, n_right, pos_right, score_nano, acc_bp (majority-vote
+    training accuracy in basis points). Empty when the feature has
+    < 2 distinct values (no valid split).
+    """
+    from avocado_spark.operators.relational import global_rank
+
+    g = df.groupBy(F.col(value_col).alias("_st_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_st_c"),
+        F.coalesce(F.sum(F.when(is_pos, 1)).cast("bigint"), F.lit(0)).alias(
+            "_st_p"
+        ),
+    )
+    r = global_rank(
+        g,
+        [F.col("_st_v")],
+        rank_col="_st_rk",
+        cumsum_cols={"_st_cn": "_st_c", "_st_cp": "_st_p"},
+    )
+    tot = g.agg(
+        F.sum("_st_c").cast("bigint").alias("_st_n"),
+        F.sum("_st_p").cast("bigint").alias("_st_k"),
+    )
+    cand = r.crossJoin(F.broadcast(tot)).where(F.col("_st_cn") < F.col("_st_n"))
+    dec = _DEC
+    nl = f"CAST(_st_cn AS {dec})"
+    kl = f"CAST(_st_cp AS {dec})"
+    nr = f"(CAST(_st_n AS {dec}) - {nl})"
+    kr = f"(CAST(_st_k AS {dec}) - {kl})"
+    a_txt = (
+        f"(({kl} * {kl} + ({nl} - {kl}) * ({nl} - {kl})) * {nr}"
+        f" + ({kr} * {kr} + ({nr} - {kr}) * ({nr} - {kr})) * {nl})"
+    )
+    score = f"((CAST(1000000000 AS {dec}) * {a_txt}) div ({nl} * {nr}))"
+    scored = cand.select(
+        F.col("_st_v").alias("split_value"),
+        F.col("_st_cn").alias("n_left"),
+        F.col("_st_cp").alias("pos_left"),
+        (F.col("_st_n") - F.col("_st_cn")).alias("n_right"),
+        (F.col("_st_k") - F.col("_st_cp")).alias("pos_right"),
+        F.expr(score).cast("decimal(38,0)").alias("_st_score"),
+        F.col("_st_n"),
+    )
+    best = scored.orderBy(
+        F.col("_st_score").desc(), F.col("split_value").asc()
+    ).limit(1)
+    acc = (
+        "CAST((10000 * (greatest(pos_left, n_left - pos_left)"
+        " + greatest(pos_right, n_right - pos_right))) div _st_n AS BIGINT)"
+    )
+    return best.select(
+        "split_value",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        # BIGINT out, DECIMAL internal — the events_ks_drift lesson:
+        # the driver hasher canonicalizes DECIMAL differently from the
+        # oracle's HUGEINT; score_nano ≈ 2·10⁹·n fits BIGINT to ~4e9 rows
+        F.col("_st_score").cast("bigint").alias("score_nano"),
+        F.expr(acc).alias("acc_bp"),
+    )

@@ -3652,3 +3652,75 @@ def events_conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
     )
     return conformal_interval(dense, "d", "x", period=7, holdout=7)
+
+
+@query(
+    "events_decision_stump",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS p
+      FROM b GROUP BY v
+    ),
+    r AS (
+      SELECT v,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cp
+      FROM g
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS k FROM g),
+    cand AS (
+      SELECT v AS split_value,
+             CAST(cn AS HUGEINT) AS nl, CAST(cp AS HUGEINT) AS kl,
+             CAST(n AS HUGEINT) - CAST(cn AS HUGEINT) AS nr,
+             CAST(k AS HUGEINT) - CAST(cp AS HUGEINT) AS kr,
+             CAST(n AS HUGEINT) AS n
+      FROM r CROSS JOIN tot WHERE cn < n
+    ),
+    scored AS (
+      SELECT split_value,
+             CAST(nl AS BIGINT) AS n_left, CAST(kl AS BIGINT) AS pos_left,
+             CAST(nr AS BIGINT) AS n_right, CAST(kr AS BIGINT) AS pos_right,
+             (CAST(1000000000 AS HUGEINT)
+              * ((kl * kl + (nl - kl) * (nl - kl)) * nr
+                 + (kr * kr + (nr - kr) * (nr - kr)) * nl))
+               // (nl * nr) AS score,
+             n
+      FROM cand
+    )
+    SELECT split_value, n_left, pos_left, n_right, pos_right,
+           CAST(score AS BIGINT) AS score_nano,
+           CAST((10000 * (GREATEST(pos_left, n_left - pos_left)
+                          + GREATEST(pos_right, n_right - pos_right))) // n
+                AS BIGINT) AS acc_bp
+    FROM scored
+    ORDER BY score DESC, split_value ASC
+    LIMIT 1
+    """,
+)
+def events_decision_stump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 classifier in the engine: the single order-value
+    threshold that best separates purchases from views by exact
+    Gini-surrogate score — the weak learner under boosted quality-
+    classifier filtering, with majority-vote training accuracy in
+    basis points. One hash agg to the distinct-cents domain,
+    frozen-boundary running totals, fixed-point DECIMAL(38,0) scoring
+    with a deterministic smallest-split tie-break, and a TakeOrdered
+    argmax (operators/stats.decision_stump)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import decision_stump
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+            "event_type",
+        )
+    )
+    return decision_stump(ev, "v_c", F.col("event_type") == "purchase")

@@ -587,3 +587,35 @@ def test_conformal_empty_when_uncalibratable(spark):
 
     s = _df(spark, [(t, t) for t in range(8)], "d long, x long")
     assert conformal_interval(s, "d", "x").count() == 0
+
+
+# ------------------------------------------------- decision stump
+
+
+def test_decision_stump_separable(spark):
+    """v=1 all negative, v=2 all positive → split at 1, 100% accuracy,
+    score = 1e9·(9·2 + 4·3)/6 = 5e9 exactly."""
+    from avocado_spark.operators.stats import decision_stump
+
+    rows = [(1, 0), (1, 0), (1, 0), (2, 1), (2, 1)]
+    out = decision_stump(
+        _df(spark, rows, "v long, y long"), "v", F.col("y") == 1
+    ).first()
+    assert out["split_value"] == 1
+    assert (out["n_left"], out["pos_left"]) == (3, 0)
+    assert (out["n_right"], out["pos_right"]) == (2, 2)
+    assert out["score_nano"] == 5_000_000_000
+    assert out["acc_bp"] == 10000
+
+
+def test_decision_stump_single_value_empty(spark):
+    """One distinct feature value → no valid split → empty result."""
+    from avocado_spark.operators.stats import decision_stump
+
+    rows = [(7, 0), (7, 1)]
+    assert (
+        decision_stump(
+            _df(spark, rows, "v long, y long"), "v", F.col("y") == 1
+        ).count()
+        == 0
+    )
