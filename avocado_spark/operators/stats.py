@@ -1008,3 +1008,96 @@ def decision_stump(
         F.col("_st_score").cast("bigint").alias("score_nano"),
         F.expr(acc).alias("acc_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test
+# ---------------------------------------------------------------------------
+
+
+def pettitt_changepoint(
+    series: DataFrame, t_col: str, x_col: str
+) -> DataFrame:
+    """Pettitt's nonparametric single-changepoint test over a DENSE
+    integer series — the offline, distribution-free complement to the
+    streaming CUSUM alert: at which point does the level most likely
+    shift, and how strong is the evidence?
+
+    Statistic: U_t = Σ_{i≤t, j>t} sgn(x_i − x_j), maximized in
+    absolute value over t. Exact via the rank identity
+    U_t = 2·W_t − t·(n+1) with W_t the midrank sum of the first t
+    points: carrying DOUBLED midranks D_i = 2·R_i (= 2·before + ties
+    + 1, integral under ties — the mannwhitney_u bookkeeping) gives
+    U_t = (Σ_{i≤t} D_i) − t·(n+1), an exact integer for every t.
+    Argmax ties break to the SMALLEST t. The approximate significance
+    p ≈ 2·exp(−6K²/(n³+n²)) carries the usual single-EXP ROUND-9
+    discipline.
+
+    Scale shape: one hash agg to the distinct value domain + frozen-
+    boundary cumsum for the doubled midranks (value-bounded), a join
+    back on the value key, ONE more frozen-boundary cumsum in time
+    order (series-bounded), and a TakeOrdered argmax. ``series`` must
+    be dense in ``t_col``.
+
+    Returns ONE row: t_change (the last index of the pre-change
+    segment, in ``t_col`` units), k_stat (= max|U_t|, doubled-rank
+    scale), n_points, p_approx (9 dp). Empty for n < 2.
+    """
+    from avocado_spark.operators.relational import global_rank
+
+    dec = _DEC
+    g = series.groupBy(F.col(x_col).alias("_pt_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_pt_c")
+    )
+    rv = global_rank(
+        g, [F.col("_pt_v")], rank_col="_pt_rk", cumsum_cols={"_pt_cum": "_pt_c"}
+    )
+    # doubled midrank for value v: 2·before + ties + 1
+    dmap = rv.select(
+        "_pt_v",
+        (
+            F.lit(2) * (F.col("_pt_cum") - F.col("_pt_c"))
+            + F.col("_pt_c")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("_pt_d"),
+    )
+    keyed = series.select(
+        F.col(t_col).alias("_pt_t"), F.col(x_col).alias("_pt_v")
+    ).join(dmap, "_pt_v")
+    rt = global_rank(
+        keyed,
+        [F.col("_pt_t")],
+        rank_col="_pt_pos",
+        cumsum_cols={"_pt_cd": "_pt_d"},
+    )
+    tot = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("_pt_n"))
+    cand = rt.crossJoin(F.broadcast(tot)).where(
+        F.col("_pt_pos") < F.col("_pt_n")
+    )
+    # U_t = cumD_t − t·(n+1); K = |U_t| — exact DECIMAL integers
+    u = (
+        f"(CAST(_pt_cd AS {dec})"
+        f" - CAST(_pt_pos AS {dec}) * (CAST(_pt_n AS {dec}) + 1))"
+    )
+    scored = cand.select(
+        F.col("_pt_t").alias("t_change"),
+        F.expr(f"CAST(ABS({u}) AS {dec})").alias("_pt_k"),
+        F.col("_pt_n"),
+    )
+    best = scored.orderBy(
+        F.col("_pt_k").desc(), F.col("t_change").asc()
+    ).limit(1)
+    p_txt = (
+        "ROUND(LEAST(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE) * EXP(-CAST(6 AS DOUBLE)"
+        " * CAST(_pt_k AS DOUBLE) * CAST(_pt_k AS DOUBLE)"
+        " / (CAST(_pt_n AS DOUBLE) * CAST(_pt_n AS DOUBLE) * CAST(_pt_n AS DOUBLE)"
+        " + CAST(_pt_n AS DOUBLE) * CAST(_pt_n AS DOUBLE)))), 9)"
+    )
+    return best.select(
+        "t_change",
+        F.col("_pt_k").cast("bigint").alias("k_stat"),
+        F.col("_pt_n").alias("n_points"),
+        F.expr(p_txt).alias("p_approx"),
+    )

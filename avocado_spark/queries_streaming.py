@@ -3724,3 +3724,73 @@ def events_decision_stump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decision_stump(ev, "v_c", F.col("event_type") == "purchase")
+
+
+@query(
+    "events_pettitt_changepoint",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+    dense AS (
+      SELECT gs.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM (SELECT UNNEST(generate_series(h0, h1)) AS h FROM r) gs
+      LEFT JOIN c USING (h)
+    ),
+    g AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cc FROM dense GROUP BY x),
+    rv AS (
+      SELECT v, cc, SUM(cc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ),
+    dmap AS (SELECT v, 2 * (cum - cc) + cc + 1 AS d FROM rv),
+    keyed AS (SELECT dense.h AS t, dmap.d FROM dense JOIN dmap ON dmap.v = dense.x),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    rt AS (
+      SELECT t,
+             ROW_NUMBER() OVER (ORDER BY t) AS pos,
+             SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cd
+      FROM keyed
+    ),
+    cand AS (
+      SELECT t AS t_change,
+             ABS(CAST(cd AS HUGEINT) - CAST(pos AS HUGEINT) * (CAST(n AS HUGEINT) + 1)) AS k,
+             n
+      FROM rt CROSS JOIN nn WHERE pos < n
+    )
+    SELECT CAST(t_change AS BIGINT) AS t_change,
+           CAST(k AS BIGINT) AS k_stat,
+           n AS n_points,
+           ROUND(LEAST(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE) * EXP(-CAST(6 AS DOUBLE)
+             * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 9) AS p_approx
+    FROM cand ORDER BY k DESC, t_change ASC LIMIT 1
+    """,
+)
+def events_pettitt_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric single-changepoint test over the dense
+    hourly volume series — WHERE does the level most likely shift,
+    with distribution-free evidence: the offline retrospective
+    companion to events_cusum_changepoint's online alert and
+    events_ks_drift's two-known-windows comparison. Exact integer
+    U_t via doubled midranks (the mannwhitney_u bookkeeping) + one
+    time-ordered frozen-boundary cumsum; a single EXP (ROUND 9) for
+    the approximate significance (operators/stats.
+    pettitt_changepoint)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import pettitt_changepoint
+
+    ev = load_table(spark, sf_dir, "events").select(ts_us("ts").alias("us"))
+    counts = ev.groupBy(
+        F.expr("us div 3600000000").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    rng = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (
+        rng.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .join(counts, "h", "left")
+        .select("h", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
+    )
+    return pettitt_changepoint(dense, "h", "x")

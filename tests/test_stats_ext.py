@@ -619,3 +619,33 @@ def test_decision_stump_single_value_empty(spark):
         ).count()
         == 0
     )
+
+
+# ------------------------------------------------- Pettitt changepoint
+
+
+def test_pettitt_step_series(spark):
+    """0,0,0,0,0,10,10,10,10,10 → change after index 4, K = 25
+    (doubled-rank scale), p = min(1, 2·exp(−6·625/1100))."""
+    from avocado_spark.operators.stats import pettitt_changepoint
+
+    s = _df(
+        spark, [(t, 0 if t < 5 else 10) for t in range(10)], "h long, x long"
+    )
+    out = pettitt_changepoint(s, "h", "x").first()
+    assert out["t_change"] == 4
+    assert out["k_stat"] == 25
+    assert out["n_points"] == 10
+    assert out["p_approx"] == pytest.approx(
+        min(1.0, 2 * math.exp(-6 * 625 / 1100)), abs=1e-6
+    )
+
+
+def test_pettitt_constant_series(spark):
+    """No shift anywhere → K = 0, p clamps to 1, smallest-t tie-break."""
+    from avocado_spark.operators.stats import pettitt_changepoint
+
+    s = _df(spark, [(t, 7) for t in range(6)], "h long, x long")
+    out = pettitt_changepoint(s, "h", "x").first()
+    assert out["k_stat"] == 0 and out["t_change"] == 0
+    assert out["p_approx"] == pytest.approx(1.0)
