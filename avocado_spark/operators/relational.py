@@ -2317,11 +2317,9 @@ def weighted_quantile(
     totals = g.groupBy(*group_cols).agg(
         F.sum("_wq_w").cast("bigint").alias("_wq_tot")
     )
-    if group_cols:
-        j = r.join(totals, list(group_cols))
-    else:
-        # global (ungrouped) quantile: totals is ONE row — broadcast it
-        j = r.crossJoin(F.broadcast(totals))
+    # group_cols is non-empty here — the ungrouped case returned via
+    # _ungrouped_weighted_quantile above
+    j = r.join(totals, list(group_cols))
     hit = j.where(
         F.lit(int(q_den)) * F.col("_wq_cum") >= F.lit(int(q_num)) * F.col("_wq_tot")
     )

@@ -37,6 +37,7 @@ a driver loop.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -357,8 +358,8 @@ def kendall_tau_b(
     t_x / t_y the x- and y-tied pair counts, computed as the identical
     double on both engines. NULL when either factor is zero.
 
-    Returns ONE row: n_points, n_pairs, concordant, discordant,
-    ties_x, ties_y, tau_b (6 dp).
+    Returns ONE row: n_pairs, concordant, discordant, ties_x, ties_y,
+    tau_b (6 dp).
     """
     p = bounded_self_pairs(series, t_col, [x_col, y_col], max_points)
     lx, rx = F.col(f"l_{x_col}"), F.col(f"r_{x_col}")
@@ -431,6 +432,24 @@ def theil_sen(
 
     ser_ids: set[int] = set()
     series = _tracked_checkpoint(series, ser_ids)
+    # distinct-t contract check, UP FRONT: a duplicate t makes Δt = 0,
+    # which under ANSI mode throws an opaque DIVIDE_BY_ZERO deep in the
+    # pair stage (and under non-ANSI yields a NULL slope the weighted
+    # median would silently skip). One cheap agg on the checkpointed
+    # ≤max_points-row series buys a clear error instead.
+    dup_t = (
+        series.groupBy(t_col)
+        .agg(F.count(F.lit(1)).alias("_ts_c"))
+        .where(F.col("_ts_c") > 1)
+        .first()
+    )
+    if dup_t is not None:
+        _release_rdds(series, ser_ids)
+        raise ValueError(
+            f"theil_sen: duplicate t value {dup_t[t_col]!r} — pairwise "
+            "slopes need distinct t (Δt = 0 is undefined); deduplicate "
+            "or pre-aggregate t first"
+        )
     pairs = bounded_self_pairs(series, t_col, [y_col], max_points)
     slopes = pairs.select(
         F.expr(
@@ -451,6 +470,13 @@ def theil_sen(
             [], "n_points bigint, n_pairs bigint, slope double, intercept double"
         )
     slope = float(row["wq_value"])
+    if not math.isfinite(slope):
+        _release_rdds(series, ser_ids)
+        raise ValueError(
+            "theil_sen: non-finite median slope — the input violates the "
+            "distinct-t contract (a duplicate t value makes a pairwise "
+            "slope ±inf/NaN); deduplicate or pre-aggregate t first"
+        )
     n_pairs = int(row["total_weight"])
     resid = series.select(
         F.expr(
@@ -524,18 +550,26 @@ def bh_fdr(
     (p ≤ rank·α_num / (m·α_den)); the step-up maximum is a 1-row agg
     re-broadcast, NOT a running window.
 
+    Tests with a NULL p-value (undefined — e.g. a degenerate segment
+    with zero trials) are excluded from BOTH the ranking and m_tests —
+    ranking them (Spark asc = NULLS FIRST) would hand them rank ≤ k*
+    and inflate every real p-value's rank — and are emitted with
+    p_rank NULL, bh_cutoff NULL, rejected=false.
+
     Returns one row per test: id_cols…, p, p_rank, m_tests,
     bh_cutoff (9 dp), rejected.
     """
     from avocado_spark.operators.relational import global_rank
 
     ids = list(id_cols)
+    valid = tests.where(F.col(p_col).isNotNull())
+    nullp = tests.where(F.col(p_col).isNull())
     ranked = global_rank(
-        tests,
+        valid,
         [F.col(p_col)] + [F.col(c) for c in ids],
         rank_col="p_rank",
     )
-    m = tests.agg(F.count(F.lit(1)).cast("bigint").alias("m_tests"))
+    m = valid.agg(F.count(F.lit(1)).cast("bigint").alias("m_tests"))
     j = ranked.crossJoin(F.broadcast(m))
     cut = (
         f"ROUND(CAST(p_rank * {int(alpha_num)} AS DOUBLE) / "
@@ -549,7 +583,7 @@ def bh_fdr(
             F.max(F.when(F.col("_bh_hit"), F.col("p_rank"))), F.lit(0)
         ).alias("_bh_k")
     )
-    return (
+    out = (
         j.crossJoin(F.broadcast(kstar))
         .select(
             *ids,
@@ -560,6 +594,15 @@ def bh_fdr(
             (F.col("p_rank") <= F.col("_bh_k")).alias("rejected"),
         )
     )
+    skipped = nullp.crossJoin(F.broadcast(m)).select(
+        *ids,
+        F.col(p_col),
+        F.lit(None).cast("bigint").alias("p_rank"),
+        "m_tests",
+        F.lit(None).cast("double").alias("bh_cutoff"),
+        F.lit(False).alias("rejected"),
+    )
+    return out.unionByName(skipped)
 
 
 # ---------------------------------------------------------------------------
@@ -587,9 +630,13 @@ def jsd_vs_corpus(
     before the sum bounds libm LOG2 divergence away from the 6-digit
     output.
 
-    ``counts``: (key, token, cnt) exact-integer rows. Returns one row
+    ``counts``: (key, token, cnt) exact-integer rows; rows with
+    cnt ≤ 0 are filtered out up front (a zero count makes LOG2 return
+    NULL, which SUM would silently drop — computing the group's JSD
+    over a partial support instead of failing loudly). Returns one row
     per key: key, n_tokens, vocab, jsd_bits (6 dp).
     """
+    counts = counts.where(F.col(cnt_col) > 0)
     per_key = counts.groupBy(key_col).agg(
         F.sum(cnt_col).cast(_DEC).alias("_js_ns"),
         F.count(F.lit(1)).cast("bigint").alias("vocab"),

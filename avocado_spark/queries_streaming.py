@@ -3463,9 +3463,9 @@ _BH_P_TXT = (
     tests AS (SELECT hod, {_BH_P_TXT} AS p_value FROM g CROSS JOIN tot),
     ranked AS (
       SELECT hod, p_value,
-             ROW_NUMBER() OVER (ORDER BY p_value NULLS FIRST, hod) AS p_rank,
+             ROW_NUMBER() OVER (ORDER BY p_value, hod) AS p_rank,
              COUNT(*) OVER () AS m_tests
-      FROM tests
+      FROM tests WHERE p_value IS NOT NULL
     ),
     cut AS (
       SELECT hod, p_value, p_rank, m_tests,
@@ -3479,6 +3479,13 @@ _BH_P_TXT = (
            bh_cutoff,
            p_rank <= ks AS rejected
     FROM cut CROSS JOIN k
+    UNION ALL
+    SELECT CAST(hod AS BIGINT), p_value,
+           CAST(NULL AS BIGINT),
+           (SELECT COUNT(*) FROM tests WHERE p_value IS NOT NULL),
+           CAST(NULL AS DOUBLE),
+           FALSE
+    FROM tests WHERE p_value IS NULL
     """,
 )
 def events_bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:

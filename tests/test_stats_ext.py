@@ -185,6 +185,14 @@ def test_theil_sen_outlier_robust(spark):
     assert out["intercept"] == pytest.approx(0.0)
 
 
+def test_theil_sen_duplicate_t_raises(spark):
+    # duplicate t ⇒ a ±inf pairwise slope; must raise a clear error,
+    # not embed 'inf' as an unparseable SQL literal downstream
+    s = _df(spark, [(0, 0), (0, 5), (1, 1)], "d long, y long")
+    with pytest.raises(ValueError, match="duplicate t"):
+        theil_sen(s, "d", "y").first()
+
+
 # ---------------------------------------------------------------- BH FDR
 
 
@@ -207,6 +215,27 @@ def test_bh_fdr_none_rejected(spark):
     rows = [(1, 0.9), (2, 0.8)]
     out = bh_fdr(_df(spark, rows, "id long, p double"), ["id"], "p").collect()
     assert not any(r["rejected"] for r in out)
+
+
+def test_bh_fdr_null_p_excluded(spark):
+    # NULL p (undefined test) must NOT enter the ranking or m_tests —
+    # NULLS-FIRST ranking would hand it rank 1 and shift every real p.
+    rows = [(1, 0.01), (2, None), (3, 0.02), (4, None)]
+    out = {
+        r["id"]: r
+        for r in bh_fdr(
+            _df(spark, rows, "id long, p double"), ["id"], "p"
+        ).collect()
+    }
+    assert len(out) == 4
+    assert all(r["m_tests"] == 2 for r in out.values())
+    assert out[1]["p_rank"] == 1 and out[3]["p_rank"] == 2
+    # m=2, α=.05: cutoffs .025/.05 → both real tests rejected
+    assert out[1]["rejected"] and out[3]["rejected"]
+    for nid in (2, 4):
+        r = out[nid]
+        assert r["p_rank"] is None and r["bh_cutoff"] is None
+        assert r["rejected"] is False
 
 
 # ---------------------------------------------------------------- JSD
