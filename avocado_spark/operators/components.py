@@ -1262,6 +1262,7 @@ def harmonic_centrality(
     seed_bit,
     n_rounds: int = 3,
     stats: dict | None = None,
+    n_words: int = 1,
 ) -> DataFrame:
     """Sampled-source harmonic centrality: C_H(n) = Σ_s 1/d(s,n) over a
     FIXED deterministic seed panel — the centrality Boldi & Vigna
@@ -1283,54 +1284,75 @@ def harmonic_centrality(
     Σ_d (1000 div d)·popcount(shell_d) is pure integer arithmetic and
     replays bit-for-bit in SQL.
 
-    ``seed_bit``: Column fn node → bit index in [0, 63) for panel
-    members, NULL otherwise (≤ 63 seeds, injective — the caller's
-    contract; a constant panel gives constant eval cost at any corpus
-    size, the MAX_EVAL_QUERIES stance). Fixed round budget for oracle
-    replayability. The symmetrized adjacency is checkpointed once and
-    RELEASED before return (the final ≤|nodes| mask table is
-    checkpointed instead — the edge_strength discipline); the result's
-    residual blocks are reported via ``stats`` for release_result.
+    ``seed_bit``: Column fn node → bit index in [0, 63·n_words) for
+    panel members, NULL otherwise (injective — the caller's contract; a
+    constant panel gives constant eval cost at any corpus size, the
+    MAX_EVAL_QUERIES stance). ``n_words`` widens the mask to
+    ``n_words`` BIGINT columns (word = bit div 63, offset = bit % 63 —
+    63 bits per word, never the sign bit: DuckDB raises on a left
+    shift that overflows into it, so the shared contract stays on
+    strictly-positive masks), so panels beyond 63 seeds keep the same
+    O(m)-rows-per-round shape: still ONE equi-join per round, just
+    ``n_words`` BIT_OR aggregates instead of one. Fixed round budget
+    for oracle replayability. The symmetrized adjacency is
+    checkpointed once and RELEASED before return (the final ≤|nodes|
+    mask table is checkpointed instead — the edge_strength
+    discipline); the result's residual blocks are reported via
+    ``stats`` for release_result.
 
     Returns (node, harmonic_milli, n_reached) for nodes reached by ≥1
     panel source (a seed's own 0-distance bit is masked out).
     """
+    if n_words < 1:
+        raise ValueError("harmonic_centrality: n_words must be >= 1")
     und = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     adj_ids: set[int] = set()
     adj = _tracked_checkpoint(und, adj_ids)
+    ws = list(range(n_words))
     state = (
         adj.select(F.col("u").alias("node"))
         .distinct()
         .select("node", seed_bit(F.col("node")).cast("int").alias("_bit"))
-        .select(
-            "node",
+    )
+    for w in ws:
+        lo = 63 * w
+        state = state.withColumn(
+            f"c0w{w}",
             # SQL shiftleft takes a column shift amount (the function
             # API requires a literal)
             F.when(
-                F.col("_bit").isNotNull(),
-                F.expr("shiftleft(cast(1 as bigint), _bit)"),
-            )
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("c0"),
+                F.col("_bit").isNotNull()
+                & (F.col("_bit") >= lo)
+                & (F.col("_bit") < lo + 63),
+                F.expr(f"shiftleft(cast(1 as bigint), _bit - {lo})"),
+            ).otherwise(F.lit(0).cast("bigint")),
         )
-    )
+    state = state.drop("_bit")
     for d in range(1, n_rounds + 1):
         _set_phase(adj, f"avocado:harmonic_centrality:round {d}")
-        prev = f"c{d - 1}"
+        prev_cols = [f"c{d - 1}w{w}" for w in ws]
         nbr = (
-            adj.join(state.select(F.col("node").alias("v"), prev), "v")
+            adj.join(state.select(F.col("node").alias("v"), *prev_cols), "v")
             .groupBy(F.col("u").alias("node"))
-            .agg(F.bit_or(prev).alias("_o"))
+            .agg(*[F.bit_or(pc).alias(f"_o{w}") for w, pc in zip(ws, prev_cols)])
         )
-        state = state.join(nbr, "node", "left").withColumn(
-            f"c{d}",
-            F.col(prev).bitwiseOR(F.coalesce(F.col("_o"), F.lit(0))),
-        ).drop("_o")
+        state = state.join(nbr, "node", "left")
+        for w, pc in zip(ws, prev_cols):
+            state = state.withColumn(
+                f"c{d}w{w}",
+                F.col(pc).bitwiseOR(F.coalesce(F.col(f"_o{w}"), F.lit(0))),
+            )
+        state = state.drop(*[f"_o{w}" for w in ws])
+    def _shell_count(d_hi: int, d_lo: int):
+        cnt = None
+        for w in ws:
+            c = F.bit_count(F.expr(f"c{d_hi}w{w} & ~c{d_lo}w{w}")).cast("bigint")
+            cnt = c if cnt is None else cnt + c
+        return cnt
     shell_milli = [
-        F.lit(1000 // d)
-        * F.bit_count(F.expr(f"c{d} & ~c{d - 1}")).cast("bigint")
+        F.lit(1000 // d) * _shell_count(d, d - 1)
         for d in range(1, n_rounds + 1)
     ]
     total = shell_milli[0]
@@ -1339,7 +1361,7 @@ def harmonic_centrality(
     out = state.select(
         "node",
         total.cast("bigint").alias("harmonic_milli"),
-        F.bit_count(F.expr(f"c{n_rounds} & ~c0")).cast("bigint").alias("n_reached"),
+        _shell_count(n_rounds, 0).cast("bigint").alias("n_reached"),
     ).where(F.col("n_reached") > 0)
     residual: set[int] = set()
     out = _tracked_checkpoint(out, residual)

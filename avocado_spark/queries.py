@@ -3627,6 +3627,92 @@ def coorder_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _harmonic_wide_oracle(n_rounds: int, n_words: int, mod: int, cap: int) -> str:
+    """Unrolled MULTI-WORD bitmask MS-BFS oracle: the seed panel spans
+    ``n_words`` BIGINT mask columns of 63 bits each (bit = node//mod,
+    word = bit div 63 — never the sign bit, which DuckDB's << refuses
+    to shift into), each round one adjacency join + one BIT_OR per
+    word — components.harmonic_centrality with n_words > 1."""
+    ws = list(range(n_words))
+    seed_cols = ",\n             ".join(
+        f"CASE WHEN node % {mod} = 0 AND node <= {cap}"
+        f" AND node // {mod} >= {63 * w} AND node // {mod} < {63 * w + 63}"
+        f" THEN CAST(1 AS BIGINT) << CAST(node // {mod} - {63 * w} AS INTEGER)"
+        f" ELSE CAST(0 AS BIGINT) END AS c0w{w}"
+        for w in ws
+    )
+    parts = [
+        f"""e0 AS MATERIALIZED (
+      SELECT u, v FROM coedges UNION ALL SELECT v, u FROM coedges
+    ),
+    s0 AS MATERIALIZED (
+      SELECT node,
+             {seed_cols}
+      FROM (SELECT DISTINCT u AS node FROM e0)
+    )"""
+    ]
+    for d in range(1, n_rounds + 1):
+        ors = ", ".join(f"BIT_OR(s.c{d - 1}w{w}) AS o{w}" for w in ws)
+        carry = ", ".join(f"s.c{j}w{w}" for j in range(d) for w in ws)
+        news = ",\n             ".join(
+            f"s.c{d - 1}w{w} | COALESCE(r.o{w}, 0) AS c{d}w{w}" for w in ws
+        )
+        parts.append(
+            f"""r{d} AS MATERIALIZED (
+      SELECT e.u AS node, {ors}
+      FROM e0 e JOIN s{d - 1} s ON e.v = s.node GROUP BY e.u
+    ),
+    s{d} AS MATERIALIZED (
+      SELECT s.node, {carry},
+             {news}
+      FROM s{d - 1} s LEFT JOIN r{d} r ON s.node = r.node
+    )"""
+        )
+    milli = " + ".join(
+        f"{1000 // d} * ("
+        + " + ".join(f"BIT_COUNT(c{d}w{w} & ~c{d - 1}w{w})" for w in ws)
+        + ")"
+        for d in range(1, n_rounds + 1)
+    )
+    reach = " + ".join(f"BIT_COUNT(c{n_rounds}w{w} & ~c0w{w})" for w in ws)
+    return (
+        f"""
+    WITH coedges AS MATERIALIZED ({_COORDER_EDGES_SQL}),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST({milli} AS BIGINT) AS harmonic_milli,
+           CAST({reach} AS BIGINT) AS n_reached
+    FROM s{n_rounds}
+    WHERE {reach} > 0
+    """
+    )
+
+
+@query(
+    "coorder_harmonic_wide",
+    _harmonic_wide_oracle(n_rounds=2, n_words=2, mod=13, cap=1625),
+)
+def coorder_harmonic_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-panel harmonic centrality: a 125-seed panel (partkey %
+    13 = 0, ≤ 1625; bit = partkey // 13 ∈ [1, 126)) over a TWO-WORD
+    63-bits-per-BIGINT mask — the configurable-panel upgrade of
+    coorder_harmonic's single-word cap. Same Then-et-al. MS-BFS shape:
+    one equi-join + (now two) BIT_OR aggregates per round, O(m)
+    compact rows per round regardless of panel width."""
+    from avocado_spark.operators import components as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.harmonic_centrality(
+        C.coorder_edges(li),
+        # exact: multiples of 13 ≤ 1625, so the double division is an
+        # exact small integer (bit 1..125 — spans both words)
+        lambda c: F.when((c % 13 == 0) & (c <= 1625), (c / 13).cast("int")),
+        n_rounds=2,
+        n_words=2,
+    )
+
+
 def _sssp_oracle(n_rounds: int) -> str:
     """Unrolled synchronous Bellman–Ford oracle: weighted co-order
     edges (w = 10000 // n_orders), seed panel at dist 0, per round one

@@ -245,7 +245,11 @@ def tws_available() -> bool:
     (applyInPandasWithState) stays the default wherever protobuf is
     absent.
 
-    Probe log: re-checked 2026-08-15 on this pyspark 4.1.2 runtime —
+    Probe log: re-checked 2026-08-16 (r11) — ``import google.protobuf``
+    still raises ModuleNotFoundError on this pyspark 4.1.2 runtime, so
+    the exact missing piece is the protobuf *Python* package the TWS
+    state-server client imports; nothing JVM-side is missing.
+    Previously re-checked 2026-08-15 on this pyspark 4.1.2 runtime —
     ``GroupedData.transformWithStateInPandas`` exists but
     ``google.protobuf`` is still not installed (and installs are not
     permitted here), so the suite's one skip stands; the CUSUM /

@@ -294,6 +294,15 @@ def main() -> None:
             # number was contention from the two new heavy neighbors
             # (ann_pq_adc_recall, dedup_threshold_sweep), code unchanged.
             "simhash_dup_pairs": "r6 2.10s was bench contention; isolated best 1.45s (~r5)",
+            # r11 adjudication of the r10 +34% (1.37->1.84s): isolated
+            # warm re-bench reproduces 1.71-1.90s across two solo
+            # sessions, so it is a real level shift, NOT one-off noise
+            # -- but not a plan regression: the Arrow kernel is
+            # untouched since r9 (2557818), signatures-only re-times at
+            # 0.47-0.83s warm, and the band-join plan is unchanged; the
+            # shift tracks the same r10 "+5.3% uniform environment
+            # drift" that moved untouched paths. Watch, don't chase.
+            "simhash_dup_pairs_r11": "r10 1.84s reproduces isolated (1.71-1.90s); kernel+plan unchanged since r9 -- environment level shift, tracked",
             # r9 (r8 verdict #3): the r8 +30% (0.85->1.11s) did not
             # reproduce — r9 in-bench is 0.97s, back inside r7's noise
             # band, with the same plan (pushed l_returnflag filter,
@@ -320,6 +329,16 @@ def main() -> None:
             # replicated, ~constant-distinct-edge) argument as the
             # triangle row in the scale gate.
             "coorder_edge_strength": "~7.9s: triangles' wedge cost + per-edge explode/joins — expected premium, scale-gated at 100x; r10's top-k pushdown removed the 1.2M-row result checkpoint (memory win, wall flat — the wedge stream dominates)",
+            # r11: the wedge family's closing join + support agg now
+            # run on ONE packed BIGINT key (u*2^32+v) when ids fit 31
+            # bits (auto two-column fallback above — 100 TB partkeys
+            # overflow). Isolated: edge_strength 8.4->4.2s, triangles
+            # 6.1->3.0s, ktruss ~3.3s — the single-long hash probe
+            # halves the 41M-wedge stream cost. weighted_sssp gained
+            # frontier (delta) relaxation + a fused one-checkpoint
+            # round (bit-identical labels; round-4 frontier is 1 node
+            # at sf0.1 vs 20k full relaxations before).
+            "wedge_family_r11": "packed-BIGINT closing key: edge_strength 8.4->4.2s, triangles 6.1->3.0s isolated; sssp frontier relaxation fused to one checkpoint/round",
             # r10: the 83 shared-tail queries drifted +5.3% vs r9 as a
             # broad uniform shift across UNTOUCHED paths (ks_drift,
             # rfm, biallelic, ppjoin all +8-20% with identical plans
@@ -551,6 +570,21 @@ _SCALE_CORRECTNESS_QUERIES = [
     "coorder_feature_prop",
     "coorder_harmonic",
     "coorder_weighted_sssp",
+    # r11: the r10c stats family (closed-form integer contracts make
+    # the compares cheap at any factor — theilsen/ACF are calendar-
+    # bounded, modularity/transitivity ride the ~constant distinct-edge
+    # graph); conformal is one linear rollup + a constant-size
+    # calibration window; FS weights block on the FIXED customer dim;
+    # edge_strength's top-100 result is 100 rows at any factor; the
+    # two-word harmonic panel is node-sized like the single-word one
+    "orders_theilsen_trend",
+    "events_acf_hourly",
+    "coorder_modularity",
+    "coorder_transitivity",
+    "events_conformal_interval",
+    "customer_fs_weights",
+    "coorder_edge_strength",
+    "coorder_harmonic_wide",
 ]
 
 _SCALE_QUERIES_100 = [
@@ -618,6 +652,11 @@ _SCALE_QUERIES_100 = [
     ("events_acf_hourly", 150.0),
     ("coorder_modularity", 450.0),
     ("coorder_transitivity", 1000.0),
+    # r11: the two-word-mask harmonic panel (same MS-BFS shape as the
+    # single-word row, twice the agg width) and the conformal backtest
+    # (one linear rollup + constant calibration window)
+    ("coorder_harmonic_wide", 450.0),
+    ("events_conformal_interval", 150.0),
 ]
 
 

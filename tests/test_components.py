@@ -262,3 +262,47 @@ def test_bfs_hops_early_stop_and_release(spark):
     assert leaked == stats["residual_rdd_ids"]
     release_result(spark, stats["residual_rdd_ids"])
     assert _ids() - before == set()
+
+
+def test_edge_support_packed_and_fallback_agree(spark):
+    """The packed-BIGINT closing-key fast path (ids < 2^31) and the
+    two-column fallback (100 TB-scale ids) must produce identical
+    support/jaccard — same graph, ids offset past the 32-bit line."""
+    from avocado_spark.operators.components import edge_strength
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (2, 5)]
+    small = spark.createDataFrame(base, "u long, v long")
+    big_off = 1 << 32
+    big = spark.createDataFrame(
+        [(u + big_off, v + big_off) for u, v in base], "u long, v long"
+    )
+    s_small = {
+        (r["u"], r["v"]): (r["support"], r["du"], r["dv"], r["jaccard_bp"])
+        for r in edge_strength(small).collect()
+    }
+    s_big = {
+        (r["u"] - big_off, r["v"] - big_off): (
+            r["support"], r["du"], r["dv"], r["jaccard_bp"]
+        )
+        for r in edge_strength(big).collect()
+    }
+    assert s_small and s_small == s_big
+
+
+def test_triangle_counts_packed_and_fallback_agree(spark):
+    from avocado_spark.operators.components import triangle_counts
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4)]
+    small = spark.createDataFrame(base, "u long, v long")
+    big_off = 1 << 32
+    big = spark.createDataFrame(
+        [(u + big_off, v + big_off) for u, v in base], "u long, v long"
+    )
+    t_small = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(small).collect()
+    }
+    t_big = {
+        r["node"] - big_off: r["n_triangles"]
+        for r in triangle_counts(big).collect()
+    }
+    assert t_small and t_small == t_big

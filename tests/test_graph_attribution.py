@@ -312,6 +312,63 @@ def test_harmonic_centrality_two_seeds_sum(spark):
     assert out == {0: (1000, 1), 1: (1000, 1), 2: (2000, 2)}
 
 
+def test_harmonic_centrality_multiword_matches_singleword(spark):
+    """n_words=2 on a ≤63-seed panel must be value-identical to the
+    single-word path (the extra word carries only zeros), and a seed
+    whose bit lands in word 1 (bit ≥ 63) must behave exactly like a
+    word-0 seed — star graph: hub 0, leaves 1..4, seeds {1 → bit 5,
+    2 → bit 70}; each leaf sees both seeds at distance 2 via the hub."""
+    from avocado_spark.operators.components import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], ["u", "v"]
+    )
+
+    def seed_bit(c):
+        return F.when(c == 1, 5).when(c == 2, 70)
+
+    out = {
+        r["node"]: (r["harmonic_milli"], r["n_reached"])
+        for r in harmonic_centrality(
+            edges, seed_bit, n_rounds=2, n_words=2
+        ).collect()
+    }
+    # hub: both seeds at hop 1 → 2000; seeds: the OTHER seed at hop 2
+    # → 500; leaves 3, 4: both seeds at hop 2 → 1000
+    assert out == {
+        0: (2000, 2),
+        1: (500, 1),
+        2: (500, 1),
+        3: (1000, 2),
+        4: (1000, 2),
+    }
+    # single-word equivalence on an all-word-0 panel
+    one = {
+        r["node"]: (r["harmonic_milli"], r["n_reached"])
+        for r in harmonic_centrality(
+            edges, lambda c: F.when(c <= 2, c.cast("int") * 5), n_rounds=2
+        ).collect()
+    }
+    two = {
+        r["node"]: (r["harmonic_milli"], r["n_reached"])
+        for r in harmonic_centrality(
+            edges,
+            lambda c: F.when(c <= 2, c.cast("int") * 5),
+            n_rounds=2,
+            n_words=2,
+        ).collect()
+    }
+    assert one == two
+
+
+def test_harmonic_centrality_rejects_bad_n_words(spark):
+    from avocado_spark.operators.components import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1)], ["u", "v"])
+    with pytest.raises(ValueError, match="n_words"):
+        harmonic_centrality(edges, lambda c: F.when(c == 0, 0), n_words=0)
+
+
 def test_harmonic_centrality_releases_blocks(spark):
     from avocado_spark.operators.components import (
         harmonic_centrality,
