@@ -531,6 +531,74 @@ def two_sided_z_p_txt(z_txt: str) -> str:
     return f"ROUND(CAST(1 AS DOUBLE) - {erf_txt(az)}, 9)"
 
 
+def mann_kendall(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    max_points: int = 5_000,
+) -> DataFrame:
+    """Mann–Kendall trend test: S = Σ_{i<j by t} sign(y_j − y_i) with
+    the tie-corrected normal approximation (Kendall 1975; Gilbert
+    1987) — the SIGNIFICANCE companion to :func:`theil_sen`, which
+    gives the magnitude this test declares non-zero. Same distinct-t
+    bounded-aggregate-series contract (daily/hourly rollups — the
+    calendar bounds the pair space at any corpus size).
+
+    Exact integers until the very last step: S from strict sign
+    compares over :func:`bounded_self_pairs` (the sorted-struct order
+    is ascending t, so i<j IS the time order), and
+    VAR18 = 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) over the
+    y-tie groups — both BIGINT. The one double enters at
+    z = (S − sign(S)) / sqrt(VAR18/18) (the standard continuity
+    correction), written as the identical text on both engines; p via
+    the shared A&S erf polynomial, rounded to 9 digits.
+
+    Returns ONE row: n_points, s_stat, var18, p_value (NULL when
+    var18 = 0 — an all-tied series carries no trend information).
+    """
+    p = bounded_self_pairs(series, t_col, [y_col], max_points)
+    ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
+    s_agg = p.agg(
+        F.coalesce(
+            F.sum(
+                F.when(ry > ly, 1).when(ry < ly, -1).otherwise(0)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("s_stat")
+    )
+    ties = series.groupBy(y_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tg")
+    )
+    var_agg = ties.agg(
+        F.coalesce(
+            F.sum(F.expr("_tg * (_tg - 1) * (2 * _tg + 5)")).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("_tt"),
+        F.coalesce(F.sum("_tg").cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "_np"
+        ),
+    )
+    j = s_agg.crossJoin(F.broadcast(var_agg)).select(
+        F.col("_np").alias("n_points"),
+        "s_stat",
+        F.expr(
+            "CAST(_np * (_np - 1) * (2 * _np + 5) - _tt AS BIGINT)"
+        ).alias("var18"),
+    )
+    z = (
+        "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+        " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
+    )
+    return j.select(
+        "n_points",
+        "s_stat",
+        "var18",
+        F.expr(f"CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(z)} END").alias(
+            "p_value"
+        ),
+    )
+
+
 def bh_fdr(
     tests: DataFrame,
     id_cols: Sequence[str],

@@ -3437,6 +3437,61 @@ def events_kendall_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau_b(hourly, "h", "x", "y")
 
 
+_MK_Z_TXT = (
+    "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+    " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
+)
+
+
+@query(
+    "events_mann_kendall",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                                    WHEN b.y < a.y THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    tie AS (
+      SELECT CAST(COALESCE(SUM(tg), 0) AS BIGINT) AS np,
+             CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS tg FROM daily GROUP BY y)
+    ),
+    v AS (
+      SELECT np, s_stat,
+             CAST(np * (np - 1) * (2 * np + 5) - tt AS BIGINT) AS var18
+      FROM s, tie
+    )
+    SELECT np AS n_points, s_stat, var18,
+           CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(_MK_Z_TXT)} END AS p_value
+    FROM v
+    """,
+)
+def events_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily event-volume
+    series — the SIGNIFICANCE companion to orders_theilsen_trend's
+    magnitude estimate (is there a trend at all, before asking how
+    steep?). Exact integer S (strict sign compares over the calendar-
+    bounded pair space, distributed via the triangle-slice trick) and
+    exact integer 18·Var with the y-tie correction; the one double is
+    the continuity-corrected z, written textually identically in both
+    engines, p via the shared A&S erf polynomial
+    (operators/stats.mann_kendall)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events").select(ts_us("ts").alias("us"))
+    daily = ev.groupBy(
+        F.expr("us div 86400000000").cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    return mann_kendall(daily, "d", "y")
+
+
 _BH_Z_TXT = (
     "(CAST(kh AS DOUBLE) / CAST(nh AS DOUBLE)"
     " - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))"

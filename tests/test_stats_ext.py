@@ -196,6 +196,42 @@ def test_theil_sen_duplicate_t_raises(spark):
 # ---------------------------------------------------------------- BH FDR
 
 
+def test_mann_kendall_monotone(spark):
+    # strictly increasing 5-point series: S = C(5,2) = 10, no ties →
+    # var18 = 5·4·15 = 300, z = 9/sqrt(300/18) ≈ 2.205 → p ≈ .0274
+    from avocado_spark.operators.stats import mann_kendall
+
+    s = _df(spark, [(i, 10 * i) for i in range(5)], "d long, y long")
+    out = mann_kendall(s, "d", "y").first()
+    assert (out["n_points"], out["s_stat"], out["var18"]) == (5, 10, 300)
+    assert out["p_value"] == pytest.approx(0.0274, abs=5e-4)
+    assert out["p_value"] < 0.05
+
+
+def test_mann_kendall_tied_flat_series(spark):
+    # constant series: one tie group of size n → var18 = 0 → p NULL
+    from avocado_spark.operators.stats import mann_kendall
+
+    s = _df(spark, [(i, 7) for i in range(6)], "d long, y long")
+    out = mann_kendall(s, "d", "y").first()
+    assert (out["s_stat"], out["var18"]) == (0, 0)
+    assert out["p_value"] is None
+
+
+def test_mann_kendall_no_trend(spark):
+    # alternating series: S ≈ 0 → large p
+    from avocado_spark.operators.stats import mann_kendall
+
+    s = _df(
+        spark,
+        [(0, 5), (1, 9), (2, 5), (3, 9), (4, 5), (5, 9)],
+        "d long, y long",
+    )
+    out = mann_kendall(s, "d", "y").first()
+    assert abs(out["s_stat"]) <= 3
+    assert out["p_value"] > 0.2
+
+
 def test_bh_fdr_step_up(spark):
     rows = [(1, 0.01), (2, 0.02), (3, 0.5), (4, 0.04)]
     out = {
