@@ -346,6 +346,20 @@ def main() -> None:
             # round) — machine-state drift, not a regression; the same
             # adjudication pattern as simhash r6/r7. Re-check in r11.
             "shared_tail_r10": "+5.3% uniform drift across untouched paths incl. coorder_triangles 5.03->6.99s — environment, plans unchanged",
+            # r11 re-check of the r10 drift note: the 89-query shared
+            # tail moved +6.8% vs r10-local with the SAME signature —
+            # untouched paths up 18-30% (customer_rfm 2.57->3.04,
+            # ann_pq_adc 2.90->3.79, harmonic 4.61->5.67 — the
+            # single-word harmonic plan is shape-identical after the
+            # n_words refactor) while this round's actual targets fell
+            # through the drift (edge_strength 7.11->4.23, triangles
+            # 6.13->3.97). weighted_sssp 6.84->6.42 in-bench = ~-12%
+            # drift-adjusted; its remaining cost is the intrinsic
+            # full-graph rounds 2-3 (frontier rounds 1 and 4 are now
+            # seed-sized and 1-node-sized). Host shows multi-minute
+            # load-5 windows (the bench-jitter pattern) — same
+            # adjudication as r10, re-check in r12.
+            "shared_tail_r11": "+6.8% uniform drift on untouched paths (rfm/pq_adc/harmonic +18-30%) while touched graph paths fell 40%+ — environment, plans unchanged; re-check r12",
             # r8d: MMR first landed as k−1 unrolled rounds re-reading
             # the un-materialized candidate plan — 14.2s; tracked-
             # checkpointing cand/sims once and freezing each round's
