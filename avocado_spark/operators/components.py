@@ -1316,6 +1316,21 @@ def harmonic_centrality(
         .distinct()
         .select("node", seed_bit(F.col("node")).cast("int").alias("_bit"))
     )
+    # Enforce the seed_bit contract BEFORE the rounds: a bit outside
+    # [0, 63·n_words) would otherwise map to an all-zero mask word and
+    # silently drop that seed — quietly-wrong centralities instead of
+    # an error (e.g. a 125-seed panel run with the default n_words=1).
+    # One cheap min/max agg over the ≤|nodes| panel column buys the
+    # raise; min/max skip NULLs (non-members), so an empty panel passes.
+    rng = state.agg(F.min("_bit").alias("_lo"), F.max("_bit").alias("_hi")).first()
+    if rng["_lo"] is not None and (rng["_lo"] < 0 or rng["_hi"] >= 63 * n_words):
+        _release_rdds(adj, adj_ids)
+        raise ValueError(
+            f"harmonic_centrality: seed_bit out of range [{rng['_lo']}, "
+            f"{rng['_hi']}] for n_words={n_words} (valid bits are "
+            f"[0, {63 * n_words}) — 63 per BIGINT word, sign bit unused); "
+            "widen n_words to cover the panel"
+        )
     for w in ws:
         lo = 63 * w
         state = state.withColumn(
@@ -1393,6 +1408,7 @@ def weighted_sssp(
     n_rounds: int = 4,
     weight_col: str = "w",
     stats: dict | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Multi-seed single-source-shortest-path over a WEIGHTED
     undirected graph via ``n_rounds`` of synchronous Bellman–Ford
@@ -1422,6 +1438,19 @@ def weighted_sssp(
     full synchronous relaxation every round while the shuffle input
     shrinks from Σ_all deg(u) to Σ_frontier deg(u) (round 1 it is the
     seed panel's edges only; late rounds only the still-moving rim).
+
+    Join-side discipline (r12): the relax join BUILDS on the frontier
+    and STREAMS the adjacency. Left to its statistics Spark broadcast
+    the checkpointed EDGE table (128 MiB at sf0.1) — and, each round
+    being a fresh plan, re-shipped it every round: 4 × a 2.4M-row
+    broadcast for a ≤|nodes|-row probe side. Hinting the frontier
+    (bounded by |nodes|, known ≤ ``broadcast_max_nodes``) flips the
+    build side: the adjacency is scanned in place, map-side, and each
+    round ships only the still-moving rim — measured 6.2 s → 3.4 s at
+    sf0.1 warm (rounds 1.3–2.2 s → 0.3–0.6 s). Node counts beyond the
+    cap (100 TB-scale graphs where even one label per node overflows an
+    executor) fall back to the plain shuffle join — identical labels,
+    the _edge_support cap discipline.
     Returns (node, dist) for reached nodes; seeds have dist 0.
     """
     und = edges.select("u", "v", weight_col).unionAll(
@@ -1431,10 +1460,10 @@ def weighted_sssp(
     )
     adj_ids: set[int] = set()
     adj = _tracked_checkpoint(und, adj_ids)
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    n_nodes = nodes.count()  # one bounded agg — sizes the broadcast cap
     dist = (
-        adj.select(F.col("u").alias("node"))
-        .distinct()
-        .where(seed_pred(F.col("node")))
+        nodes.where(seed_pred(F.col("node")))
         .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
     prev_ids: set[int] = set()
@@ -1446,7 +1475,12 @@ def weighted_sssp(
         # the previous label alongside (min over the single is_old row),
         # so the next frontier is a narrow filter off the same
         # materialized state — no second checkpoint job per round
-        cand = frontier.join(adj, frontier["node"] == adj["u"]).select(
+        probe = (
+            F.broadcast(frontier)
+            if n_nodes <= broadcast_max_nodes
+            else frontier
+        )
+        cand = adj.join(probe, probe["node"] == adj["u"]).select(
             F.col("v").alias("node"),
             (F.col("dist") + F.col(weight_col)).alias("dist"),
             F.lit(False).alias("_old"),

@@ -536,6 +536,7 @@ def mann_kendall(
     t_col: str,
     y_col: str,
     max_points: int = 5_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Mann–Kendall trend test: S = Σ_{i<j by t} sign(y_j − y_i) with
     the tie-corrected normal approximation (Kendall 1975; Gilbert
@@ -555,7 +556,38 @@ def mann_kendall(
 
     Returns ONE row: n_points, s_stat, var18, p_value (NULL when
     var18 = 0 — an all-tied series carries no trend information).
+
+    Recompute discipline (theil_sen's, r12): the input plan feeds
+    THREE evaluations (the cap count, the pair-array agg, and the
+    y-tie-group agg), so it is tracked-checkpointed up front — one
+    scan of the upstream rollup, one consistent snapshot — and the
+    blocks are released once the 1-row result is checkpointed. The
+    distinct-t contract is ENFORCED (same guard as theil_sen): a
+    duplicate t would make bounded_self_pairs' struct sort break the
+    tie by y, so every same-t pair contributes sign(y_j−y_i) ≥ 0 and
+    silently inflates S.
     """
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
+
+    ser_ids: set[int] = set()
+    series = _tracked_checkpoint(series, ser_ids)
+    dup_t = (
+        series.groupBy(t_col)
+        .agg(F.count(F.lit(1)).alias("_mk_c"))
+        .where(F.col("_mk_c") > 1)
+        .first()
+    )
+    if dup_t is not None:
+        _release_rdds(series, ser_ids)
+        raise ValueError(
+            f"mann_kendall: duplicate t value {dup_t[t_col]!r} — S is "
+            "defined over time-ordered pairs and same-t pairs have no "
+            "order (the struct sort would break the tie by y, inflating "
+            "S); deduplicate or pre-aggregate t first"
+        )
     p = bounded_self_pairs(series, t_col, [y_col], max_points)
     ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
     s_agg = p.agg(
@@ -589,7 +621,7 @@ def mann_kendall(
         "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
         " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
     )
-    return j.select(
+    out = j.select(
         "n_points",
         "s_stat",
         "var18",
@@ -597,6 +629,12 @@ def mann_kendall(
             "p_value"
         ),
     )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)  # 1-row result block
+    _release_rdds(out, ser_ids)  # series blocks superseded
+    if stats is not None:
+        stats.setdefault("residual_rdd_ids", set()).update(residual)
+    return out
 
 
 def bh_fdr(

@@ -245,10 +245,15 @@ def tws_available() -> bool:
     (applyInPandasWithState) stays the default wherever protobuf is
     absent.
 
-    Probe log: re-checked 2026-08-16 (r11) — ``import google.protobuf``
-    still raises ModuleNotFoundError on this pyspark 4.1.2 runtime, so
-    the exact missing piece is the protobuf *Python* package the TWS
-    state-server client imports; nothing JVM-side is missing.
+    Probe log: re-checked 2026-08-16 (r12) — ``import google.protobuf``
+    still raises ModuleNotFoundError on this pyspark 4.1.2 runtime (no
+    ``google`` namespace package at all), so the exact missing piece is
+    the protobuf *Python* package the TWS state-server client imports;
+    nothing JVM-side is missing. Vendoring was considered and rejected:
+    the real wheel is a compiled C++ extension plus generated modules —
+    a hand-stubbed pure-Python shim would have to fake the descriptor
+    pool the state-server client round-trips through, i.e. ship
+    non-trivial third-party code in-repo for one skip.
     Previously re-checked 2026-08-15 on this pyspark 4.1.2 runtime —
     ``GroupedData.transformWithStateInPandas`` exists but
     ``google.protobuf`` is still not installed (and installs are not

@@ -27,7 +27,11 @@ def main() -> None:
 
     spark = get_spark(app_name="avocado_spark_bench")
 
-    headline = [
+    headline = _HEADLINE
+    _run_bench(spark, sf_dir, sf, headline)
+
+
+_HEADLINE = [
         "wide_agg_q1",
         "interval_join_broadcast",
         "interval_join_binned",
@@ -226,7 +230,12 @@ def main() -> None:
         # marginal work is two label joins + a community rollup; the
         # 10x scale gate times it instead.
         "orders_theilsen_trend",
-    ]
+]
+
+
+def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
+    from avocado_spark.queries import get_queries
+
     registry = get_queries()
     # warm the JVM / codegen / parquet-footer caches so the first timed
     # query doesn't absorb session startup
@@ -281,11 +290,15 @@ def main() -> None:
         total += timings[name]
         print(f"# {name}: {timings[name]:.3f}s rows={rows[name]}", file=sys.stderr)
 
+    # Key ORDER is load-bearing (r11 verdict #3): the driver's BENCH
+    # artifact keeps only a ~2 KB TAIL of stdout, so the static notes
+    # go FIRST and the per-query timings map goes LAST — the tail then
+    # carries the most driver-side numbers recoverable, ending with a
+    # pointer to the self-contained sidecar file this run also writes.
     out = {
         "metric": "headline_query_wall_time_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "runs_per_query": max(runs, 1),
         "notes": {
@@ -339,6 +352,16 @@ def main() -> None:
             # round (bit-identical labels; round-4 frontier is 1 node
             # at sf0.1 vs 20k full relaxations before).
             "wedge_family_r11": "packed-BIGINT closing key: edge_strength 8.4->4.2s, triangles 6.1->3.0s isolated; sssp frontier relaxation fused to one checkpoint/round",
+            # r12 (r11 verdict #2): the sssp relax join was broadcasting
+            # the wrong side — Spark's stats picked the checkpointed
+            # 2.4M-row EDGE table (128 MiB) as build side and re-shipped
+            # it every round (4 fresh plans = 4 broadcasts) while the
+            # probe side was the <=|nodes|-row frontier. Hinting
+            # F.broadcast(frontier) under a node-count cap (shuffle
+            # fallback above 4M nodes) streams the adjacency map-side:
+            # rounds 1.3-2.2s -> 0.3-0.6s, query 6.4 -> 3.4-4.3s warm
+            # at sf0.1 (target <=5s: hit). Labels bit-identical.
+            "coorder_weighted_sssp": "6.4->~3.4-4.3s: relax join was broadcasting the 128MiB adjacency each round; now builds on the capped frontier and streams the edges",
             # r10: the 83 shared-tail queries drifted +5.3% vs r9 as a
             # broad uniform shift across UNTOUCHED paths (ks_drift,
             # rfm, biallelic, ppjoin all +8-20% with identical plans
@@ -399,8 +422,129 @@ def main() -> None:
         # that succeeded on SOME runs (flaky), which would otherwise read
         # as fully healthy in the JSON while failing runs hid on stderr
         out["errors"] = errors
+    out["queries"] = timings
+    # Self-contained sidecar (r11 verdict #3: BENCH_r11.json arrived
+    # with parsed:null and a truncated tail — only ~6 driver rows were
+    # recoverable). The FULL object is written to a file next to this
+    # script; the stdout line ends with its path so even a truncated
+    # tail says where the whole map lives.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+        out["sidecar"] = sidecar
+    except OSError as e:  # read-only checkout — stdout still has it all
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# --record-floor: controlled bench re-baseline (r11 verdict #1).
+#
+# Round-over-round local bench deltas on this host are dominated by
+# multi-minute 25-70%-slow windows (the bench-jitter pattern): r10's
+# shared tail read -7.8% vs r9, r11's +6.8% vs r10, and r11 vs r9 is
+# -2% — fluctuation around a noisy mean, not monotone degradation. A
+# one-sample-per-round comparison cannot adjudicate that, so this mode
+# records a FLOOR: best-of-N (default 5) interleaved passes over the
+# full headline set on an idle host, every individual run kept (so the
+# spread is visible, not just the min), plus a normalized PLAN
+# FINGERPRINT per query — future rounds diff a query's fingerprint
+# against the floor's to separate "plan changed" from "host slow".
+# Output: BENCH_FLOOR.json next to this script.
+# ---------------------------------------------------------------------------
+
+
+def _plan_fingerprint(df) -> str:
+    """md5 of the formatted plan with run-varying tokens stripped
+    (expression ids #123L, plan_id=, RDD numbers, statistics, object
+    addresses) — equal fingerprints ⇒ same plan shape."""
+    import hashlib
+    import re
+
+    txt = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    txt = re.sub(r"#\d+[A-Za-z]*", "#x", txt)
+    txt = re.sub(r"plan_id=\d+", "plan_id=x", txt)
+    txt = re.sub(r"\[\d+\]", "[x]", txt)
+    txt = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", txt)
+    txt = re.sub(r"@[0-9a-f]{6,}", "@x", txt)
+    txt = re.sub(r"0x[0-9a-f]+", "0xX", txt)
+    return hashlib.md5(txt.encode()).hexdigest()
+
+
+def record_floor() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_FLOOR_RUNS", "5"))
+    from avocado_spark.queries import get_queries
+    from avocado_spark.session import get_spark
+
+    spark = get_spark(app_name="avocado_spark_bench_floor")
+    registry = get_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    names = [n for n in _HEADLINE if n in registry]
+    # one untimed warm pass (codegen + parquet footers + fixture views)
+    for name in names:
+        try:
+            registry[name](spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            print(f"# floor warm-up {name}: {e}"[:160], file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+    samples: dict[str, list] = {n: [] for n in names}
+    for _ in range(max(runs, 1)):
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                registry[name](spark, sf_dir).count()
+                samples[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"# floor {name}: ERROR {e}"[:160], file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()
+    floor: dict[str, dict] = {}
+    for name in names:
+        s = samples[name]
+        if not s:
+            continue
+        entry = {"best": min(s), "runs": s}
+        try:
+            entry["plan_fp"] = _plan_fingerprint(registry[name](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            entry["plan_fp_error"] = f"{e}"[:160]
+        floor[name] = entry
+        print(f"# floor {name}: best={entry['best']} runs={s}",
+              file=sys.stderr)
+    out = {
+        "metric": "bench_floor",
+        "unit": "sec",
+        "value": round(sum(v["best"] for v in floor.values()), 3),
+        "sf_dir": sf_dir,
+        "runs_per_query": max(runs, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "protocol": ("idle host, 1 warm pass + best-of-N interleaved, "
+                     "clearCache between queries, normalized plan "
+                     "fingerprints for future plan-vs-host diffing"),
+        "queries": floor,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"metric": "bench_floor", "value": out["value"],
+                      "unit": "sec", "n_queries": len(floor),
+                      "path": path}))
+    spark.stop()
+    return 0
 
 
 # ---------------------------------------------------------------------------
@@ -598,6 +742,11 @@ _SCALE_CORRECTNESS_QUERIES = [
     "customer_fs_weights",
     "coorder_edge_strength",
     "coorder_harmonic_wide",
+    # r12 (verdict #6): gini is a 1-row rank statistic over the user
+    # dim; the tumbling batch shadow is calendar-bounded (≤ hours-in-
+    # range rows at any factor) — both cheap full-base compares
+    "events_user_activity_gini",
+    "stream_tumbling_hourly",
 ]
 
 # Value checks whose DUCKDB oracle out-spills the disk on the full-base
@@ -612,6 +761,21 @@ _SCALE_CORRECTNESS_QUERIES = [
 # smaller spill.
 _SCALE_CORRECTNESS_SMALL_BASE = [
     "coorder_transitivity",
+    # r12 (verdict #6): the remaining timed-only rows, value-gated at
+    # the sf0.01-base replica construction. The dedup family's oracles
+    # embed the LSH band simulation / recursive-CC closure — quadratic-
+    # ish in replica count and DuckDB-materialized, the transitivity
+    # spill class — so they live here by construction, not after a
+    # failure. triangles shares transitivity's unrolled wedge self-join
+    # (the r11 ENOSPC oracle); realign's 1.5M-row output is a heavy but
+    # bounded driver-side compare at the sf0.01 base (it would swamp
+    # the compare at the sf0.1 base, which is why it was timed-only).
+    "coorder_triangles",
+    "realign_reads",
+    "minhash_dedup_pairs",
+    "dedup_clusters",
+    "dedup_threshold_sweep",
+    "dedup_bcubed_eval",
 ]
 
 _SCALE_QUERIES_100 = [
@@ -781,6 +945,72 @@ def sf_scale_check() -> int:
 
     oracles = get_oracles()
     value_failed = []
+
+    def _norm(v):
+        import decimal
+        if v is None:
+            return "<null>"
+        if isinstance(v, float) and v != v:
+            return "<nan>"
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
+        if isinstance(v, float):
+            return str(round(v, 9))
+        return str(v)
+
+    def _compare(name, d, con):
+        """One engine-vs-oracle differential at dir ``d``: normalized
+        sorted-tuple equality, the driver gate's compare."""
+        sp = registry[name](spark, d).toPandas()
+        du = con.execute(oracles[name]).df()
+        cols = sorted(map(str.lower, sp.columns))
+        sp.columns = map(str.lower, sp.columns)
+        du.columns = map(str.lower, du.columns)
+        a = sorted(tuple(_norm(v) for v in r)
+                   for r in sp[cols].itertuples(index=False))
+        b = sorted(tuple(_norm(v) for v in r)
+                   for r in du[cols].itertuples(index=False))
+        return a == b
+
+    # Lazily-built sf0.01-base scaled dir + its own duckdb connection:
+    # the fallback target for heavy oracles. Built at most once; a
+    # setup failure is REMEMBERED so every name that needed it is
+    # marked failed individually (r11 ADVICE: a pre-loop failure must
+    # not read as green).
+    sb_state: dict = {"dir": None, "con": None, "error": None}
+
+    def _small_base_ctx():
+        if sb_state["error"] is not None:
+            raise RuntimeError(sb_state["error"])
+        if sb_state["con"] is None:
+            import duckdb
+            small_base = os.path.join(
+                os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01"
+            )
+            if not os.path.isdir(small_base) or (
+                os.path.abspath(small_base) == os.path.abspath(sf_dir)
+            ):
+                sb_state["error"] = "no sf0.01 sibling base dir"
+                raise RuntimeError(sb_state["error"])
+            sb = tempfile.mkdtemp(prefix=f"sfxsb{factor}_")
+            try:
+                _build_scaled_dir(spark, small_base, sb, factor)
+                c = duckdb.connect()
+                for t in ("region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem", "events",
+                          "documents", "embeddings"):
+                    c.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sb}/{t}.parquet/*.parquet')"
+                    )
+            except Exception as e:  # noqa: BLE001 — remember, re-raise
+                sb_state["error"] = f"small-base setup failed: {e}"[:300]
+                shutil.rmtree(sb, ignore_errors=True)
+                raise RuntimeError(sb_state["error"]) from e
+            sb_state["dir"], sb_state["con"] = sb, c
+        return sb_state["dir"], sb_state["con"]
+
+    con = None
     try:
         import duckdb
 
@@ -791,106 +1021,82 @@ def sf_scale_check() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{scaled_dir}/{t}.parquet/*.parquet')"
             )
+    except Exception as e:  # noqa: BLE001 — duckdb missing → timing-only
+        con = None
+        print(f"# full-base value checks unavailable: {e}", file=sys.stderr)
 
-        def _norm(v):
-            import decimal
-            if v is None:
-                return "<null>"
-            if isinstance(v, float) and v != v:
-                return "<nan>"
-            if isinstance(v, decimal.Decimal):
-                v = float(v)
-            if isinstance(v, float):
-                return str(round(v, 9))
-            return str(v)
-
-        for name in _SCALE_CORRECTNESS_QUERIES:
-            if name not in registry or name not in oracles:
-                continue
+    full_names = [n for n in _SCALE_CORRECTNESS_QUERIES
+                  if n in registry and n in oracles]
+    sb_names = [n for n in _SCALE_CORRECTNESS_SMALL_BASE
+                if n in registry and n in oracles]
+    try:
+        for name in full_names + sb_names:
+            row = results.setdefault(name, {})
+            ok, path, reason = False, None, None
             try:
-                sp = registry[name](spark, scaled_dir).toPandas()
-                du = con.execute(oracles[name]).df()
-                cols = sorted(map(str.lower, sp.columns))
-                sp.columns = map(str.lower, sp.columns)
-                du.columns = map(str.lower, du.columns)
-                a = sorted(tuple(_norm(v) for v in r)
-                           for r in sp[cols].itertuples(index=False))
-                b = sorted(tuple(_norm(v) for v in r)
-                           for r in du[cols].itertuples(index=False))
-                ok = a == b
+                if name in sb_names or con is None:
+                    # known-heavy oracle (the r11 transitivity ENOSPC
+                    # class): route straight to the sf0.01-base replay —
+                    # same factor, same replica construction, 10× less
+                    # oracle spill
+                    reason = ("pre-routed: heavy oracle on full base"
+                              if con is not None else
+                              "full-base duckdb unavailable")
+                    sbd, con_sb = _small_base_ctx()
+                    ok, path = _compare(name, sbd, con_sb), "small_base"
+                else:
+                    try:
+                        ok, path = _compare(name, scaled_dir, con), "full"
+                    except Exception as e:  # noqa: BLE001
+                        # Oracle/infrastructure ERROR at full base (the
+                        # ENOSPC-masked-as-MISMATCH lesson, r11): auto-
+                        # fall back to the identical construction from
+                        # the sf0.01 base and record which path judged.
+                        # A CLEAN value mismatch does NOT fall back —
+                        # scaled data exposing a real divergence (the r6
+                        # int32 lesson) must stay red.
+                        reason = (f"full-base error: "
+                                  f"{type(e).__name__}: {e}")[:300]
+                        print(f"# value-check {name}: full-base ERROR, "
+                              f"replaying at sf0.01 base — {reason}",
+                              file=sys.stderr)
+                        sbd, con_sb = _small_base_ctx()
+                        ok, path = _compare(name, sbd, con_sb), "small_base"
             except Exception as e:  # noqa: BLE001 — report, keep checking
                 ok = False
-                print(f"# value-check {name}: ERROR {e}"[:200], file=sys.stderr)
-            results.setdefault(name, {})["value_match"] = ok
+                row["value_error"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# value-check {name}: ERROR {e}"[:200],
+                      file=sys.stderr)
+            row["value_match"] = ok
+            if path is not None:
+                row["value_match_path"] = path
+            if reason is not None:
+                row["value_fallback_reason"] = reason
             if not ok:
                 value_failed.append(name)
-            print(f"# value-check {name} at {factor}x: "
-                  f"{'OK' if ok else 'MISMATCH'}", file=sys.stderr)
-            spark.catalog.clearCache()
-
-        # small-base value checks (see _SCALE_CORRECTNESS_SMALL_BASE):
-        # same factor, same replica construction, sf0.01 sibling base —
-        # keeps the DuckDB oracle's spill inside the disk budget.
-        small_base = os.path.join(
-            os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01"
-        )
-        runnable_sb = [
-            n for n in _SCALE_CORRECTNESS_SMALL_BASE
-            if n in registry and n in oracles
-        ]
-        if runnable_sb and os.path.isdir(small_base) and (
-            os.path.abspath(small_base) != os.path.abspath(sf_dir)
-        ):
-            sb_dir = tempfile.mkdtemp(prefix=f"sfxsb{factor}_")
-            try:
-                _build_scaled_dir(spark, small_base, sb_dir, factor)
-                con_sb = duckdb.connect()
-                for t in ("region", "nation", "customer", "supplier",
-                          "part", "orders", "lineitem", "events",
-                          "documents", "embeddings"):
-                    con_sb.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{sb_dir}/{t}.parquet/*.parquet')"
-                    )
-                for name in runnable_sb:
-                    try:
-                        sp = registry[name](spark, sb_dir).toPandas()
-                        du = con_sb.execute(oracles[name]).df()
-                        cols = sorted(map(str.lower, sp.columns))
-                        sp.columns = map(str.lower, sp.columns)
-                        du.columns = map(str.lower, du.columns)
-                        a = sorted(tuple(_norm(v) for v in r)
-                                   for r in sp[cols].itertuples(index=False))
-                        b = sorted(tuple(_norm(v) for v in r)
-                                   for r in du[cols].itertuples(index=False))
-                        ok = a == b
-                    except Exception as e:  # noqa: BLE001
-                        ok = False
-                        print(f"# value-check {name}: ERROR {e}"[:200],
-                              file=sys.stderr)
-                    row = results.setdefault(name, {})
-                    row["value_match"] = ok
-                    row["value_base"] = "sf0.01"
-                    if not ok:
-                        value_failed.append(name)
-                    print(f"# value-check {name} at {factor}x "
-                          f"(sf0.01 base): {'OK' if ok else 'MISMATCH'}",
-                          file=sys.stderr)
-                    spark.catalog.clearCache()
-            finally:
-                shutil.rmtree(sb_dir, ignore_errors=True)
-        elif runnable_sb:
-            print("# small-base value checks skipped: no sf0.01 sibling",
+            print(f"# value-check {name} at {factor}x"
+                  f" [{path or 'no-path'}]: {'OK' if ok else 'MISMATCH'}",
                   file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 — duckdb missing → timing-only
-        print(f"# value-check skipped: {e}", file=sys.stderr)
+            spark.catalog.clearCache()
+    finally:
+        if con is not None:
+            con.close()
+        if sb_state["con"] is not None:
+            sb_state["con"].close()
+        if sb_state["dir"] is not None:
+            shutil.rmtree(sb_state["dir"], ignore_errors=True)
 
     shutil.rmtree(scaled_dir, ignore_errors=True)
+    n_checked = sum(1 for v in results.values() if "value_match" in v)
     print(json.dumps({
         "metric": "sf_scale_check_failures",
         "value": len(failed) + len(value_failed),
         "unit": "queries",
         "factor": factor,
+        "value_checked": n_checked,
+        "value_matched": sum(
+            1 for v in results.values() if v.get("value_match")
+        ),
         "queries": results,
         "failed": failed,
         "value_failed": value_failed,
@@ -1108,4 +1314,6 @@ if __name__ == "__main__":
         sys.exit(sf_scale_check())
     if "--streaming-bench" in sys.argv:
         sys.exit(streaming_bench())
+    if "--record-floor" in sys.argv:
+        sys.exit(record_floor())
     main()

@@ -369,6 +369,25 @@ def test_harmonic_centrality_rejects_bad_n_words(spark):
         harmonic_centrality(edges, lambda c: F.when(c == 0, 0), n_words=0)
 
 
+def test_harmonic_centrality_rejects_out_of_range_seed_bit(spark):
+    """A panel bit beyond 63·n_words must RAISE, not silently zero the
+    seed's mask (r11 advice: a 125-seed panel run with the default
+    n_words=1 would otherwise drop seeds and return quietly-wrong
+    centralities). Negative bits are equally out of contract."""
+    from avocado_spark.operators.components import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["u", "v"])
+    with pytest.raises(ValueError, match="seed_bit out of range"):
+        harmonic_centrality(edges, lambda c: F.when(c == 0, 70), n_words=1)
+    with pytest.raises(ValueError, match="seed_bit out of range"):
+        harmonic_centrality(edges, lambda c: F.when(c == 0, -1), n_words=1)
+    # the same 70-bit panel IS valid once the mask is wide enough
+    ok = harmonic_centrality(
+        edges, lambda c: F.when(c == 0, 70), n_rounds=2, n_words=2
+    ).collect()
+    assert {r["node"]: r["harmonic_milli"] for r in ok} == {1: 1000, 2: 500}
+
+
 def test_harmonic_centrality_releases_blocks(spark):
     from avocado_spark.operators.components import (
         harmonic_centrality,

@@ -232,6 +232,17 @@ def test_mann_kendall_no_trend(spark):
     assert out["p_value"] > 0.2
 
 
+def test_mann_kendall_rejects_duplicate_t(spark):
+    # duplicate t ⇒ same-t pairs have no time order; the struct sort
+    # would break the tie by y and inflate S. Must raise (r11 advice:
+    # theil_sen's guard, applied to the same contract here).
+    from avocado_spark.operators.stats import mann_kendall
+
+    s = _df(spark, [(0, 1), (1, 2), (1, 3), (2, 4)], "d long, y long")
+    with pytest.raises(ValueError, match="duplicate t"):
+        mann_kendall(s, "d", "y")
+
+
 def test_bh_fdr_step_up(spark):
     rows = [(1, 0.01), (2, 0.02), (3, 0.5), (4, 0.04)]
     out = {
