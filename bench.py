@@ -798,6 +798,16 @@ _SCALE_CORRECTNESS_SMALL_BASE = [
     "dedup_bcubed_eval",
 ]
 
+# Per-name factor cap for the small-base value checks — NOT a silent
+# cap: a skipped name is printed and annotated in the artifact row.
+# bcubed embeds the SAME recursive-CC closure dedup_clusters runs, and
+# that oracle measures ~21 min at the sf0.01×100 construction (r12);
+# clusters value-proves the closure at 100×, bcubed re-proves its own
+# 1-row metric algebra at ≤20× here and at sf0.01 in the driver gate.
+_SCALE_SB_MAX_FACTOR = {
+    "dedup_bcubed_eval": 20,
+}
+
 _SCALE_QUERIES_100 = [
     # r7 verdict #4: ≥12 queries at factor 100. Bounds are factor × 1.5
     # for linear-path queries; the dedup families get 3× that because
@@ -1049,6 +1059,17 @@ def sf_scale_check() -> int:
                   if n in registry and n in oracles]
     sb_names = [n for n in _SCALE_CORRECTNESS_SMALL_BASE
                 if n in registry and n in oracles]
+    for name in [n for n in sb_names
+                 if factor > _SCALE_SB_MAX_FACTOR.get(n, 10**9)]:
+        sb_names.remove(name)
+        results.setdefault(name, {})["value_skipped"] = (
+            f"oracle cost at factor {factor} > max_factor "
+            f"{_SCALE_SB_MAX_FACTOR[name]} (see _SCALE_SB_MAX_FACTOR)"
+        )
+        print(f"# value-check {name} SKIPPED at {factor}x: "
+              f"capped at {_SCALE_SB_MAX_FACTOR[name]}x "
+              "(heavy oracle; closure proven by dedup_clusters)",
+              file=sys.stderr)
     try:
         for name in full_names + sb_names:
             row = results.setdefault(name, {})
