@@ -965,6 +965,10 @@ def sf_scale_check() -> int:
             failed.append(name)
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+        try:  # shuffle-file hygiene — see the value-check loop note
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     # CORRECTNESS at scale, not just timing: replay the DuckDB oracle
     # against the SCALED directory for a cross-family subset and
@@ -1119,6 +1123,17 @@ def sf_scale_check() -> int:
                   f" [{path or 'no-path'}]: {'OK' if ok else 'MISMATCH'}",
                   file=sys.stderr)
             spark.catalog.clearCache()
+            # Release superseded SHUFFLE files, not just cached data:
+            # by this phase the session has run 70+ scaled queries and
+            # their shuffle files linger until the JVM's ContextCleaner
+            # notices the RDDs are garbage — tens of GB of /tmp that,
+            # in r12, pushed the device to ENOSPC exactly when the
+            # wedge oracles spilled (both healthy in isolation). One
+            # System.gc() per check keeps the floor clean.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — best-effort hygiene
+                pass
     finally:
         if con is not None:
             con.close()
