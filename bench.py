@@ -798,14 +798,24 @@ _SCALE_CORRECTNESS_SMALL_BASE = [
     "dedup_bcubed_eval",
 ]
 
-# Per-name factor cap for the small-base value checks — NOT a silent
-# cap: a skipped name is printed and annotated in the artifact row.
-# bcubed embeds the SAME recursive-CC closure dedup_clusters runs, and
-# that oracle measures ~21 min at the sf0.01×100 construction (r12);
-# clusters value-proves the closure at 100×, bcubed re-proves its own
-# 1-row metric algebra at ≤20× here and at sf0.01 in the driver gate.
+# Per-name factor CLAMP for the small-base value checks — NOT a silent
+# cap: a clamped name still runs, at min(factor, clamp), and its row
+# records the factor it actually verified at (value_factor). Two cost
+# classes force clamps (both measured r12):
+# - dedup_bcubed_eval embeds the SAME recursive-CC closure
+#   dedup_clusters runs (~21 min oracle at the sf0.01×100
+#   construction); clusters value-proves the closure at the full
+#   factor, bcubed re-proves its own 1-row metric algebra at ≤20×.
+# - the wedge-family oracles (transitivity, triangles) SPILL
+#   quadratically in the replica factor: at sf0.01×100 DuckDB wrote
+#   >90 GB of temp and died of ENOSPC even on a clean host with a
+#   raised memory_limit (the engine side streams the same wedges in
+#   ~17 s — that asymmetry is the scale design working). ×50 keeps the
+#   spill near a quarter of the device budget.
 _SCALE_SB_MAX_FACTOR = {
     "dedup_bcubed_eval": 20,
+    "coorder_transitivity": 50,
+    "coorder_triangles": 50,
 }
 
 _SCALE_QUERIES_100 = [
@@ -1006,17 +1016,21 @@ def sf_scale_check() -> int:
                    for r in du[cols].itertuples(index=False))
         return a == b
 
-    # Lazily-built sf0.01-base scaled dir + its own duckdb connection:
-    # the fallback target for heavy oracles. Built at most once; a
-    # setup failure is REMEMBERED so every name that needed it is
-    # marked failed individually (r11 ADVICE: a pre-loop failure must
-    # not read as green).
-    sb_state: dict = {"dir": None, "con": None, "error": None}
+    # Lazily-built sf0.01-base scaled dirs + their own duckdb
+    # connections, one per (possibly clamped) factor: the fallback
+    # target for heavy oracles. Each is built at most once; a setup
+    # failure is REMEMBERED so every name that needed it is marked
+    # failed individually (r11 ADVICE: a pre-loop failure must not
+    # read as green).
+    sb_state: dict = {}
 
-    def _small_base_ctx():
-        if sb_state["error"] is not None:
-            raise RuntimeError(sb_state["error"])
-        if sb_state["con"] is None:
+    def _small_base_ctx(eff_factor: int):
+        st = sb_state.setdefault(
+            eff_factor, {"dir": None, "con": None, "error": None}
+        )
+        if st["error"] is not None:
+            raise RuntimeError(st["error"])
+        if st["con"] is None:
             import duckdb
             small_base = os.path.join(
                 os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01"
@@ -1024,11 +1038,11 @@ def sf_scale_check() -> int:
             if not os.path.isdir(small_base) or (
                 os.path.abspath(small_base) == os.path.abspath(sf_dir)
             ):
-                sb_state["error"] = "no sf0.01 sibling base dir"
-                raise RuntimeError(sb_state["error"])
-            sb = tempfile.mkdtemp(prefix=f"sfxsb{factor}_")
+                st["error"] = "no sf0.01 sibling base dir"
+                raise RuntimeError(st["error"])
+            sb = tempfile.mkdtemp(prefix=f"sfxsb{eff_factor}_")
             try:
-                _build_scaled_dir(spark, small_base, sb, factor)
+                _build_scaled_dir(spark, small_base, sb, eff_factor)
                 c = duckdb.connect()
                 for t in ("region", "nation", "customer", "supplier",
                           "part", "orders", "lineitem", "events",
@@ -1038,11 +1052,11 @@ def sf_scale_check() -> int:
                         f"read_parquet('{sb}/{t}.parquet/*.parquet')"
                     )
             except Exception as e:  # noqa: BLE001 — remember, re-raise
-                sb_state["error"] = f"small-base setup failed: {e}"[:300]
+                st["error"] = f"small-base setup failed: {e}"[:300]
                 shutil.rmtree(sb, ignore_errors=True)
-                raise RuntimeError(sb_state["error"]) from e
-            sb_state["dir"], sb_state["con"] = sb, c
-        return sb_state["dir"], sb_state["con"]
+                raise RuntimeError(st["error"]) from e
+            st["dir"], st["con"] = sb, c
+        return st["dir"], st["con"]
 
     con = None
     try:
@@ -1063,32 +1077,30 @@ def sf_scale_check() -> int:
                   if n in registry and n in oracles]
     sb_names = [n for n in _SCALE_CORRECTNESS_SMALL_BASE
                 if n in registry and n in oracles]
-    for name in [n for n in sb_names
-                 if factor > _SCALE_SB_MAX_FACTOR.get(n, 10**9)]:
-        sb_names.remove(name)
-        results.setdefault(name, {})["value_skipped"] = (
-            f"oracle cost at factor {factor} > max_factor "
-            f"{_SCALE_SB_MAX_FACTOR[name]} (see _SCALE_SB_MAX_FACTOR)"
-        )
-        print(f"# value-check {name} SKIPPED at {factor}x: "
-              f"capped at {_SCALE_SB_MAX_FACTOR[name]}x "
-              "(heavy oracle; closure proven by dedup_clusters)",
-              file=sys.stderr)
     try:
         for name in full_names + sb_names:
             row = results.setdefault(name, {})
             ok, path, reason = False, None, None
+            eff = min(factor, _SCALE_SB_MAX_FACTOR.get(name, factor))
             try:
                 if name in sb_names or con is None:
                     # known-heavy oracle (the r11 transitivity ENOSPC
                     # class): route straight to the sf0.01-base replay —
-                    # same factor, same replica construction, 10× less
-                    # oracle spill
+                    # same replica construction, 10× less oracle spill,
+                    # factor clamped per _SCALE_SB_MAX_FACTOR where the
+                    # oracle's spill or CPU exceeds the host budget
                     reason = ("pre-routed: heavy oracle on full base"
                               if con is not None else
                               "full-base duckdb unavailable")
-                    sbd, con_sb = _small_base_ctx()
+                    if eff != factor:
+                        reason += f"; factor clamped to {eff}x"
+                        print(f"# value-check {name}: factor clamped "
+                              f"{factor}x -> {eff}x "
+                              "(see _SCALE_SB_MAX_FACTOR)",
+                              file=sys.stderr)
+                    sbd, con_sb = _small_base_ctx(eff)
                     ok, path = _compare(name, sbd, con_sb), "small_base"
+                    row["value_factor"] = eff
                 else:
                     try:
                         ok, path = _compare(name, scaled_dir, con), "full"
@@ -1105,8 +1117,9 @@ def sf_scale_check() -> int:
                         print(f"# value-check {name}: full-base ERROR, "
                               f"replaying at sf0.01 base — {reason}",
                               file=sys.stderr)
-                        sbd, con_sb = _small_base_ctx()
+                        sbd, con_sb = _small_base_ctx(eff)
                         ok, path = _compare(name, sbd, con_sb), "small_base"
+                        row["value_factor"] = eff
             except Exception as e:  # noqa: BLE001 — report, keep checking
                 ok = False
                 row["value_error"] = f"{type(e).__name__}: {e}"[:300]
@@ -1137,10 +1150,11 @@ def sf_scale_check() -> int:
     finally:
         if con is not None:
             con.close()
-        if sb_state["con"] is not None:
-            sb_state["con"].close()
-        if sb_state["dir"] is not None:
-            shutil.rmtree(sb_state["dir"], ignore_errors=True)
+        for st in sb_state.values():
+            if st["con"] is not None:
+                st["con"].close()
+            if st["dir"] is not None:
+                shutil.rmtree(st["dir"], ignore_errors=True)
 
     shutil.rmtree(scaled_dir, ignore_errors=True)
     n_checked = sum(1 for v in results.values() if "value_match" in v)
