@@ -341,6 +341,49 @@ def bounded_self_pairs(
     return pairs.select(*sel)
 
 
+def bounded_group_pairs(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    val_cols: Sequence[str],
+    max_points: int = 5_000,
+) -> DataFrame:
+    """Per-GROUP i<j pairs of a bounded series: the grouped sibling of
+    :func:`bounded_self_pairs` — one sorted struct array per group, the
+    same triangle-slice explode, pairs never cross groups. The cap is
+    on the TOTAL series row count (one cheap count), which bounds every
+    group. Returns one row per within-group (i < j) pair with the
+    group columns plus ``l_<c>`` / ``r_<c>`` for ``t_col`` and every
+    ``val_cols`` entry."""
+    n = series.count()  # bounded driver scalar (cap check)
+    if n > max_points:
+        raise ValueError(
+            f"bounded_group_pairs: series has {n} points > cap "
+            f"{max_points}; pair estimators are defined over bounded "
+            "aggregate series — aggregate coarser or use a sketch"
+        )
+    cols = [t_col, *val_cols]
+    arr = series.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct(*cols))).alias("_bp_arr")
+    )
+    first = arr.select(
+        *group_cols,
+        F.col("_bp_arr"),
+        F.posexplode("_bp_arr").alias("_bp_i", "_bp_l"),
+    ).select(
+        *group_cols,
+        "_bp_l",
+        F.expr("slice(_bp_arr, _bp_i + 2, size(_bp_arr))").alias("_bp_rest"),
+    )
+    pairs = first.repartition(
+        *[F.col(c) for c in group_cols], F.col("_bp_l")
+    ).select(*group_cols, "_bp_l", F.explode("_bp_rest").alias("_bp_r"))
+    sel = [F.col(f"_bp_l.{c}").alias(f"l_{c}") for c in cols] + [
+        F.col(f"_bp_r.{c}").alias(f"r_{c}") for c in cols
+    ]
+    return pairs.select(*group_cols, *sel)
+
+
 def kendall_tau_b(
     series: DataFrame,
     t_col: str,
@@ -632,6 +675,115 @@ def mann_kendall(
     residual: set[int] = set()
     out = _tracked_checkpoint(out, residual)  # 1-row result block
     _release_rdds(out, ser_ids)  # series blocks superseded
+    if stats is not None:
+        stats.setdefault("residual_rdd_ids", set()).update(residual)
+    return out
+
+
+def seasonal_mann_kendall(
+    series: DataFrame,
+    season_col: str,
+    t_col: str,
+    y_col: str,
+    max_points: int = 5_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984): S and
+    18·Var are computed PER SEASON over within-season time-ordered
+    pairs and summed — the monotone-trend test that ignores a periodic
+    cycle (e.g. a weekly volume rhythm) instead of reading it as trend
+    or noise. Same exact-integer contract as :func:`mann_kendall`:
+    S_g from strict sign compares over :func:`bounded_group_pairs`
+    (pairs never cross seasons), VAR18_g = n_g(n_g−1)(2n_g+5) −
+    Σ_ties t(t−1)(2t+5) over the (season, y) tie groups, totals summed
+    as BIGINT, one double at the continuity-corrected
+    z = (S − sign(S)) / sqrt(VAR18/18), p via the shared A&S erf text.
+
+    Distinct-(season, t) contract, ENFORCED like mann_kendall's
+    distinct-t: same-t pairs within a season have no time order. The
+    input is tracked-checkpointed (three evaluations: cap count, pair
+    agg, tie agg) and released once the 1-row result materializes.
+
+    Returns ONE row: n_points, n_seasons, s_stat, var18, p_value
+    (NULL when var18 = 0)."""
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
+
+    ser_ids: set[int] = set()
+    series = _tracked_checkpoint(series, ser_ids)
+    dup = (
+        series.groupBy(season_col, t_col)
+        .agg(F.count(F.lit(1)).alias("_smk_c"))
+        .where(F.col("_smk_c") > 1)
+        .first()
+    )
+    if dup is not None:
+        _release_rdds(series, ser_ids)
+        raise ValueError(
+            f"seasonal_mann_kendall: duplicate (season, t) = "
+            f"({dup[season_col]!r}, {dup[t_col]!r}) — within-season "
+            "pairs need distinct t; deduplicate or pre-aggregate first"
+        )
+    p = bounded_group_pairs(series, [season_col], t_col, [y_col], max_points)
+    ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
+    s_agg = p.agg(
+        F.coalesce(
+            F.sum(
+                F.when(ry > ly, 1).when(ry < ly, -1).otherwise(0)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("s_stat")
+    )
+    grp = series.groupBy(season_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ng")
+    )
+    grp_agg = grp.agg(
+        F.coalesce(
+            F.sum(F.expr("_ng * (_ng - 1) * (2 * _ng + 5)")).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("_gv"),
+        F.coalesce(F.sum("_ng").cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "_np"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("_ns"),
+    )
+    ties = series.groupBy(season_col, y_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tg")
+    )
+    tie_agg = ties.agg(
+        F.coalesce(
+            F.sum(F.expr("_tg * (_tg - 1) * (2 * _tg + 5)")).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("_tt")
+    )
+    j = (
+        s_agg.crossJoin(F.broadcast(grp_agg))
+        .crossJoin(F.broadcast(tie_agg))
+        .select(
+            F.col("_np").alias("n_points"),
+            F.col("_ns").alias("n_seasons"),
+            "s_stat",
+            F.expr("CAST(_gv - _tt AS BIGINT)").alias("var18"),
+        )
+    )
+    z = (
+        "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+        " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
+    )
+    out = j.select(
+        "n_points",
+        "n_seasons",
+        "s_stat",
+        "var18",
+        F.expr(f"CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(z)} END").alias(
+            "p_value"
+        ),
+    )
+    residual: set[int] = set()
+    out = _tracked_checkpoint(out, residual)  # 1-row result block
+    _release_rdds(out, ser_ids)
     if stats is not None:
         stats.setdefault("residual_rdd_ids", set()).update(residual)
     return out

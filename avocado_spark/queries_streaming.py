@@ -3492,6 +3492,63 @@ def events_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(daily, "d", "y")
 
 
+@query(
+    "events_seasonal_mann_kendall",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    ser AS (SELECT d % 7 AS g, d, y FROM daily),
+    s AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                                    WHEN b.y < a.y THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS s_stat
+      FROM ser a JOIN ser b ON a.g = b.g AND b.d > a.d
+    ),
+    grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM ser GROUP BY g),
+    tie AS (
+      SELECT CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS tg FROM ser GROUP BY g, y)
+    ),
+    v AS (
+      SELECT (SELECT CAST(COALESCE(SUM(ng), 0) AS BIGINT) FROM grp) AS n_points,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM grp) AS n_seasons,
+             s_stat,
+             CAST((SELECT COALESCE(SUM(ng * (ng - 1) * (2 * ng + 5)), 0)
+                   FROM grp) - tt AS BIGINT) AS var18
+      FROM s, tie
+    )
+    SELECT n_points, n_seasons, s_stat, var18,
+           CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(_MK_Z_TXT)} END AS p_value
+    FROM v
+    """,
+)
+def events_seasonal_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch & Slack 1984) on daily event
+    volume with day-of-week seasons (g = d mod 7): within-season
+    time-ordered pairs only, so a weekly rhythm is neither read as
+    trend nor allowed to drown one — the right trend test for traffic
+    series with a strong weekday cycle. Per-season exact-integer S and
+    18·Var (with the (season, y)-tie correction) summed as BIGINT; the
+    one double is the continuity-corrected z, textually identical on
+    both engines; p via the shared A&S erf polynomial
+    (operators/stats.seasonal_mann_kendall over bounded_group_pairs —
+    the grouped triangle-slice explode, pairs never cross seasons)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from avocado_spark.operators.stats import seasonal_mann_kendall
+
+    ev = load_table(spark, sf_dir, "events").select(ts_us("ts").alias("us"))
+    daily = ev.groupBy(
+        F.expr("us div 86400000000").cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    ser = daily.select(
+        (F.col("d") % 7).cast("bigint").alias("g"), "d", "y"
+    )
+    return seasonal_mann_kendall(ser, "g", "d", "y")
+
+
 _BH_Z_TXT = (
     "(CAST(kh AS DOUBLE) / CAST(nh AS DOUBLE)"
     " - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))"
