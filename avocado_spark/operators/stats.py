@@ -493,54 +493,64 @@ def theil_sen(
             "slopes need distinct t (Δt = 0 is undefined); deduplicate "
             "or pre-aggregate t first"
         )
-    pairs = bounded_self_pairs(series, t_col, [y_col], max_points)
-    slopes = pairs.select(
-        F.expr(
-            f"CAST(r_{y_col} - l_{y_col} AS DOUBLE) / CAST(r_{t_col} - l_{t_col} AS DOUBLE)"
-        ).alias("_ts_slope")
-    )
-    grouped = slopes.groupBy("_ts_slope").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_ts_w")
-    )
     grp_ids: set[int] = set()
-    grouped = _tracked_checkpoint(grouped, grp_ids)  # pair explode runs ONCE
-    med = weighted_quantile(grouped, [], "_ts_slope", "_ts_w", stats=stats)
-    row = med.first()  # 1-row bounded driver scalar
-    _release_rdds(grouped, grp_ids)  # medians collected — slopes free
-    if row is None:
-        _release_rdds(series, ser_ids)
-        return series.sparkSession.createDataFrame(
-            [], "n_points bigint, n_pairs bigint, slope double, intercept double"
+    try:
+        pairs = bounded_self_pairs(series, t_col, [y_col], max_points)
+        slopes = pairs.select(
+            F.expr(
+                f"CAST(r_{y_col} - l_{y_col} AS DOUBLE) / CAST(r_{t_col} - l_{t_col} AS DOUBLE)"
+            ).alias("_ts_slope")
         )
-    slope = float(row["wq_value"])
-    if not math.isfinite(slope):
-        _release_rdds(series, ser_ids)
-        raise ValueError(
-            "theil_sen: non-finite median slope — the input violates the "
-            "distinct-t contract (a duplicate t value makes a pairwise "
-            "slope ±inf/NaN); deduplicate or pre-aggregate t first"
+        grouped = slopes.groupBy("_ts_slope").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ts_w")
         )
-    n_pairs = int(row["total_weight"])
-    resid = series.select(
-        F.expr(
-            f"CAST({y_col} AS DOUBLE) - CAST({slope!r} AS DOUBLE) * CAST({t_col} AS DOUBLE)"
-        ).alias("_ts_resid"),
-    )
-    imed = weighted_quantile(
-        resid.withColumn("_ts_w", F.lit(1).cast("bigint")),
-        [],
-        "_ts_resid",
-        "_ts_w",
-        stats=stats,
-    )
-    out = imed.select(
-        F.col("total_weight").cast("bigint").alias("n_points"),
-        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-        F.round(F.lit(slope), 6).alias("slope"),
-        F.round(F.col("wq_value"), 6).alias("intercept"),
-    )
-    residual: set[int] = set()
-    out = _tracked_checkpoint(out, residual)  # 1-row residual block
+        grouped = _tracked_checkpoint(grouped, grp_ids)  # pair explode runs ONCE
+        med = weighted_quantile(grouped, [], "_ts_slope", "_ts_w", stats=stats)
+        row = med.first()  # 1-row bounded driver scalar
+        _release_rdds(grouped, grp_ids)  # medians collected — slopes free
+        if row is None:
+            _release_rdds(series, ser_ids)
+            return series.sparkSession.createDataFrame(
+                [], "n_points bigint, n_pairs bigint, slope double, intercept double"
+            )
+        slope = float(row["wq_value"])
+        if not math.isfinite(slope):
+            _release_rdds(series, ser_ids)
+            raise ValueError(
+                "theil_sen: non-finite median slope — the input violates the "
+                "distinct-t contract (a duplicate t value makes a pairwise "
+                "slope ±inf/NaN); deduplicate or pre-aggregate t first"
+            )
+        n_pairs = int(row["total_weight"])
+        resid = series.select(
+            F.expr(
+                f"CAST({y_col} AS DOUBLE) - CAST({slope!r} AS DOUBLE) * CAST({t_col} AS DOUBLE)"
+            ).alias("_ts_resid"),
+        )
+        imed = weighted_quantile(
+            resid.withColumn("_ts_w", F.lit(1).cast("bigint")),
+            [],
+            "_ts_resid",
+            "_ts_w",
+            stats=stats,
+        )
+        out = imed.select(
+            F.col("total_weight").cast("bigint").alias("n_points"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            F.round(F.lit(slope), 6).alias("slope"),
+            F.round(F.col("wq_value"), 6).alias("intercept"),
+        )
+        residual: set[int] = set()
+        out = _tracked_checkpoint(out, residual)  # 1-row residual block
+    except BaseException:
+        # release-on-raise (r13, ADVICE): the max_points cap ValueError
+        # from bounded_*_pairs — or any downstream failure — must not
+        # leak the checkpointed series blocks for the session
+        # (_tracked_checkpoint's GC never reclaims them). _release_rdds
+        # clears the set, so paths that already released are a no-op.
+        _release_rdds(series, ser_ids)
+        _release_rdds(series, grp_ids)  # slope table, if checkpointed
+        raise
     _release_rdds(out, ser_ids)
     if stats is not None:
         stats.setdefault("residual_rdd_ids", set()).update(residual)
@@ -631,49 +641,58 @@ def mann_kendall(
             "order (the struct sort would break the tie by y, inflating "
             "S); deduplicate or pre-aggregate t first"
         )
-    p = bounded_self_pairs(series, t_col, [y_col], max_points)
-    ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
-    s_agg = p.agg(
-        F.coalesce(
-            F.sum(
-                F.when(ry > ly, 1).when(ry < ly, -1).otherwise(0)
-            ).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("s_stat")
-    )
-    ties = series.groupBy(y_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_tg")
-    )
-    var_agg = ties.agg(
-        F.coalesce(
-            F.sum(F.expr("_tg * (_tg - 1) * (2 * _tg + 5)")).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("_tt"),
-        F.coalesce(F.sum("_tg").cast("bigint"), F.lit(0).cast("bigint")).alias(
-            "_np"
-        ),
-    )
-    j = s_agg.crossJoin(F.broadcast(var_agg)).select(
-        F.col("_np").alias("n_points"),
-        "s_stat",
-        F.expr(
-            "CAST(_np * (_np - 1) * (2 * _np + 5) - _tt AS BIGINT)"
-        ).alias("var18"),
-    )
-    z = (
-        "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
-        " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
-    )
-    out = j.select(
-        "n_points",
-        "s_stat",
-        "var18",
-        F.expr(f"CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(z)} END").alias(
-            "p_value"
-        ),
-    )
-    residual: set[int] = set()
-    out = _tracked_checkpoint(out, residual)  # 1-row result block
+    try:
+        p = bounded_self_pairs(series, t_col, [y_col], max_points)
+        ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
+        s_agg = p.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(ry > ly, 1).when(ry < ly, -1).otherwise(0)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("s_stat")
+        )
+        ties = series.groupBy(y_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_tg")
+        )
+        var_agg = ties.agg(
+            F.coalesce(
+                F.sum(F.expr("_tg * (_tg - 1) * (2 * _tg + 5)")).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("_tt"),
+            F.coalesce(F.sum("_tg").cast("bigint"), F.lit(0).cast("bigint")).alias(
+                "_np"
+            ),
+        )
+        j = s_agg.crossJoin(F.broadcast(var_agg)).select(
+            F.col("_np").alias("n_points"),
+            "s_stat",
+            F.expr(
+                "CAST(_np * (_np - 1) * (2 * _np + 5) - _tt AS BIGINT)"
+            ).alias("var18"),
+        )
+        z = (
+            "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+            " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
+        )
+        out = j.select(
+            "n_points",
+            "s_stat",
+            "var18",
+            F.expr(f"CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(z)} END").alias(
+                "p_value"
+            ),
+        )
+        residual: set[int] = set()
+        out = _tracked_checkpoint(out, residual)  # 1-row result block
+    except BaseException:
+        # release-on-raise (r13, ADVICE): the max_points cap ValueError
+        # from bounded_*_pairs — or any downstream failure — must not
+        # leak the checkpointed series blocks for the session
+        # (_tracked_checkpoint's GC never reclaims them). _release_rdds
+        # clears the set, so paths that already released are a no-op.
+        _release_rdds(series, ser_ids)
+        raise
     _release_rdds(out, ser_ids)  # series blocks superseded
     if stats is not None:
         stats.setdefault("residual_rdd_ids", set()).update(residual)
@@ -688,11 +707,16 @@ def seasonal_mann_kendall(
     max_points: int = 5_000,
     stats: dict | None = None,
 ) -> DataFrame:
-    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984): S and
-    18·Var are computed PER SEASON over within-season time-ordered
-    pairs and summed — the monotone-trend test that ignores a periodic
-    cycle (e.g. a weekly volume rhythm) instead of reading it as trend
-    or noise. Same exact-integer contract as :func:`mann_kendall`:
+    """Seasonal (Mann–)Kendall trend test (Hirsch, Slack & Smith
+    1982): S and 18·Var are computed PER SEASON over within-season
+    time-ordered pairs and summed — the monotone-trend test that
+    ignores a periodic cycle (e.g. a weekly volume rhythm) instead of
+    reading it as trend or noise. NOTE: seasons are treated as
+    independent — the serial-dependence variant (Hirsch & Slack 1984)
+    adds a cross-season covariance term to Var(S) that this
+    implementation does NOT apply, so the p-value over-trusts serially
+    correlated seasons. Same exact-integer contract as
+    :func:`mann_kendall`:
     S_g from strict sign compares over :func:`bounded_group_pairs`
     (pairs never cross seasons), VAR18_g = n_g(n_g−1)(2n_g+5) −
     Σ_ties t(t−1)(2t+5) over the (season, y) tie groups, totals summed
@@ -726,63 +750,72 @@ def seasonal_mann_kendall(
             f"({dup[season_col]!r}, {dup[t_col]!r}) — within-season "
             "pairs need distinct t; deduplicate or pre-aggregate first"
         )
-    p = bounded_group_pairs(series, [season_col], t_col, [y_col], max_points)
-    ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
-    s_agg = p.agg(
-        F.coalesce(
-            F.sum(
-                F.when(ry > ly, 1).when(ry < ly, -1).otherwise(0)
-            ).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("s_stat")
-    )
-    grp = series.groupBy(season_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_ng")
-    )
-    grp_agg = grp.agg(
-        F.coalesce(
-            F.sum(F.expr("_ng * (_ng - 1) * (2 * _ng + 5)")).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("_gv"),
-        F.coalesce(F.sum("_ng").cast("bigint"), F.lit(0).cast("bigint")).alias(
-            "_np"
-        ),
-        F.count(F.lit(1)).cast("bigint").alias("_ns"),
-    )
-    ties = series.groupBy(season_col, y_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_tg")
-    )
-    tie_agg = ties.agg(
-        F.coalesce(
-            F.sum(F.expr("_tg * (_tg - 1) * (2 * _tg + 5)")).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("_tt")
-    )
-    j = (
-        s_agg.crossJoin(F.broadcast(grp_agg))
-        .crossJoin(F.broadcast(tie_agg))
-        .select(
-            F.col("_np").alias("n_points"),
-            F.col("_ns").alias("n_seasons"),
-            "s_stat",
-            F.expr("CAST(_gv - _tt AS BIGINT)").alias("var18"),
+    try:
+        p = bounded_group_pairs(series, [season_col], t_col, [y_col], max_points)
+        ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
+        s_agg = p.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(ry > ly, 1).when(ry < ly, -1).otherwise(0)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("s_stat")
         )
-    )
-    z = (
-        "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
-        " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
-    )
-    out = j.select(
-        "n_points",
-        "n_seasons",
-        "s_stat",
-        "var18",
-        F.expr(f"CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(z)} END").alias(
-            "p_value"
-        ),
-    )
-    residual: set[int] = set()
-    out = _tracked_checkpoint(out, residual)  # 1-row result block
+        grp = series.groupBy(season_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ng")
+        )
+        grp_agg = grp.agg(
+            F.coalesce(
+                F.sum(F.expr("_ng * (_ng - 1) * (2 * _ng + 5)")).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("_gv"),
+            F.coalesce(F.sum("_ng").cast("bigint"), F.lit(0).cast("bigint")).alias(
+                "_np"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("_ns"),
+        )
+        ties = series.groupBy(season_col, y_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_tg")
+        )
+        tie_agg = ties.agg(
+            F.coalesce(
+                F.sum(F.expr("_tg * (_tg - 1) * (2 * _tg + 5)")).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("_tt")
+        )
+        j = (
+            s_agg.crossJoin(F.broadcast(grp_agg))
+            .crossJoin(F.broadcast(tie_agg))
+            .select(
+                F.col("_np").alias("n_points"),
+                F.col("_ns").alias("n_seasons"),
+                "s_stat",
+                F.expr("CAST(_gv - _tt AS BIGINT)").alias("var18"),
+            )
+        )
+        z = (
+            "((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+            " / SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)))"
+        )
+        out = j.select(
+            "n_points",
+            "n_seasons",
+            "s_stat",
+            "var18",
+            F.expr(f"CASE WHEN var18 > 0 THEN {two_sided_z_p_txt(z)} END").alias(
+                "p_value"
+            ),
+        )
+        residual: set[int] = set()
+        out = _tracked_checkpoint(out, residual)  # 1-row result block
+    except BaseException:
+        # release-on-raise (r13, ADVICE): the max_points cap ValueError
+        # from bounded_*_pairs — or any downstream failure — must not
+        # leak the checkpointed series blocks for the session
+        # (_tracked_checkpoint's GC never reclaims them). _release_rdds
+        # clears the set, so paths that already released are a no-op.
+        _release_rdds(series, ser_ids)
+        raise
     _release_rdds(out, ser_ids)
     if stats is not None:
         stats.setdefault("residual_rdd_ids", set()).update(residual)
@@ -1405,4 +1438,191 @@ def pettitt_changepoint(
         F.col("_pt_k").cast("bigint").alias("k_stat"),
         F.col("_pt_n").alias("n_points"),
         F.expr(p_txt).alias("p_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (quantized IRLS), trained in aggregations
+# ---------------------------------------------------------------------------
+
+# Shared 3×3 normal-equation solve text (symmetric matrix m00..m22,
+# vector s0..s2 — adjugate/determinant closed form). Embedded
+# textually in BOTH engines (the A&S-erf discipline above): every
+# column feeding these is the same exact integer on both sides, cast
+# to DOUBLE the same way, so IEEE +,-,*,/ make the doubles
+# bit-identical; the one rounding happens at the 12-dp coefficient.
+_LR_DET_TXT = (
+    "(m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02)"
+    " + m02*(m01*m12 - m11*m02))"
+)
+_LR_NUM_TXT = (
+    "((m11*m22 - m12*m12)*s0 + (m02*m12 - m01*m22)*s1"
+    " + (m01*m12 - m02*m11)*s2)",
+    "((m02*m12 - m01*m22)*s0 + (m00*m22 - m02*m02)*s1"
+    " + (m01*m02 - m00*m12)*s2)",
+    "((m01*m12 - m02*m11)*s0 + (m01*m02 - m00*m12)*s1"
+    " + (m00*m11 - m01*m01)*s2)",
+)
+# per-row linearization texts (b0..b2 come from the broadcast 1-row
+# coefficient table; x1/x2 are the bounded integer features)
+_LR_Z_TXT = (
+    "ROUND(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE), 9)"
+)
+_LR_P3_TXT = (
+    f"CAST(ROUND(CAST(1000 AS DOUBLE)"
+    f" / (CAST(1 AS DOUBLE) + EXP(-({_LR_Z_TXT})))) AS BIGINT)"
+)
+
+
+def logreg_irls2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    id_col: str,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Binary logistic regression with TWO integer features + an
+    intercept, trained by two unrolled IRLS (Newton) rounds entirely
+    in DataFrame aggregations and scored on a held-out split — the
+    trained-linear-model stage of a corpus quality pipeline, the
+    natural step up from :func:`decision_stump` (one threshold) and
+    ``text.nb_train_predict`` (counting) toward fastText-style quality
+    classifiers. Rows with ``id % holdout_mod != 0`` train; the rest
+    score. No MLlib, no driver-side optimizer loop: each round is ONE
+    hash aggregation to nine scalars + a 1-row closed-form 3×3 solve.
+
+    Determinism contract (the module header's discipline):
+
+    * Round 1 starts at β = 0, where p = 1/2 and w = 1/4 EXACTLY, so
+      the Newton step is β₁ = 2·M⁻¹S with M = ΣxxT and S = Σx(2y−1) —
+      all-integer sums (order-independent across the cluster), one
+      double solve of shared text (``_LR_DET_TXT``/``_LR_NUM_TXT``),
+      coefficients rounded at 12 dp.
+    * Round 2 quantizes the working weights at milli-precision:
+      z = round(β₁·x, 9) per row, p₃ = round(1000·σ(z)) as BIGINT, so
+      the Hessian numerators Σ p₃(1000−p₃)·x_j·x_k and gradient
+      numerators Σ x_j·(1000·y − p₃) are again EXACT integer sums (the
+      only libm call, EXP, is pinned per-row by the 9-dp round before
+      any sum). β₂ = β₁ + A⁻¹g via the same solve text.
+    * Scoring needs no sigmoid: predict 1 iff round(β₂·x, 9) ≥ 0.
+      A singular system (det = 0) NULLs the coefficients and scores
+      everything 0 — deterministic on both engines, never a /0 error.
+
+    Feature contract: ``x1``/``x2`` must be SMALL non-negative
+    integers (clamp at the call site, e.g. LEAST(…, 99)): per-row
+    Hessian terms then stay ≤ 2.5e9, so the DECIMAL(38,0) sums hold
+    exactly to ~1e28 training rows and the double solve never
+    overflows at any scale.
+
+    Scale shape: three scans of the projected input (feature
+    extraction is codegen'd into each), each feeding a map-side
+    partial aggregation to ONE 9-scalar row; coefficients move as
+    broadcast 1-row cross joins (never a collect); nothing shuffles
+    by row. The 100 TB plan is scan → partial_agg → single reducer,
+    three times.
+
+    Returns ONE row: n_train, n_test, b0, b1, b2 (12 dp, round-2),
+    tp, fp, tn, fn, acc_bp.
+    """
+    dec = _DEC
+    base = df.select(
+        F.col(id_col).alias("_lr_id"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(x1_col).cast("bigint").alias("x1"),
+        F.col(x2_col).cast("bigint").alias("x2"),
+    )
+    tr = base.where(F.col("_lr_id") % holdout_mod != 0)
+    te = base.where(F.col("_lr_id") % holdout_mod == 0)
+
+    def _moment_agg(src: DataFrame, s_terms: dict[str, str]) -> DataFrame:
+        aggs = []
+        for name, txt in {
+            "m00": "1", "m01": "x1", "m02": "x2",
+            "m11": "x1*x1", "m12": "x1*x2", "m22": "x2*x2",
+            **s_terms,
+        }.items():
+            aggs.append(
+                F.expr(
+                    f"CAST(COALESCE(SUM(CAST(({txt}) AS {dec})), 0)"
+                    f" AS DOUBLE)"
+                ).alias(name)
+            )
+        return src.agg(*aggs)
+
+    def _solve(m: DataFrame, scale: str, prev: tuple[str, str, str]) -> DataFrame:
+        cols = [
+            F.expr(
+                f"CASE WHEN {_LR_DET_TXT} <> CAST(0 AS DOUBLE) THEN "
+                f"ROUND({prev[j]} + {scale} * {_LR_NUM_TXT[j]}"
+                f" / {_LR_DET_TXT}, 12) END"
+            ).alias(f"b{j}")
+            for j in range(3)
+        ]
+        return m.select(*cols, *(c for c in m.columns if c == "n_train"))
+
+    # ---- round 1: exact closed form at beta = 0 (w = 1/4, p = 1/2)
+    m1 = _moment_agg(
+        tr.withColumn("s", F.expr("2*y - 1")),
+        {"s0": "s", "s1": "x1*s", "s2": "x2*s"},
+    ).withColumn("n_train", F.expr("CAST(m00 AS BIGINT)"))
+    b1 = _solve(m1, "CAST(2 AS DOUBLE)", ("0.0", "0.0", "0.0"))
+
+    # ---- round 2: milli-quantized working response off broadcast b1
+    lin = tr.crossJoin(F.broadcast(b1)).withColumn(
+        "p3", F.expr(_LR_P3_TXT)
+    )
+    # true-unit moments: H = Σ w·xxT with w = p3(1000−p3)/1e6 and
+    # g = Σ x(1000y − p3)/1e3 — divide the EXACT integer sums by the
+    # fixed-point base at the 1-row stage, carrying b1 through the agg
+    # via grouping on the (single-valued) coefficient columns
+    w_txt = "p3*(1000 - p3)"
+    g_txt = "(1000*y - p3)"
+    m2 = (
+        lin.groupBy("b0", "b1", "b2", "n_train")
+        .agg(
+            *[
+                F.expr(
+                    f"CAST(COALESCE(SUM(CAST(({t}) AS {dec})), 0)"
+                    f" AS DOUBLE) / CAST({base_u} AS DOUBLE)"
+                ).alias(n)
+                for n, t, base_u in (
+                    ("m00", w_txt, 1000000),
+                    ("m01", f"({w_txt})*x1", 1000000),
+                    ("m02", f"({w_txt})*x2", 1000000),
+                    ("m11", f"({w_txt})*x1*x1", 1000000),
+                    ("m12", f"({w_txt})*x1*x2", 1000000),
+                    ("m22", f"({w_txt})*x2*x2", 1000000),
+                    ("s0", g_txt, 1000),
+                    ("s1", f"x1*{g_txt}", 1000),
+                    ("s2", f"x2*{g_txt}", 1000),
+                )
+            ]
+        )
+        .withColumnsRenamed({"b0": "pb0", "b1": "pb1", "b2": "pb2"})
+    )
+    b2 = _solve(m2, "CAST(1 AS DOUBLE)", ("pb0", "pb1", "pb2"))
+
+    # ---- held-out scoring: sign test on the linear score
+    pred = te.crossJoin(F.broadcast(b2)).withColumn(
+        "pred",
+        F.expr(f"CASE WHEN {_LR_Z_TXT} >= CAST(0 AS DOUBLE)"
+               " THEN 1 ELSE 0 END"),
+    )
+    conf = pred.groupBy("b0", "b1", "b2", "n_train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.coalesce(F.sum(F.expr("CASE WHEN pred = 1 AND y = 1 THEN 1 END"))
+                   .cast("bigint"), F.lit(0).cast("bigint")).alias("tp"),
+        F.coalesce(F.sum(F.expr("CASE WHEN pred = 1 AND y = 0 THEN 1 END"))
+                   .cast("bigint"), F.lit(0).cast("bigint")).alias("fp"),
+        F.coalesce(F.sum(F.expr("CASE WHEN pred = 0 AND y = 0 THEN 1 END"))
+                   .cast("bigint"), F.lit(0).cast("bigint")).alias("tn"),
+        F.coalesce(F.sum(F.expr("CASE WHEN pred = 0 AND y = 1 THEN 1 END"))
+                   .cast("bigint"), F.lit(0).cast("bigint")).alias("fn"),
+    )
+    return conf.select(
+        "n_train", "n_test", "b0", "b1", "b2",
+        "tp", "fp", "tn", "fn",
+        F.expr("CAST(FLOOR(CAST(10000 * (tp + tn) AS DOUBLE)"
+               " / CAST(n_test AS DOUBLE)) AS BIGINT)").alias("acc_bp"),
     )

@@ -3525,7 +3525,8 @@ def events_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_seasonal_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal Mann–Kendall (Hirsch & Slack 1984) on daily event
+    """Seasonal Mann–Kendall (Hirsch, Slack & Smith 1982; seasons
+    treated as independent — no 1984 covariance correction) on daily event
     volume with day-of-week seasons (g = d mod 7): within-season
     time-ordered pairs only, so a weekly rhythm is neither read as
     trend nor allowed to drown one — the right trend test for traffic

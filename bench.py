@@ -264,6 +264,7 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
     # guest-side lever; 3 passes ≈ 2 min spread per query.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = [n for n in headline if n in registry]
+    last_df: dict = {}
     for _ in range(max(runs, 1)):
         for name in names:
             # time the full build+action; isolate per-query cache state
@@ -277,6 +278,7 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
                 rows[name] = df.count()
                 dt = time.perf_counter() - t0
                 timings[name] = min(timings.get(name, float("inf")), dt)
+                last_df[name] = df  # lazy ref for the fp diff below
             except Exception as e:  # noqa: BLE001 — keep benching the rest
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
@@ -289,6 +291,58 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
         timings[name] = round(timings[name], 3)
         total += timings[name]
         print(f"# {name}: {timings[name]:.3f}s rows={rows[name]}", file=sys.stderr)
+
+    # r13 (r12 verdict #4): wire the floor's plan fingerprints into the
+    # bench loop — BENCH_FLOOR recorded a normalized plan_fp per query
+    # but nothing asserted against it, so every drift adjudication was
+    # manual. Policy: per-query plan_fp_match vs the floor; UNCHANGED
+    # fp + >25% over floor best → auto-annotated "host" (the r10-r12
+    # bursty-window class, no action); CHANGED fp → loud in the
+    # artifact under changed_unadjudicated until either the floor is
+    # re-recorded or the change is entered in _FP_ADJUDICATED with a
+    # reason. Fingerprints come off the LAST timed pass's DataFrame
+    # (plan-text only — no extra execution).
+    plan_fp_match: dict[str, object] = {}
+    fp_changed: list = []
+    host_slow: dict[str, dict] = {}
+    floor_q: dict = {}
+    floor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+    )
+    try:
+        with open(floor_path) as fh:
+            floor_q = json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+    for name in names:
+        ref = floor_q.get(name, {}).get("plan_fp")
+        if ref is None or name not in last_df:
+            continue
+        if name in _FP_SESSION_UNSTABLE:
+            plan_fp_match[name] = "unstable: " + _FP_SESSION_UNSTABLE[name]
+            continue
+        try:
+            fp = _plan_fingerprint(last_df[name])
+        except Exception as e:  # noqa: BLE001 — diffing is best-effort
+            plan_fp_match[name] = f"error: {e}"[:120]
+            continue
+        match = fp == ref
+        plan_fp_match[name] = match
+        best = floor_q.get(name, {}).get("best")
+        over = bool(best) and timings.get(name, 0.0) > 1.25 * best
+        if not match:
+            if name in _FP_ADJUDICATED:
+                plan_fp_match[name] = "adjudicated: " + _FP_ADJUDICATED[name]
+            else:
+                fp_changed.append(name)
+                print(f"# PLAN-FP CHANGED {name}: plan differs from "
+                      f"BENCH_FLOOR (t={timings.get(name)}s, floor best="
+                      f"{best}) — adjudicate or re-record the floor",
+                      file=sys.stderr)
+        elif over:
+            host_slow[name] = {"floor_best": best, "t": timings[name],
+                               "verdict": "host"}
+    last_df.clear()
 
     # Key ORDER is load-bearing (r11 verdict #3): the driver's BENCH
     # artifact keeps only a ~2 KB TAIL of stdout, so the static notes
@@ -442,6 +496,15 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
         # that succeeded on SOME runs (flaky), which would otherwise read
         # as fully healthy in the JSON while failing runs hid on stderr
         out["errors"] = errors
+    if floor_q:
+        out["plan_fp"] = {
+            "floor": floor_path,
+            "checked": len(plan_fp_match),
+            "matched": sum(1 for v in plan_fp_match.values() if v is True),
+            "changed_unadjudicated": fp_changed,
+            "host_slow_gt_1_25x_floor": host_slow,
+            "match": plan_fp_match,
+        }
     out["queries"] = timings
     # Self-contained sidecar (r11 verdict #3: BENCH_r11.json arrived
     # with parsed:null and a truncated tail — only ~6 driver rows were
@@ -479,6 +542,27 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
 # ---------------------------------------------------------------------------
 
 
+# Plan-fp adjudication ledger (r13): a CHANGED fingerprint vs
+# BENCH_FLOOR.json is fail-loud in the bench artifact unless the
+# change is recorded here with its reason (an intentional,
+# reviewed plan change — re-record the floor at the next
+# --record-floor run and clear the entry).
+_FP_ADJUDICATED: dict[str, str] = {}
+
+# Queries whose normalized plan text varies per SESSION by
+# construction (mkdtemp sink/source paths in the scan nodes) — a
+# floor-vs-bench fp compare would always read "changed"; skip them.
+_FP_SESSION_UNSTABLE: dict[str, str] = {
+    "sink_roundtrip_partitioned": "mkdtemp sink path in scan",
+    "sink_sorted_single_file": "mkdtemp sink path in scan",
+    "bucketed_colocated_join": "per-run warehouse/table suffix",
+    "dim_upsert_compact": "mkdtemp sink path in scan",
+    "training_shard_layout": "mkdtemp sink path in scan",
+    "sink_orc_roundtrip": "mkdtemp sink path in scan",
+    "sink_glob_union": "mkdtemp sink path in scan",
+}
+
+
 def _plan_fingerprint(df) -> str:
     """md5 of the formatted plan with run-varying tokens stripped
     (expression ids #123L, plan_id=, RDD numbers, statistics, object
@@ -510,6 +594,18 @@ def record_floor() -> int:
     registry = get_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     names = [n for n in _HEADLINE if n in registry]
+    def _shuffle_gc():
+        # r13 (ADVICE): (runs+1) full passes over ~100 queries leave
+        # tens of GB of lingering shuffle/checkpoint files until the
+        # ContextCleaner's next GC — the documented r12 /tmp ENOSPC
+        # mode in the scale gate's value loop. Same best-effort
+        # System.gc() per query here so late floor samples aren't
+        # skewed (or killed) by a filling device.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — best-effort hygiene
+            pass
+
     # one untimed warm pass (codegen + parquet footers + fixture views)
     for name in names:
         try:
@@ -518,6 +614,7 @@ def record_floor() -> int:
             print(f"# floor warm-up {name}: {e}"[:160], file=sys.stderr)
         finally:
             spark.catalog.clearCache()
+            _shuffle_gc()
     samples: dict[str, list] = {n: [] for n in names}
     for _ in range(max(runs, 1)):
         for name in names:
@@ -529,6 +626,7 @@ def record_floor() -> int:
                 print(f"# floor {name}: ERROR {e}"[:160], file=sys.stderr)
             finally:
                 spark.catalog.clearCache()
+                _shuffle_gc()
     floor: dict[str, dict] = {}
     for name in names:
         s = samples[name]
@@ -641,6 +739,13 @@ _SCALE_QUERIES = [
     # r10c: hourly ACF — series length is calendar-fixed; the 10× cost
     # is the first hash agg only
     ("events_acf_hourly", 15.0),
+    # r13 (r12 verdict #2): the Mann-Kendall family — the daily series
+    # is calendar-bounded (same date range at any factor, so the
+    # bounded_*_pairs explode is constant work; only the first rollup
+    # scan grows). The gate proves the 5,000-point cap actually holds
+    # when daily volume 10×/100×es the per-day counts.
+    ("events_mann_kendall", 15.0),
+    ("events_seasonal_mann_kendall", 15.0),
     # r10c: transitivity rides the same O(m^1.5) wedge stream as
     # triangles (constant-distinct-edge graph at 10×) plus a node-
     # keyed join — the triangles allowance applies
@@ -767,6 +872,22 @@ _SCALE_CORRECTNESS_QUERIES = [
     # range rows at any factor) — both cheap full-base compares
     "events_user_activity_gini",
     "stream_tumbling_hourly",
+    # r13 (r12 verdict #2): 1-row MK statistics over the calendar-
+    # bounded daily series — both oracles pre-aggregate to the daily
+    # rollup before the pair join, so the compare is cheap at any
+    # factor
+    "events_mann_kendall",
+    "events_seasonal_mann_kendall",
+    # r13 (r12 verdict #3): the wedge family RETURNS to full-base
+    # value checks. The r11/r12 ENOSPC came from the ORACLE's wedge
+    # self-join over DuckDB-1.0-inlined CTEs (>90 GB temp at 100×);
+    # the reformulated oracle (queries._TRIANGLE_CTES: MATERIALIZED
+    # CTEs + sorted-adjacency-list wedge enumeration, the engine's own
+    # layout) runs the sf0.1×100 construction in ~11 s with ZERO temp
+    # spill — measured r13, full-base 100× MATCH for triangles,
+    # transitivity, and clustering.
+    "coorder_triangles",
+    "coorder_transitivity",
 ]
 
 # Value checks whose DUCKDB oracle out-spills the disk on the full-base
@@ -780,17 +901,16 @@ _SCALE_CORRECTNESS_QUERIES = [
 # dir built from the sf0.01 sibling base — same construction, 10x
 # smaller spill.
 _SCALE_CORRECTNESS_SMALL_BASE = [
-    "coorder_transitivity",
-    # r12 (verdict #6): the remaining timed-only rows, value-gated at
-    # the sf0.01-base replica construction. The dedup family's oracles
-    # embed the LSH band simulation / recursive-CC closure — quadratic-
-    # ish in replica count and DuckDB-materialized, the transitivity
-    # spill class — so they live here by construction, not after a
-    # failure. triangles shares transitivity's unrolled wedge self-join
-    # (the r11 ENOSPC oracle); realign's 1.5M-row output is a heavy but
-    # bounded driver-side compare at the sf0.01 base (it would swamp
-    # the compare at the sf0.1 base, which is why it was timed-only).
-    "coorder_triangles",
+    # r12 (verdict #6): timed-only rows value-gated at the sf0.01-base
+    # replica construction. The dedup family's oracles embed the LSH
+    # band simulation / recursive-CC closure — quadratic-ish in
+    # replica count and DuckDB-materialized — so they live here by
+    # construction, not after a failure. realign's 1.5M-row output is
+    # a heavy but bounded driver-side compare at the sf0.01 base (it
+    # would swamp the compare at the sf0.1 base, which is why it was
+    # timed-only). The wedge family (triangles/transitivity) GRADUATED
+    # to the full-base list in r13 after the oracle reformulation
+    # killed its >90 GB spill (see _SCALE_CORRECTNESS_QUERIES).
     "realign_reads",
     "minhash_dedup_pairs",
     "dedup_clusters",
@@ -800,22 +920,18 @@ _SCALE_CORRECTNESS_SMALL_BASE = [
 
 # Per-name factor CLAMP for the small-base value checks — NOT a silent
 # cap: a clamped name still runs, at min(factor, clamp), and its row
-# records the factor it actually verified at (value_factor). Two cost
-# classes force clamps (both measured r12):
-# - dedup_bcubed_eval embeds the SAME recursive-CC closure
-#   dedup_clusters runs (~21 min oracle at the sf0.01×100
-#   construction); clusters value-proves the closure at the full
-#   factor, bcubed re-proves its own 1-row metric algebra at ≤20×.
-# - the wedge-family oracles (transitivity, triangles) SPILL
-#   quadratically in the replica factor: at sf0.01×100 DuckDB wrote
-#   >90 GB of temp and died of ENOSPC even on a clean host with a
-#   raised memory_limit (the engine side streams the same wedges in
-#   ~17 s — that asymmetry is the scale design working). ×50 keeps the
-#   spill near a quarter of the device budget.
+# records the factor it actually verified at (value_factor).
+# r13 status: the wedge-family clamps (triangles/transitivity at 50×,
+# r12) are GONE — the reformulated adjacency-list oracle killed the
+# >90 GB spill and both now value-check FULL-BASE at 100×. The one
+# remaining clamp is CPU, not spill: dedup_bcubed_eval's oracle embeds
+# the SAME recursive-CC closure dedup_clusters runs (~21 min DuckDB at
+# the sf0.01×100 construction, quadratic-ish in replica count by the
+# replica-clique construction); clusters value-proves the closure at
+# the full factor, bcubed re-proves its own 1-row metric algebra at
+# ≤50× (raised from 20× in r13 — ~quarter of the 100× closure cost).
 _SCALE_SB_MAX_FACTOR = {
-    "dedup_bcubed_eval": 20,
-    "coorder_transitivity": 50,
-    "coorder_triangles": 50,
+    "dedup_bcubed_eval": 50,
 }
 
 _SCALE_QUERIES_100 = [
@@ -888,6 +1004,10 @@ _SCALE_QUERIES_100 = [
     # (one linear rollup + constant calibration window)
     ("coorder_harmonic_wide", 450.0),
     ("events_conformal_interval", 150.0),
+    # r13 (r12 verdict #2): Mann-Kendall family — calendar-bounded
+    # pair space, only the daily rollup scan grows (see the 10× note)
+    ("events_mann_kendall", 150.0),
+    ("events_seasonal_mann_kendall", 150.0),
 ]
 
 

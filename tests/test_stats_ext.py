@@ -725,3 +725,83 @@ def test_pettitt_constant_series(spark):
     out = pettitt_changepoint(s, "h", "x").first()
     assert out["k_stat"] == 0 and out["t_change"] == 0
     assert out["p_approx"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------- release-on-raise
+
+
+def test_cap_raise_releases_checkpoint_blocks(spark):
+    """r13 (ADVICE): mann_kendall / seasonal_mann_kendall / theil_sen
+    tracked-checkpoint their input BEFORE bounded_*_pairs enforces the
+    max_points cap; the cap ValueError (or any downstream failure)
+    must unpersist those blocks on the way out — _tracked_checkpoint's
+    own docstring says GC never reclaims them."""
+    from avocado_spark.operators.components import _persistent_rdd_ids
+    from avocado_spark.operators.stats import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    s = _df(spark, [(i, i) for i in range(10)], "t long, y long")
+    g = _df(spark, [(0, i, i) for i in range(10)], "g long, t long, y long")
+    before = _persistent_rdd_ids(s)
+    with pytest.raises(ValueError, match="> cap"):
+        mann_kendall(s, "t", "y", max_points=5)
+    with pytest.raises(ValueError, match="> cap"):
+        theil_sen(s, "t", "y", max_points=5)
+    with pytest.raises(ValueError, match="> cap"):
+        seasonal_mann_kendall(g, "g", "t", "y", max_points=5)
+    assert _persistent_rdd_ids(s) == before
+
+
+# ---------------------------------------------------------------- logreg
+
+
+def test_logreg_matches_numpy_replication(spark):
+    """logreg_irls2's quantized-IRLS contract is fully deterministic,
+    so an independent numpy replication of the two unrolled rounds
+    must agree EXACTLY (same 9/12-dp roundings, same milli-quantized
+    weights) — not approximately."""
+    import numpy as np
+
+    from avocado_spark.operators.stats import logreg_irls2
+
+    rng_rows = [
+        # (id, y, x1, x2) — y loosely follows x1 so the fit is sane
+        (i, 1 if (i * 7 + 3) % 10 < (i % 13) else 0, i % 13, (i * 3) % 5)
+        for i in range(60)
+    ]
+    df = _df(spark, rng_rows, "id long, y long, x1 long, x2 long")
+    out = logreg_irls2(df, "x1", "x2", "y", "id").first()
+
+    tr = [(y, a, b) for i, y, a, b in rng_rows if i % 5 != 0]
+    te = [(y, a, b) for i, y, a, b in rng_rows if i % 5 == 0]
+    X = np.array([[1.0, a, b] for _, a, b in tr])
+    y = np.array([float(v) for v, _, _ in tr])
+    b1 = np.round(2.0 * np.linalg.solve(X.T @ X, X.T @ (2 * y - 1)), 12)
+    z = np.round(X @ b1, 9)
+    p3 = np.round(1000.0 / (1.0 + np.exp(-z)))
+    A = (X * (p3 * (1000 - p3) / 1e6)[:, None]).T @ X
+    g = X.T @ ((1000 * y - p3) / 1e3)
+    b2 = np.round(b1 + np.linalg.solve(A, g), 12)
+    Xe = np.array([[1.0, a, b] for _, a, b in te])
+    ye = np.array([v for v, _, _ in te])
+    pred = (np.round(Xe @ b2, 9) >= 0).astype(int)
+    assert out["n_train"] == len(tr) and out["n_test"] == len(te)
+    assert (out["b0"], out["b1"], out["b2"]) == tuple(b2)
+    assert out["tp"] == int(((pred == 1) & (ye == 1)).sum())
+    assert out["tn"] == int(((pred == 0) & (ye == 0)).sum())
+    assert out["acc_bp"] == int(10000 * (out["tp"] + out["tn"]) // out["n_test"])
+
+
+def test_logreg_singular_system_nulls(spark):
+    """Constant features make the normal matrix singular: det = 0 must
+    CASE-NULL the coefficients (never a /0) and score everything 0."""
+    from avocado_spark.operators.stats import logreg_irls2
+
+    df = _df(spark, [(i, i % 2, 3, 3) for i in range(20)],
+             "id long, y long, x1 long, x2 long")
+    out = logreg_irls2(df, "x1", "x2", "y", "id").first()
+    assert out["b0"] is None and out["b1"] is None and out["b2"] is None
+    assert out["tp"] == 0 and out["fp"] == 0
+    assert out["tn"] + out["fn"] == out["n_test"]

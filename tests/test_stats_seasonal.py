@@ -1,4 +1,4 @@
-"""Seasonal Mann–Kendall (Hirsch & Slack 1984) units — the grouped
+"""Seasonal Mann–Kendall (Hirsch, Slack & Smith 1982) units — the grouped
 sibling of test_stats_ext's mann_kendall cases: per-season S/VAR18
 summed, pairs never cross seasons, distinct-(season, t) enforced."""
 
