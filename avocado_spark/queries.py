@@ -1196,41 +1196,77 @@ def events_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_independence(ev, "event_type", "band")
 
 
-@query(
-    "coorder_triangles",
-    """
-    WITH edges AS (
+# Shared wedge-family oracle CTEs (triangles / clustering /
+# transitivity). r13 reformulation (r12 verdict #3): the original
+# oracle self-joined an `oriented` CTE that DuckDB 1.0 INLINES per
+# reference — at the 100× replica construction the whole
+# edges→deg→oriented subtree (a 100×-row lineitem self-join + DISTINCT
+# each time) was re-evaluated per branch and the wedge hash join
+# spilled >90 GB of duckdb_temp → ENOSPC, forcing a 50× evidence clamp
+# (bench._SCALE_SB_MAX_FACTOR). This version (a) marks every
+# multi-referenced CTE MATERIALIZED so each is computed once, and
+# (b) enumerates wedges the way the ENGINE does
+# (components.triangle_counts): degree-oriented SORTED adjacency lists
+# per node, then a zipped-unnest + list-slice explode — wedges stream
+# out of a compact node table straight into the closing probe against
+# the (small, ~constant-under-replication) distinct-edge table, with
+# no self-join of an inlined subtree anywhere.
+_TRIANGLE_CTES = """
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
       ) GROUP BY node
     ),
-    oriented AS (
-      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                  THEN u ELSE v END AS s,
-             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                  THEN v ELSE u END AS t
-      FROM edges
-      JOIN deg du ON du.node = edges.u
-      JOIN deg dv ON dv.node = edges.v
+    adj AS MATERIALIZED (
+      SELECT s, list_sort(list(t)) AS nbrs FROM (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN u ELSE v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN v ELSE u END AS t
+        FROM edges
+        JOIN deg du ON du.node = edges.u
+        JOIN deg dv ON dv.node = edges.v
+      ) GROUP BY s
+    ),
+    firstend AS (
+      SELECT s, nbrs, unnest(nbrs) AS x,
+             unnest(range(1, len(nbrs) + 1)) AS i
+      FROM adj
     ),
     wedges AS (
-      SELECT e1.s, e1.t AS x, e2.t AS y
-      FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+      SELECT s, x, unnest(nbrs[i + 1:]) AS y FROM firstend
     ),
     tri AS (
       SELECT s, x, y FROM wedges
       JOIN edges ON edges.u = wedges.x AND edges.v = wedges.y
-    )
-    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-      SELECT s AS node FROM tri
-      UNION ALL SELECT x FROM tri
-      UNION ALL SELECT y FROM tri
-    ) GROUP BY node
+    ),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT s AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri
+      ) GROUP BY node
+    ),
+    cbase AS (
+      SELECT d.node, CAST(d.d AS BIGINT) AS d,
+             COALESCE(t.n_triangles, 0) AS n_triangles,
+             CAST((CAST(20000 AS HUGEINT) * COALESCE(t.n_triangles, 0))
+                  // (CAST(d.d AS HUGEINT) * (d.d - 1)) AS BIGINT) AS c_bp
+      FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+      WHERE d.d >= 2
+    )"""
+
+
+@query(
+    "coorder_triangles",
+    f"""
+    WITH {_TRIANGLE_CTES}
+    SELECT node, n_triangles FROM tcnt
     """,
 )
 def coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4088,51 +4124,6 @@ def orders_theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return ST.theil_sen(daily, "d", "y")
-
-_TRIANGLE_CTES = """
-    edges AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    deg AS (
-      SELECT node, COUNT(*) AS d FROM (
-        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
-      ) GROUP BY node
-    ),
-    oriented AS (
-      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                  THEN u ELSE v END AS s,
-             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                  THEN v ELSE u END AS t
-      FROM edges
-      JOIN deg du ON du.node = edges.u
-      JOIN deg dv ON dv.node = edges.v
-    ),
-    wedges AS (
-      SELECT e1.s, e1.t AS x, e2.t AS y
-      FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
-    ),
-    tri AS (
-      SELECT s, x, y FROM wedges
-      JOIN edges ON edges.u = wedges.x AND edges.v = wedges.y
-    ),
-    tcnt AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-        SELECT s AS node FROM tri
-        UNION ALL SELECT x FROM tri
-        UNION ALL SELECT y FROM tri
-      ) GROUP BY node
-    ),
-    cbase AS (
-      SELECT d.node, CAST(d.d AS BIGINT) AS d,
-             COALESCE(t.n_triangles, 0) AS n_triangles,
-             CAST((CAST(20000 AS HUGEINT) * COALESCE(t.n_triangles, 0))
-                  // (CAST(d.d AS HUGEINT) * (d.d - 1)) AS BIGINT) AS c_bp
-      FROM deg d LEFT JOIN tcnt t ON t.node = d.node
-      WHERE d.d >= 2
-    )"""
-
 
 @query(
     "coorder_clustering",
