@@ -5396,3 +5396,140 @@ def customer_fs_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fellegi_sunter_weights(
         cand, truth, ["seg_agree", "bal_agree", "name_agree"]
     )
+
+
+# ---- trained linear model: logistic regression scoring (r13) ----------------
+
+# Feature/label extraction shared by engine and oracle (r12 verdict
+# #6): y = contains-'spark' (the retrieval-style target), features are
+# cheap integer surrogates a curation pipeline already computes — the
+# space count (token-count proxy) and the 'data'-occurrence count —
+# length-mediated real signal, clamped per logreg_irls2's bounded-
+# feature contract.
+def _lr_feats_sql() -> str:
+    return """
+      SELECT doc_id,
+             CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
+             LEAST(length(text) - length(replace(text, ' ', '')), 99) AS x1,
+             LEAST((length(text) - length(replace(text, 'data', ''))) // 4,
+                   99) AS x2
+      FROM documents
+    """
+
+
+def _lr_solve_sql(scale: str, prev: tuple[str, str, str]) -> str:
+    from avocado_spark.operators.stats import _LR_DET_TXT, _LR_NUM_TXT
+
+    return ",\n           ".join(
+        f"CASE WHEN {_LR_DET_TXT} <> CAST(0 AS DOUBLE) THEN "
+        f"ROUND({prev[j]} + {scale} * {_LR_NUM_TXT[j]}"
+        f" / {_LR_DET_TXT}, 12) END AS b{j}"
+        for j in range(3)
+    )
+
+
+def _lr_oracle_sql() -> str:
+    from avocado_spark.operators.stats import _LR_P3_TXT, _LR_Z_TXT
+
+    dec = "DECIMAL(38,0)"
+
+    def s(txt: str, base: int) -> str:
+        return (
+            f"CAST(COALESCE(SUM(CAST(({txt}) AS {dec})), 0) AS DOUBLE)"
+            + (f" / CAST({base} AS DOUBLE)" if base != 1 else "")
+        )
+
+    w = "p3*(1000 - p3)"
+    g = "(1000*y - p3)"
+    return f"""
+    WITH feats AS ({_lr_feats_sql()}),
+    tr AS (SELECT * FROM feats WHERE doc_id % 5 <> 0),
+    te AS (SELECT * FROM feats WHERE doc_id % 5 = 0),
+    m1 AS (
+      SELECT {s('1', 1)} AS m00, {s('x1', 1)} AS m01, {s('x2', 1)} AS m02,
+             {s('x1*x1', 1)} AS m11, {s('x1*x2', 1)} AS m12,
+             {s('x2*x2', 1)} AS m22,
+             {s('s', 1)} AS s0, {s('x1*s', 1)} AS s1, {s('x2*s', 1)} AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_train
+      FROM (SELECT *, 2*y - 1 AS s FROM tr)
+    ),
+    b1t AS (
+      SELECT n_train,
+           {_lr_solve_sql("CAST(2 AS DOUBLE)", ("0.0", "0.0", "0.0"))}
+      FROM m1
+    ),
+    lin AS (
+      SELECT t.y, t.x1, t.x2, c.b0, c.b1, c.b2, c.n_train,
+             {_LR_P3_TXT} AS p3
+      FROM tr t, b1t c
+    ),
+    m2 AS (
+      SELECT b0 AS pb0, b1 AS pb1, b2 AS pb2, n_train,
+             {s(w, 1000000)} AS m00,
+             {s(f'({w})*x1', 1000000)} AS m01,
+             {s(f'({w})*x2', 1000000)} AS m02,
+             {s(f'({w})*x1*x1', 1000000)} AS m11,
+             {s(f'({w})*x1*x2', 1000000)} AS m12,
+             {s(f'({w})*x2*x2', 1000000)} AS m22,
+             {s(g, 1000)} AS s0,
+             {s(f'x1*{g}', 1000)} AS s1,
+             {s(f'x2*{g}', 1000)} AS s2
+      FROM lin GROUP BY b0, b1, b2, n_train
+    ),
+    b2t AS (
+      SELECT n_train,
+           {_lr_solve_sql("CAST(1 AS DOUBLE)", ("pb0", "pb1", "pb2"))}
+      FROM m2
+    ),
+    sc AS (
+      SELECT t.y, c.b0, c.b1, c.b2, c.n_train,
+             CASE WHEN {_LR_Z_TXT} >= CAST(0 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS pred
+      FROM te t, b2t c
+    ),
+    cf AS (
+      SELECT b0, b1, b2, n_train,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(COALESCE(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 END), 0)
+                  AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 END), 0)
+                  AS BIGINT) AS fp,
+             CAST(COALESCE(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 END), 0)
+                  AS BIGINT) AS tn,
+             CAST(COALESCE(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 END), 0)
+                  AS BIGINT) AS fn
+      FROM sc GROUP BY b0, b1, b2, n_train
+    )
+    SELECT n_train, n_test, b0, b1, b2, tp, fp, tn, fn,
+           CAST(FLOOR(CAST(10000 * (tp + tn) AS DOUBLE)
+                / CAST(n_test AS DOUBLE)) AS BIGINT) AS acc_bp
+    FROM cf
+    """
+
+
+@query("quality_logreg_score", _lr_oracle_sql())
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring with an in-engine trained linear
+    model: binary logistic regression (two unrolled quantized-IRLS
+    Newton rounds, stats.logreg_irls2) over two cheap integer text
+    features, predicting the contains-'spark' retrieval target on a
+    held-out doc_id%5 split — the trained-model stage between
+    decision_stump (one threshold) and an external fastText classifier
+    in a corpus curation pipeline. Everything is three scans × one
+    9-scalar map-side-partial aggregation + broadcast 1-row
+    coefficient joins; the oracle unrolls both Newton rounds in SQL
+    with the identical solve/sigmoid text (stats._LR_*_TXT)."""
+    from avocado_spark.operators.stats import logreg_irls2
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END").alias("y"),
+        F.expr(
+            "LEAST(length(text) - length(replace(text, ' ', '')), 99)"
+        ).alias("x1"),
+        F.expr(
+            "LEAST(CAST((length(text) - length(replace(text, 'data', '')))"
+            " / 4 AS BIGINT), 99)"
+        ).alias("x2"),
+    )
+    return logreg_irls2(docs, "x1", "x2", "y", "doc_id")

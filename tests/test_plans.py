@@ -1016,3 +1016,29 @@ def test_forecast_scan_pushes_all_ranges(spark):
     assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
     plan = plan_of(spark, "forecast_revenue_scan")
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_logreg_no_dense_expansion_no_shuffle_by_row(spark):
+    """quality_logreg_score (r13): each IRLS round is scan →
+    map-side-partial hash agg → one 9-scalar row; coefficients move as
+    broadcast 1-row joins. The plan must carry no cartesian, no window,
+    no sort, and no per-row Python eval — and the only row-shuffles
+    allowed are the single-partition agg exchanges."""
+    plan = final_plan(plan_of(spark, "quality_logreg_score"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    # no shuffle of raw doc rows: every row-exchange must carry only
+    # aggregation output — either the SinglePartition collapse of an
+    # agg, or the constant-key hashpartitioning over map-side PARTIAL
+    # agg rows (one row per mapper, the coefficient-carry groupBy)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" not in ln:
+            continue
+        below = " ".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in below and "partial_" in below, (
+            "row-level exchange:\n" + "\n".join(lines[i : i + 3])
+        )
