@@ -245,7 +245,10 @@ def tws_available() -> bool:
     (applyInPandasWithState) stays the default wherever protobuf is
     absent.
 
-    Probe log: re-checked 2026-08-16 (r12) — ``import google.protobuf``
+    Probe log: re-checked 2026-08-16 (r13) — unchanged from r12:
+    ``import google.protobuf`` still raises ModuleNotFoundError, so the
+    r12 note below stands verbatim.
+    r12 note: re-checked 2026-08-16 (r12) — ``import google.protobuf``
     still raises ModuleNotFoundError on this pyspark 4.1.2 runtime (no
     ``google`` namespace package at all), so the exact missing piece is
     the protobuf *Python* package the TWS state-server client imports;
