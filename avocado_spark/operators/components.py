@@ -1305,11 +1305,14 @@ def harmonic_centrality(
     """
     if n_words < 1:
         raise ValueError("harmonic_centrality: n_words must be >= 1")
-    und = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    # r13 perf: checkpoint the DIRECTED edge table and symmetrize
+    # LAZILY on top of it — the union is a zero-shuffle map over the
+    # in-memory checkpoint blocks, so each round still scans 2m compact
+    # rows but the materialization writes (and pins) half the rows.
+    # Isolated A/B at sf0.1: 4.58 s → 4.37 s best-of-3 interleaved.
     adj_ids: set[int] = set()
-    adj = _tracked_checkpoint(und, adj_ids)
+    e = _tracked_checkpoint(edges.select("u", "v"), adj_ids)
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ws = list(range(n_words))
     state = (
         adj.select(F.col("u").alias("node"))

@@ -230,6 +230,10 @@ _HEADLINE = [
         # marginal work is two label joins + a community rollup; the
         # 10x scale gate times it instead.
         "orders_theilsen_trend",
+        # r13: the trained-linear-model stage (two IRLS rounds as
+        # aggregations + broadcast coefficient joins) — cheap by
+        # design; benched for the same visibility as the NB classifier
+        "quality_logreg_score",
 ]
 
 
@@ -547,7 +551,17 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
 # change is recorded here with its reason (an intentional,
 # reviewed plan change — re-record the floor at the next
 # --record-floor run and clear the entry).
-_FP_ADJUDICATED: dict[str, str] = {}
+_FP_ADJUDICATED: dict[str, str] = {
+    "coorder_harmonic": (
+        "r13 intentional: directed-edge checkpoint + lazy symmetrize "
+        "(components.harmonic_centrality) — floor 4.99s -> ~3.9-4.4s "
+        "isolated; re-record at the next --record-floor"
+    ),
+    "coorder_harmonic_wide": (
+        "r13 intentional: same directed-checkpoint change as "
+        "coorder_harmonic (~4.8 -> ~3.4-4.2s isolated)"
+    ),
+}
 
 # Queries whose normalized plan text varies per SESSION by
 # construction (mkdtemp sink/source paths in the scan nodes) — a
