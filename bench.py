@@ -595,6 +595,11 @@ def _plan_fingerprint(df) -> str:
     txt = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", txt)
     txt = re.sub(r"@[0-9a-f]{6,}", "@x", txt)
     txt = re.sub(r"0x[0-9a-f]+", "0xX", txt)
+    # r13: higher-order-function lambda variables are numbered by a
+    # SESSION-GLOBAL counter (`lambda x_1` in a fresh session, `x_739`
+    # mid-bench) — measured: 38/88 headline fps flapped on it. The
+    # name suffix carries no plan information; normalize it.
+    txt = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_n", txt)
     return hashlib.md5(txt.encode()).hexdigest()
 
 
