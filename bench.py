@@ -268,7 +268,6 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
     # guest-side lever; 3 passes ≈ 2 min spread per query.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = [n for n in headline if n in registry]
-    last_df: dict = {}
     for _ in range(max(runs, 1)):
         for name in names:
             # time the full build+action; isolate per-query cache state
@@ -282,7 +281,6 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
                 rows[name] = df.count()
                 dt = time.perf_counter() - t0
                 timings[name] = min(timings.get(name, float("inf")), dt)
-                last_df[name] = df  # lazy ref for the fp diff below
             except Exception as e:  # noqa: BLE001 — keep benching the rest
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
@@ -304,8 +302,12 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
     # bursty-window class, no action); CHANGED fp → loud in the
     # artifact under changed_unadjudicated until either the floor is
     # re-recorded or the change is entered in _FP_ADJUDICATED with a
-    # reason. Fingerprints come off the LAST timed pass's DataFrame
-    # (plan-text only — no extra execution).
+    # reason. Fingerprints come from a FRESH build per query — the
+    # floor's method; fingerprinting the timed pass's executed df reads
+    # the AQE-FINALIZED plan (runtime shuffle reads, broadcast
+    # conversions) and flapped 11 queries against the floor's
+    # pre-execution fingerprints. The rebuild is plan-only for most
+    # queries; driver-compute builds re-pay their bounded collects.
     plan_fp_match: dict[str, object] = {}
     fp_changed: list = []
     host_slow: dict[str, dict] = {}
@@ -320,13 +322,13 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
         pass
     for name in names:
         ref = floor_q.get(name, {}).get("plan_fp")
-        if ref is None or name not in last_df:
+        if ref is None or name not in timings:
             continue
         if name in _FP_SESSION_UNSTABLE:
             plan_fp_match[name] = "unstable: " + _FP_SESSION_UNSTABLE[name]
             continue
         try:
-            fp = _plan_fingerprint(last_df[name])
+            fp = _plan_fingerprint(registry[name](spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — diffing is best-effort
             plan_fp_match[name] = f"error: {e}"[:120]
             continue
@@ -346,7 +348,6 @@ def _run_bench(spark, sf_dir: str, sf: float, headline) -> None:
         elif over:
             host_slow[name] = {"floor_best": best, "t": timings[name],
                                "verdict": "host"}
-    last_df.clear()
 
     # Key ORDER is load-bearing (r11 verdict #3): the driver's BENCH
     # artifact keeps only a ~2 KB TAIL of stdout, so the static notes
@@ -573,6 +574,13 @@ _FP_ADJUDICATED: dict[str, str] = {}
 # construction (mkdtemp sink/source paths in the scan nodes) — a
 # floor-vs-bench fp compare would always read "changed"; skip them.
 _FP_SESSION_UNSTABLE: dict[str, str] = {
+    # measured r13: hashed DIFFERENTLY in each of two identical
+    # --record-floor runs and again in the bench run, while perfectly
+    # stable across fresh sessions and light-history probes — some
+    # full-bench-history planning state survives normalization; parked
+    # here with its timing still bench-gated until the residue is
+    # identified
+    "interval_join_broadcast": "flaps under full bench history only",
     "sink_roundtrip_partitioned": "mkdtemp sink path in scan",
     "sink_sorted_single_file": "mkdtemp sink path in scan",
     "bucketed_colocated_join": "per-run warehouse/table suffix",
