@@ -38,7 +38,9 @@ def _persistent_rdd_ids(df: DataFrame) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
-def _tracked_checkpoint(df: DataFrame, owned: set[int]) -> DataFrame:
+def _tracked_checkpoint(
+    df: DataFrame, owned: set[int], eager: bool = True
+) -> DataFrame:
     """Eager ``localCheckpoint`` that RECORDS the RDD id it pinned, so
     iterative callers can release each round's blocks once the next
     round is materialized. Driver-side GC does not reliably reach
@@ -53,9 +55,15 @@ def _tracked_checkpoint(df: DataFrame, owned: set[int]) -> DataFrame:
     set — so two queries running concurrently in one SparkSession can
     never claim (and then unpersist) each other's checkpoint blocks.
     A set-diff fallback covers Spark builds where the plan shape
-    differs; it is only reachable if the direct capture fails."""
+    differs; it is only reachable if the direct capture fails.
+
+    ``eager=False`` defers materialization to the caller's FIRST action
+    over the returned DataFrame (r13): when that action reads every
+    partition anyway (e.g. a partition-weight rollup), the separate
+    materialization job is pure overhead — one sequential driver job
+    saved, same pinned blocks, same release discipline."""
     before = _persistent_rdd_ids(df)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     try:
         owned.add(int(out._jdf.queryExecution().analyzed().rdd().id()))
     except Exception:  # pragma: no cover — non-LogicalRDD plan shape
@@ -118,36 +126,37 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _signature(e: DataFrame) -> tuple[int, int]:
-    """Order-free fingerprint of an edge set: (count, sum of row
-    hashes) in ONE action."""
-    row = e.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
-    ).first()
-    return int(row["n"]), int(row["h"])
-
-
 def _is_star_forest(e: DataFrame) -> bool:
     """Structural convergence proof: the star rounds' fixed points are
-    exactly the min-rooted star forests, i.e. (1) every member u points
-    to a single root and (2) no root v is itself a member. Because the
-    rounds only contract connectivity (never split it), a star-forest
-    edge set IS the component map — so this check makes termination
-    proof-positive where the hash signature alone is probabilistic
-    (a ~2^-64 collision could otherwise freeze a wrong labeling)."""
-    multi_root = (
-        e.groupBy("u").agg(F.count("*").alias("n")).where(F.col("n") > 1).limit(1).count()
+    exactly the star forests. Every ``_small_star`` output points
+    DOWNWARD (v < u: each edge attaches a node to the min of a
+    neighborhood containing it), and a downward star forest maps to
+    ITSELF under both star operations (large-star: m(root) = root, so
+    every member re-attaches to its root; small-star: each member is
+    its own ``hi`` with the root as only ``lo``) — so a post-round
+    state that passes this check IS the fixed point, and the loop can
+    terminate the round it appears instead of waiting for an edge-set
+    signature to repeat (r13: the signature gate cost one extra full
+    round — shuffles, checkpoint and all — per call, and was only
+    probabilistic evidence where this check is proof-positive).
+
+    Star forest ⟺ (1) every member u has exactly one outgoing edge and
+    (2) no root v is itself a member — checked in ONE action: tag
+    endpoints, one hash-agg per node, any violating node short-circuits
+    the limit(1)."""
+    ends = e.select(
+        F.col("u").alias("x"), F.lit(1).alias("_nu"), F.lit(0).alias("_nv")
+    ).unionAll(
+        e.select(F.col("v").alias("x"), F.lit(0).alias("_nu"), F.lit(1).alias("_nv"))
     )
-    if multi_root:
-        return False
-    root_is_member = (
-        e.select("v")
-        .join(e.select(F.col("u").alias("v")), "v", "left_semi")
+    bad = (
+        ends.groupBy("x")
+        .agg(F.sum("_nu").alias("nu"), F.max("_nv").alias("iv"))
+        .where((F.col("nu") > 1) | ((F.col("nu") >= 1) & (F.col("iv") == 1)))
         .limit(1)
         .count()
     )
-    return root_is_member == 0
+    return bad == 0
 
 
 def connected_components(
@@ -185,7 +194,6 @@ def connected_components(
         residual,
     )
 
-    sig = _signature(e)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -196,12 +204,13 @@ def connected_components(
         # round's blocks are now unreachable by any consumer; free them
         _release_rdds(e, prev_ids)
         prev_ids = cur_ids
-        new_sig = _signature(e)
-        # cheap signature equality gates the (slightly dearer) structural
-        # proof; only a star-forest-confirmed state terminates the loop
-        if new_sig == sig and _is_star_forest(e):
+        # structural convergence, checked EVERY round: a star-forest
+        # state after _small_star is provably the fixed point (see
+        # _is_star_forest), so this terminates one full round earlier
+        # than waiting for an edge-set signature to stabilize — and the
+        # per-round signature action disappears with it
+        if _is_star_forest(e):
             break
-        sig = new_sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     if stats is not None:  # telemetry: scale-growth diagnosis (r6 #6)

@@ -251,14 +251,29 @@ def interval_join_group_right(
     right_key: str,
     strategy: str = "broadcast",
     bin_width: int = DEFAULT_BIN_WIDTH,
+    matches: str = "collect",
 ) -> DataFrame:
     """J1 fused form: join + groupByKey(right) — one output row per right
     row with the list of matching left rows (TreeRegionJoin.joinAndGroupByRight,
     avocado-core/.../util/TreeRegionJoin.scala:163-203; right rows with no
-    match are dropped, matching the reference's inner semantics)."""
+    match are dropped, matching the reference's inner semantics).
+
+    ``matches='count'`` (r13 optimization round) returns ``n_matches``
+    (the list's size) instead of the list itself: a consumer that only
+    sizes the groups — coverage histograms, per-read match counts —
+    otherwise pays an ObjectHashAggregate whose state is the full
+    struct list just to take ``size()`` of it (guide §2.3: don't build
+    agg state you throw away). count(*) over the same groups is a
+    codegen HashAggregate with map-side partials, provably
+    ``size(collect_list(...))`` row for row (both count the joined
+    rows per right-row group; the inner join guarantees ≥ 1)."""
     j = interval_join(left, right, strategy=strategy, bin_width=bin_width)
     lcols = [c for c in j.columns if c.startswith("l_")]
     rcols = [c for c in j.columns if c.startswith("r_")]
+    if matches == "count":
+        return j.groupBy(*rcols).agg(
+            F.count(F.lit(1)).alias("n_matches")
+        )
     # group on ALL right columns (functionally dependent on the key):
     # one collect_list instead of a first() buffer per carried column —
     # halves the ObjectHashAggregate state

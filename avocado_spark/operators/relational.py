@@ -2365,8 +2365,12 @@ def _ungrouped_weighted_quantile(
     sess = g.sparkSession
     nparts = _default_buckets(sess)
     ids: set[int] = set()
+    # LAZY checkpoint (r13): the partition-weight rollup right below is
+    # the first action and reads every partition, so it materializes
+    # the pinned blocks itself — the separate eager-materialization job
+    # this used to run was pure overhead
     rg = _tracked_checkpoint(
-        g.repartitionByRange(nparts, F.col("_wq_v").asc()), ids
+        g.repartitionByRange(nparts, F.col("_wq_v").asc()), ids, eager=False
     )
     parts = (
         rg.groupBy(F.spark_partition_id().alias("_wq_pid"))

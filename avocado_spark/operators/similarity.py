@@ -210,6 +210,16 @@ def ivf_topk(
         "q_v",
         keep=n_probe,
     )
+    # r13 optimization round: broadcast the bounded probe side when the
+    # bound is plan-provable (the limit(n) eval-sample shape) — the
+    # cell-id join key has only n_centroids distinct values, so a
+    # shuffle join on it concentrates the corpus on n_centroids
+    # partitions; broadcasting ≤ bound·n_probe probe rows streams the
+    # inverted file in place instead. Unbounded queries keep the
+    # shuffle join.
+    qbound = _static_row_bound(queries)
+    if qbound is not None and qbound <= MAX_EVAL_QUERIES:
+        q = F.broadcast(q)
     pairs = q.join(base, "c_id").where(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id",
@@ -328,6 +338,10 @@ def ivf_kmeans_topk(
 
     base = assign(qv, "n_id", "n_v", keep=1)
     q = assign(qv.join(queries.select("vec_id"), "vec_id"), "q_id", "q_v", keep=n_probe)
+    # bounded probe side → broadcast (see ivf_topk; r13 optimization)
+    qbound = _static_row_bound(queries)
+    if qbound is not None and qbound <= MAX_EVAL_QUERIES:
+        q = F.broadcast(q)
     pairs = q.join(base, "c_id").where(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id",
@@ -374,22 +388,31 @@ def recall_eval(
         raise ValueError(f"unknown ANN method: {method}")
     exact = brute_force_topk(embeddings, queries, k=k)
     ex = exact.select("q_id", "n_id")
-    hits = (
-        ex.join(ann.select("q_id", "n_id"), ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").cast("int").alias("n_hits"))
+    # ONE pass (r13 optimization round): the previous per_q ⋈ hits
+    # fan-in computed the exact arm TWICE (Spark does not reuse common
+    # subplans across separately-built joins) and paid two shuffle
+    # joins plus two agg exchanges. A LEFT join of the ≤q·k-row ANN
+    # list onto the exact list (broadcast: both sides are bounded by
+    # the MAX_EVAL_QUERIES eval contract) and a single per-query agg
+    # produce the identical (n_exact, n_hits, recall) rows — each
+    # exact row matches at most one ANN row on (q_id, n_id), so
+    # count(_hit) ≡ the inner-join count, with 0 for miss-only queries
+    # exactly as the old coalesce produced.
+    marked = ex.join(
+        F.broadcast(ann.select("q_id", "n_id", F.lit(1).alias("_hit"))),
+        ["q_id", "n_id"],
+        "left",
     )
-    per_q = ex.groupBy("q_id").agg(F.count("*").cast("int").alias("n_exact"))
-    return (
-        per_q.join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            "n_exact",
-            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
+    return marked.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact"),
+        F.count("_hit").cast("int").alias("n_hits"),
+    ).select(
+        "q_id",
+        "n_exact",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
     )
 
 
@@ -870,7 +893,25 @@ def mmr_diversify_topk(
                 9,
             ).alias("sim"),
         )
-        sims = _tracked_checkpoint(sims, owned)
+        # r13: fold the pairwise sims into ONE map column per candidate
+        # (b_id → sim; ≤ n_candidates−1 entries, a driver-known bound)
+        # joined onto the relevance row. Each greedy round is then a
+        # single scan of this one checkpointed table — the selected set
+        # enters as a LITERAL q_id→array map expression, so the
+        # per-round createDataFrame, two broadcast builds, anti-join
+        # and sims join all disappear (same score expression, same
+        # 9-dp Spark round, same max-of-struct argmax).
+        simm = sims.groupBy(F.col("q_id").alias("qm_id"), "a_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b_id", "sim"))
+            ).alias("smap")
+        )
+        candm = cand.join(
+            simm,
+            (cand["q_id"] == simm["qm_id"]) & (cand["c_id"] == simm["a_id"]),
+            "left",
+        ).select("q_id", "c_id", "rel", "smap")
+        candm = _tracked_checkpoint(candm, owned)
 
         def _argmax(scored: DataFrame) -> list:
             # (q_id, vec_id, score) rows: max score, smaller-id tiebreak
@@ -890,32 +931,31 @@ def mmr_diversify_topk(
             )
 
         picks: list[tuple] = []  # (q_id, mmr_rank, vec_id, score)
-        sel = _argmax(cand.select("q_id", "c_id", F.col("rel").alias("score")))
+        sel = _argmax(candm.select("q_id", "c_id", F.col("rel").alias("score")))
         picks.extend((r["q_id"], 1, r["vec_id"], r["score"]) for r in sel)
         for t in range(2, k + 1):
-            sel_df = spark.createDataFrame(
-                [(q, v) for q, _, v, _ in picks], "qs_id long, s_id long"
+            # selected set as a literal map: q_id → array of picked ids
+            sel_by_q: dict = {}
+            for q, _, v, _ in picks:
+                sel_by_q.setdefault(q, []).append(v)
+            map_args: list = []
+            for q, ids in sel_by_q.items():
+                map_args.append(F.lit(q))
+                map_args.append(F.array(*[F.lit(int(v)) for v in ids]))
+            sel_arr = F.create_map(*map_args)[F.col("q_id")]
+            # msim = max sim to any selected id: map lookups over the
+            # precomputed per-candidate sim map — identical values to
+            # the old per-round max(sim) join (the map holds every
+            # b_id ≠ c_id of the same query, and a selected id is never
+            # the candidate itself)
+            msim = F.array_max(
+                F.transform(sel_arr, lambda s: F.element_at(F.col("smap"), s))
             )
-            ms = (
-                sims.join(
-                    F.broadcast(sel_df),
-                    (sims["q_id"] == F.col("qs_id")) & (sims["b_id"] == F.col("s_id")),
-                )
-                .groupBy("q_id", "a_id")
-                .agg(F.max("sim").alias("msim"))
-            )
-            remaining = cand.join(
-                F.broadcast(sel_df),
-                (cand["q_id"] == F.col("qs_id")) & (cand["c_id"] == F.col("s_id")),
-                "left_anti",
-            )
-            scored = remaining.join(
-                ms, (remaining["q_id"] == ms["q_id"]) & (remaining["c_id"] == ms["a_id"])
-            ).select(
-                remaining["q_id"],
+            scored = candm.where(~F.array_contains(sel_arr, F.col("c_id"))).select(
+                "q_id",
                 "c_id",
                 F.round(
-                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim"), 9
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim, 9
                 ).alias("score"),
             )
             picks.extend(

@@ -288,11 +288,32 @@ def acf(
 # ---------------------------------------------------------------------------
 
 
+def _dup_and_count(
+    series: DataFrame, key_cols: Sequence[str]
+) -> tuple[int, tuple | None]:
+    """ONE driver job serving two contract checks (r13): the total row
+    count (the ``bounded_*_pairs`` cap input) and an example duplicate
+    ``key_cols`` value if any exists (the distinct-t contract). The
+    example is the lexicographic min duplicate key — deterministic, so
+    error messages are reproducible. Returns ``(n, dup)`` with ``dup``
+    None when the keys are distinct, else a tuple of key values."""
+    per_key = series.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_dc_c"))
+    row = per_key.agg(
+        F.coalesce(F.sum("_dc_c"), F.lit(0)).alias("_dc_n"),
+        F.min(
+            F.when(F.col("_dc_c") > 1, F.struct(*[F.col(c) for c in key_cols]))
+        ).alias("_dc_dup"),
+    ).first()
+    dup = row["_dc_dup"]
+    return int(row["_dc_n"]), (tuple(dup) if dup is not None else None)
+
+
 def bounded_self_pairs(
     series: DataFrame,
     t_col: str,
     val_cols: Sequence[str],
     max_points: int = 5_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All i<j pairs of a BOUNDED series, distributed: the series is
     gathered into ONE sorted struct array (≤ ``max_points`` rows —
@@ -312,8 +333,13 @@ def bounded_self_pairs(
 
     Returns one row per (i < j) pair with columns ``l_<c>`` / ``r_<c>``
     for ``t_col`` and every ``val_cols`` entry.
+
+    ``n_rows``: the series row count when the caller already holds it
+    (every stats estimator here runs a contract-check agg over the
+    checkpointed series anyway — r13: passing the count through drops
+    one sequential driver job per estimator call).
     """
-    n = series.count()  # bounded driver scalar (cap check)
+    n = series.count() if n_rows is None else n_rows  # bounded driver scalar
     if n > max_points:
         raise ValueError(
             f"bounded_self_pairs: series has {n} points > cap {max_points}; "
@@ -347,15 +373,16 @@ def bounded_group_pairs(
     t_col: str,
     val_cols: Sequence[str],
     max_points: int = 5_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-GROUP i<j pairs of a bounded series: the grouped sibling of
     :func:`bounded_self_pairs` — one sorted struct array per group, the
     same triangle-slice explode, pairs never cross groups. The cap is
-    on the TOTAL series row count (one cheap count), which bounds every
-    group. Returns one row per within-group (i < j) pair with the
-    group columns plus ``l_<c>`` / ``r_<c>`` for ``t_col`` and every
-    ``val_cols`` entry."""
-    n = series.count()  # bounded driver scalar (cap check)
+    on the TOTAL series row count (one cheap count — or ``n_rows`` when
+    the caller already holds it), which bounds every group. Returns one
+    row per within-group (i < j) pair with the group columns plus
+    ``l_<c>`` / ``r_<c>`` for ``t_col`` and every ``val_cols`` entry."""
+    n = series.count() if n_rows is None else n_rows  # bounded driver scalar
     if n > max_points:
         raise ValueError(
             f"bounded_group_pairs: series has {n} points > cap "
@@ -457,15 +484,18 @@ def theil_sen(
 
     Recompute discipline: the O(n²/2) pair explode is pre-aggregated
     to a (slope, weight) table and TRACKED-CHECKPOINTED, so the pair
-    pipeline runs exactly once, and both medians ride
+    pipeline runs exactly once; the SLOPE median rides
     weighted_quantile's UNGROUPED fast path (one range exchange +
-    driver histogram + a window over only the straddling partition).
-    First landed un-materialized on the general rank machinery, the
-    sf0.1 query cost 27.9 s (the pair explode re-ran ~5× and the
+    driver histogram + a window over only the straddling partition),
+    while the INTERCEPT median is a bounded driver collect of the
+    ≤ max_points residuals (r13 — the cap already proves the bound, so
+    a second quantile machine was 4 sequential jobs for a ≤5,000-row
+    sort). First landed un-materialized on the general rank machinery,
+    the sf0.1 query cost 27.9 s (the pair explode re-ran ~5× and the
     31-literal bucket projection re-paid a ~10 s first-compile per
     fresh plan); checkpointed + fast-path it is ~4-6 s. The bounded
     input series is checkpointed too, and all blocks are released
-    once the 1-row result materializes.
+    before the literal 1-row result returns.
     """
     from avocado_spark.operators.components import (
         _release_rdds,
@@ -479,23 +509,22 @@ def theil_sen(
     # which under ANSI mode throws an opaque DIVIDE_BY_ZERO deep in the
     # pair stage (and under non-ANSI yields a NULL slope the weighted
     # median would silently skip). One cheap agg on the checkpointed
-    # ≤max_points-row series buys a clear error instead.
-    dup_t = (
-        series.groupBy(t_col)
-        .agg(F.count(F.lit(1)).alias("_ts_c"))
-        .where(F.col("_ts_c") > 1)
-        .first()
-    )
+    # ≤max_points-row series buys a clear error instead — FUSED (r13)
+    # with the pair-cap row count, so contract check + cap check cost
+    # one sequential driver job, not two.
+    n_rows, dup_t = _dup_and_count(series, [t_col])
     if dup_t is not None:
         _release_rdds(series, ser_ids)
         raise ValueError(
-            f"theil_sen: duplicate t value {dup_t[t_col]!r} — pairwise "
+            f"theil_sen: duplicate t value {dup_t[0]!r} — pairwise "
             "slopes need distinct t (Δt = 0 is undefined); deduplicate "
             "or pre-aggregate t first"
         )
     grp_ids: set[int] = set()
     try:
-        pairs = bounded_self_pairs(series, t_col, [y_col], max_points)
+        pairs = bounded_self_pairs(
+            series, t_col, [y_col], max_points, n_rows=n_rows
+        )
         slopes = pairs.select(
             F.expr(
                 f"CAST(r_{y_col} - l_{y_col} AS DOUBLE) / CAST(r_{t_col} - l_{t_col} AS DOUBLE)"
@@ -527,21 +556,29 @@ def theil_sen(
                 f"CAST({y_col} AS DOUBLE) - CAST({slope!r} AS DOUBLE) * CAST({t_col} AS DOUBLE)"
             ).alias("_ts_resid"),
         )
-        imed = weighted_quantile(
-            resid.withColumn("_ts_w", F.lit(1).cast("bigint")),
-            [],
-            "_ts_resid",
-            "_ts_w",
-            stats=stats,
+        # intercept = LOWER median of the residuals. The residual table
+        # is ≤ max_points rows BY THE ENFORCED CAP above, so this is a
+        # bounded driver collect (the repo's bounded-collect
+        # discipline) — one job, replacing the second weighted_quantile
+        # machine (range exchange + partition histogram + straddling
+        # window + result checkpoint, 4 sequential jobs) the intercept
+        # used to ride (r13). Ordering matches the range sort: NaN
+        # sorts greater than any double (Spark's double order), and the
+        # lower median is row ⌈n/2⌉ of the ascending sort — exactly
+        # weighted_quantile's 2·cum ≥ tot threshold at unit weights.
+        # The 6-dp rounds stay SPARK expressions over literals, so the
+        # HALF_UP double rounding is the engine's own, not Python's.
+        vals = sorted(
+            (r[0] for r in resid.collect()),
+            key=lambda v: (v != v, v),  # (is_nan, value): NaN last
         )
-        out = imed.select(
-            F.col("total_weight").cast("bigint").alias("n_points"),
+        med_resid = vals[(len(vals) + 1) // 2 - 1]
+        out = series.sparkSession.range(1).select(
+            F.lit(len(vals)).cast("bigint").alias("n_points"),
             F.lit(n_pairs).cast("bigint").alias("n_pairs"),
             F.round(F.lit(slope), 6).alias("slope"),
-            F.round(F.col("wq_value"), 6).alias("intercept"),
+            F.round(F.lit(float(med_resid)), 6).alias("intercept"),
         )
-        residual: set[int] = set()
-        out = _tracked_checkpoint(out, residual)  # 1-row residual block
     except BaseException:
         # release-on-raise (r13, ADVICE): the max_points cap ValueError
         # from bounded_*_pairs — or any downstream failure — must not
@@ -551,9 +588,10 @@ def theil_sen(
         _release_rdds(series, ser_ids)
         _release_rdds(series, grp_ids)  # slope table, if checkpointed
         raise
-    _release_rdds(out, ser_ids)
-    if stats is not None:
-        stats.setdefault("residual_rdd_ids", set()).update(residual)
+    # the residuals were collected above, so the series blocks are no
+    # longer read by anything — and the returned 1-row plan is literal,
+    # so there are no residual checkpoint blocks to report
+    _release_rdds(series, ser_ids)
     return out
 
 
@@ -627,22 +665,18 @@ def mann_kendall(
 
     ser_ids: set[int] = set()
     series = _tracked_checkpoint(series, ser_ids)
-    dup_t = (
-        series.groupBy(t_col)
-        .agg(F.count(F.lit(1)).alias("_mk_c"))
-        .where(F.col("_mk_c") > 1)
-        .first()
-    )
+    # contract check + pair-cap count in ONE driver job (r13)
+    n_rows, dup_t = _dup_and_count(series, [t_col])
     if dup_t is not None:
         _release_rdds(series, ser_ids)
         raise ValueError(
-            f"mann_kendall: duplicate t value {dup_t[t_col]!r} — S is "
+            f"mann_kendall: duplicate t value {dup_t[0]!r} — S is "
             "defined over time-ordered pairs and same-t pairs have no "
             "order (the struct sort would break the tie by y, inflating "
             "S); deduplicate or pre-aggregate t first"
         )
     try:
-        p = bounded_self_pairs(series, t_col, [y_col], max_points)
+        p = bounded_self_pairs(series, t_col, [y_col], max_points, n_rows=n_rows)
         ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
         s_agg = p.agg(
             F.coalesce(
@@ -737,21 +771,19 @@ def seasonal_mann_kendall(
 
     ser_ids: set[int] = set()
     series = _tracked_checkpoint(series, ser_ids)
-    dup = (
-        series.groupBy(season_col, t_col)
-        .agg(F.count(F.lit(1)).alias("_smk_c"))
-        .where(F.col("_smk_c") > 1)
-        .first()
-    )
+    # contract check + pair-cap count in ONE driver job (r13)
+    n_rows, dup = _dup_and_count(series, [season_col, t_col])
     if dup is not None:
         _release_rdds(series, ser_ids)
         raise ValueError(
             f"seasonal_mann_kendall: duplicate (season, t) = "
-            f"({dup[season_col]!r}, {dup[t_col]!r}) — within-season "
+            f"({dup[0]!r}, {dup[1]!r}) — within-season "
             "pairs need distinct t; deduplicate or pre-aggregate first"
         )
     try:
-        p = bounded_group_pairs(series, [season_col], t_col, [y_col], max_points)
+        p = bounded_group_pairs(
+            series, [season_col], t_col, [y_col], max_points, n_rows=n_rows
+        )
         ly, ry = F.col(f"l_{y_col}"), F.col(f"r_{y_col}")
         s_agg = p.agg(
             F.coalesce(

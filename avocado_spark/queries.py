@@ -415,14 +415,27 @@ def interval_join_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full struct width, and Catalyst cannot prune columns through
     the struct constructor — the histogram only sizes the lists, so
     carrying variant payloads would pay ~2× in agg state for nothing
-    (measured r9: warm 6.9 s full-width vs 3.3 s pruned at sf0.1)."""
+    (measured r9: warm 6.9 s full-width vs 3.3 s pruned at sf0.1).
+
+    r13 optimization round: the histogram only needs the SIZE of each
+    read's match list, so the fused operator runs in ``matches='count'``
+    mode — a codegen count agg with map-side partials instead of the
+    ObjectHashAggregate list build (size(collect_list) ≡ count(*) per
+    group; the equivalence is unit-gated in
+    tests/test_interval_join_auto.py) — and the right side is pruned
+    to the interval keys + read_id the query actually consumes, so the
+    group-by keys (and the exchange) stay narrow (guide §2.3)."""
     v = tables.derived(spark, sf_dir, "variants_rel").select(
         "contig", "start", "end"
     )
-    r = tables.derived(spark, sf_dir, "reads_rel")
-    grouped = IJ.interval_join_group_right(v, r, right_key="read_id")
+    r = tables.derived(spark, sf_dir, "reads_rel").select(
+        "read_id", "contig", "start", "end"
+    )
+    grouped = IJ.interval_join_group_right(
+        v, r, right_key="read_id", matches="count"
+    )
     return (
-        grouped.select(F.size("matches").alias("n_variants"))
+        grouped.select(F.col("n_matches").cast("int").alias("n_variants"))
         .groupBy("n_variants")
         .agg(F.count("*").alias("n_reads"))
     )

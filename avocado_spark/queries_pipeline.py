@@ -1291,28 +1291,36 @@ def ann_ivf_kmeans_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provable rowCount in the plan so the eval guard needs no job
     q = emb.where(F.col("vec_id") < 30).limit(30)
     exact = S.brute_force_topk(emb, q, k=5).select("q_id", "n_id")
-    first = S.ivf_topk(emb, q, k=5).select("q_id", F.col("n_id").alias("f_id"))
-    km = S.ivf_kmeans_topk(emb, q, k=5).select("q_id", F.col("n_id").alias("k_id"))
-    hits_f = exact.join(
-        first, (exact["q_id"] == first["q_id"]) & (exact["n_id"] == first["f_id"])
-    ).groupBy(exact["q_id"].alias("q_id")).agg(F.count("*").cast("int").alias("hits_first_n"))
-    hits_k = exact.join(
-        km, (exact["q_id"] == km["q_id"]) & (exact["n_id"] == km["k_id"])
-    ).groupBy(exact["q_id"].alias("q_id")).agg(F.count("*").cast("int").alias("hits_kmeans"))
-    per_q = exact.groupBy("q_id").agg(F.count("*").cast("int").alias("n_exact"))
+    first = S.ivf_topk(emb, q, k=5).select("q_id", "n_id", F.lit(1).alias("_f"))
+    km = S.ivf_kmeans_topk(emb, q, k=5).select("q_id", "n_id", F.lit(1).alias("_k"))
+    # r13 optimization round: the per_q/hits_f/hits_k fan-in built the
+    # brute-force exact arm THREE times (no common-subplan reuse) and
+    # paid three shuffle joins + three agg exchanges. This is the
+    # oracle's own shape instead — exact LEFT JOIN each ANN list on
+    # (q_id, n_id), ONE per-query agg. Both ANN lists are ≤ 30·5 rows
+    # by the limit(30) eval sample → broadcast. count(_f)/count(_k)
+    # ≡ the inner-join hit counts (each exact row matches ≤ 1 ANN row),
+    # with 0 where the old coalesce produced 0 — identical output.
+    j = exact.join(F.broadcast(first), ["q_id", "n_id"], "left").join(
+        F.broadcast(km), ["q_id", "n_id"], "left"
+    )
     return (
-        per_q.join(hits_f, "q_id", "left")
-        .join(hits_k, "q_id", "left")
+        j.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.count("_f").cast("int").alias("hits_first_n"),
+            F.count("_k").cast("int").alias("hits_kmeans"),
+        )
         .select(
             "q_id",
             "n_exact",
-            F.coalesce("hits_first_n", F.lit(0)).cast("int").alias("hits_first_n"),
-            F.coalesce("hits_kmeans", F.lit(0)).cast("int").alias("hits_kmeans"),
+            "hits_first_n",
+            "hits_kmeans",
             F.round(
-                F.coalesce("hits_first_n", F.lit(0)).cast("double") / F.col("n_exact"), 6
+                F.col("hits_first_n").cast("double") / F.col("n_exact"), 6
             ).alias("recall_first_n"),
             F.round(
-                F.coalesce("hits_kmeans", F.lit(0)).cast("double") / F.col("n_exact"), 6
+                F.col("hits_kmeans").cast("double") / F.col("n_exact"), 6
             ).alias("recall_kmeans"),
         )
     )
@@ -3981,6 +3989,9 @@ def ann_pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", F.col("n_id").alias("r_id")
     )
     exact = SIM.brute_force_topk(emb, q, k=5).select("q_id", "n_id")
+    # both ANN arms are ≤ 30·5 rows by the limit(30) eval sample —
+    # broadcast so the fan-in never exchanges (r13 optimization round)
+    adc5, rr = F.broadcast(adc5), F.broadcast(rr)
     j = exact.join(
         adc5, (exact["q_id"] == adc5["q_id"]) & (exact["n_id"] == adc5["a_id"]), "left"
     ).join(

@@ -124,3 +124,21 @@ def test_native_strategy_falls_back_to_binned_on_oss(spark):
     assert out.count() == 1
     got = interval_join(left, right, strategy="binned").count()
     assert got == 1
+
+
+def test_group_right_count_mode_matches_collect(spark):
+    """r13 optimization: matches='count' must equal size(collect_list)
+    row for row — the histogram queries ride the count mode, so the
+    equivalence is the correctness contract of the optimization."""
+    from pyspark.sql import functions as F
+
+    left, right = _toy(spark, 60), _toy(spark, 40)
+    collected = IJ.interval_join_group_right(left, right, right_key="v_id")
+    counted = IJ.interval_join_group_right(
+        left, right, right_key="v_id", matches="count"
+    )
+    a = sorted(
+        (r["r_v_id"], len(r["matches"])) for r in collected.collect()
+    )
+    b = sorted((r["r_v_id"], r["n_matches"]) for r in counted.collect())
+    assert a == b and len(a) > 0
