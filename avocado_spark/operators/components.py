@@ -293,7 +293,11 @@ def triangle_counts(
     # blocks to its degree agg) — the caller then owns the release.
     edge_ids: set[int] = set()
     if not assume_materialized:
-        edges = _tracked_checkpoint(edges, edge_ids)
+        # r13 optimization round: LAZY checkpoint — the pack-stats agg
+        # below reads every edge partition anyway, so it doubles as the
+        # materialization action (−1 sequential driver job; same pinned
+        # blocks, same release discipline).
+        edges = _tracked_checkpoint(edges, edge_ids, eager=False)
     # one bounded agg: row count + packed-key eligibility (see
     # _edge_pack_stats — single-BIGINT closing key when ids < 2^31)
     n_edges, packable = _edge_pack_stats(edges)
@@ -303,9 +307,17 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+    # r13 optimization round: the degree table is node-sized (≤ 2m
+    # rows, 2 narrow columns). Under the same cap that already gates
+    # the closing-edge broadcast, hint it broadcast so the orientation
+    # join never shuffles the EDGE stream (two shuffle-writes of the
+    # edge table gone; statistics over a checkpointed LogicalRDD are
+    # too coarse for Spark to pick this itself). Past the cap the
+    # planner keeps the shuffle join — identical results.
+    deg_b = F.broadcast(deg) if n_edges <= broadcast_max_edges else deg
     e = (
-        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        edges.join(deg_b.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg_b.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
     )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -404,12 +416,16 @@ def clustering_coefficients(
     is k rows, not node-sized (the edge_strength discipline).
     """
     edge_ids: set[int] = set()
-    edges = _tracked_checkpoint(edges, edge_ids)
+    # lazy checkpoint (r13): triangle_counts' internal pack-stats agg
+    # is the first action over these blocks and materializes them.
+    edges = _tracked_checkpoint(edges, edge_ids, eager=False)
+    tstats: dict = {}
     tri = triangle_counts(
         edges,
         broadcast_max_edges=broadcast_max_edges,
         materialize_result=False,
         assume_materialized=True,
+        stats=tstats,
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -417,6 +433,11 @@ def clustering_coefficients(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
+    # the triangle table is ≤ node-sized; under the same cap as the
+    # wedge machinery, broadcast it so the node-keyed left join never
+    # re-shuffles the degree table (r13)
+    if tstats.get("n_edges", broadcast_max_edges + 1) <= broadcast_max_edges:
+        tri = F.broadcast(tri)
     dec = "decimal(38,0)"
     scored = (
         deg.where(F.col("d") >= 2)
@@ -920,7 +941,9 @@ _PACK_UV = "shiftleft(CAST(u AS BIGINT), 32) + v"
 
 
 def _edge_support(
-    edges: DataFrame, broadcast_max_edges: int
+    edges: DataFrame,
+    broadcast_max_edges: int,
+    pack_stats: tuple[int, bool] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared wedge machinery for the per-EDGE triangle family
     (edge_strength, k_truss): degree-oriented wedge generation —
@@ -937,17 +960,30 @@ def _edge_support(
     single-long hash probe halves it (measured 5.6 s → 2.3 s on the
     1.2M-edge / 41M-wedge co-order graph at sf0.1). Ids ≥ 2^31
     (100 TB-scale keys) auto-fall back to the two-column join —
-    identical results, same O(m^1.5) shape either way."""
-    n_edges, packable = _edge_pack_stats(edges)
+    identical results, same O(m^1.5) shape either way.
+
+    ``pack_stats``: a precomputed ``_edge_pack_stats(edges)`` result.
+    Iterative callers peeling a SUBSET each round (k_truss) pass the
+    round-1 stats through when they stay valid — packability and
+    broadcastability are monotone under edge removal — saving one
+    full-scan agg job per round (r13 optimization round)."""
+    n_edges, packable = (
+        _edge_pack_stats(edges) if pack_stats is None else pack_stats
+    )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+    # r13 optimization round: broadcast the node-sized degree table
+    # under the existing cap (see triangle_counts) — the orientation
+    # join then streams the edge table map-side instead of shuffle-
+    # writing it twice; past the cap the shuffle join stands.
+    deg_b = F.broadcast(deg) if n_edges <= broadcast_max_edges else deg
     e = (
-        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        edges.join(deg_b.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg_b.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
     )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -1048,13 +1084,20 @@ def edge_strength(
     checkpoint write from the top-100 query.
     """
     edge_ids: set[int] = set()
-    edges = _tracked_checkpoint(edges, edge_ids)
-    deg, support = _edge_support(edges, broadcast_max_edges)
+    # r13 optimization round: lazy checkpoint + one pack-stats agg as
+    # the materializing action (shared with _edge_support via
+    # pack_stats= — one full-scan agg instead of checkpoint job + agg
+    # job), and the deg re-join on the support table rides the same
+    # broadcast cap as the wedge machinery.
+    edges = _tracked_checkpoint(edges, edge_ids, eager=False)
+    ps = _edge_pack_stats(edges)
+    deg, support = _edge_support(edges, broadcast_max_edges, pack_stats=ps)
+    deg_b = F.broadcast(deg) if ps[0] <= broadcast_max_edges else deg
     scored = (
         support.join(
-            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+            deg_b.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
         )
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .join(deg_b.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
         .select(
             "u",
             "v",
@@ -1184,10 +1227,23 @@ def k_truss(
     """
     thr = k - 2
     prev_ids: set[int] = set()
-    live = _tracked_checkpoint(edges.select("u", "v"), prev_ids)
+    # lazy checkpoint: the round-1 pack-stats agg just below is the
+    # materializing action (r13 — one job instead of two)
+    live = _tracked_checkpoint(edges.select("u", "v"), prev_ids, eager=False)
+    # r13 optimization round: _edge_pack_stats is a full scan+agg job.
+    # Peeling only ever REMOVES edges, so packability (id range) and
+    # broadcastability (edge count ≤ cap) can only stay true once true
+    # — compute the stats once on round 1 and reuse them while valid.
+    # Only the rare huge-or-unpackable graph (stats that could flip
+    # favorably as edges shrink) re-measures per round. −(n_rounds)
+    # sequential driver jobs on the common path.
+    pack_stats = _edge_pack_stats(live)
+    reusable = pack_stats[1] and pack_stats[0] <= broadcast_max_edges
     for i in range(n_rounds):
         _set_phase(live, f"avocado:k_truss:round {i + 1}")
-        _, support = _edge_support(live, broadcast_max_edges)
+        _, support = _edge_support(
+            live, broadcast_max_edges, pack_stats=pack_stats if reusable else None
+        )
         keep = support.where(F.col("support") >= thr).select("u", "v")
         cur_ids: set[int] = set()
         live = _tracked_checkpoint(
@@ -1196,7 +1252,9 @@ def k_truss(
         _release_rdds(live, prev_ids)
         prev_ids = cur_ids
     _set_phase(live, "avocado:k_truss:final support")
-    _, support = _edge_support(live, broadcast_max_edges)
+    _, support = _edge_support(
+        live, broadcast_max_edges, pack_stats=pack_stats if reusable else None
+    )
     out = live.join(support, ["u", "v"], "inner")
     residual: set[int] = set()
     out = _tracked_checkpoint(out, residual)
@@ -1256,10 +1314,18 @@ def neighborhood_agg(
             # (div truncates toward zero; floor differs on negatives).
             .select("node", F.expr("_s div _c").cast("bigint").alias("h"))
         )
-        cur_ids: set[int] = set()
-        h = _tracked_checkpoint(nxt, cur_ids)
-        _release_rdds(h, prev_ids)
-        prev_ids = cur_ids
+        # r13 optimization round: each round's state feeds exactly ONE
+        # consumer (the next round's join), so the lineage is linear
+        # and a per-round materialization job buys nothing — checkpoint
+        # every 3rd round (bounding plan depth for long runs) and at
+        # the end; intermediate rounds chain lazily into one job.
+        if (i + 1) % 3 == 0 or i + 1 == n_rounds:
+            cur_ids: set[int] = set()
+            h = _tracked_checkpoint(nxt, cur_ids)
+            _release_rdds(h, prev_ids)
+            prev_ids = cur_ids
+        else:
+            h = nxt
     _release_rdds(h, adj_ids)
     if stats is not None:
         stats["residual_rdd_ids"] = prev_ids
@@ -1328,25 +1394,10 @@ def harmonic_centrality(
         .distinct()
         .select("node", seed_bit(F.col("node")).cast("int").alias("_bit"))
     )
-    # Enforce the seed_bit contract BEFORE the rounds: a bit outside
-    # [0, 63·n_words) would otherwise map to an all-zero mask word and
-    # silently drop that seed — quietly-wrong centralities instead of
-    # an error (e.g. a 125-seed panel run with the default n_words=1).
-    # One cheap min/max agg over the ≤|nodes| panel column buys the
-    # raise; min/max skip NULLs (non-members), so an empty panel passes.
-    rng = state.agg(F.min("_bit").alias("_lo"), F.max("_bit").alias("_hi")).first()
-    if rng["_lo"] is not None and (rng["_lo"] < 0 or rng["_hi"] >= 63 * n_words):
-        _release_rdds(adj, adj_ids)
-        raise ValueError(
-            f"harmonic_centrality: seed_bit out of range [{rng['_lo']}, "
-            f"{rng['_hi']}] for n_words={n_words} (valid bits are "
-            f"[0, {63 * n_words}) — 63 per BIGINT word, sign bit unused); "
-            "widen n_words to cover the panel"
-        )
     for w in ws:
         lo = 63 * w
         state = state.withColumn(
-            f"c0w{w}",
+            f"cw{w}",
             # SQL shiftleft takes a column shift amount (the function
             # API requires a literal)
             F.when(
@@ -1356,43 +1407,99 @@ def harmonic_centrality(
                 F.expr(f"shiftleft(cast(1 as bigint), _bit - {lo})"),
             ).otherwise(F.lit(0).cast("bigint")),
         )
-    state = state.drop("_bit")
-    for d in range(1, n_rounds + 1):
-        _set_phase(adj, f"avocado:harmonic_centrality:round {d}")
-        prev_cols = [f"c{d - 1}w{w}" for w in ws]
-        nbr = (
-            adj.join(state.select(F.col("node").alias("v"), *prev_cols), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(*[F.bit_or(pc).alias(f"_o{w}") for w, pc in zip(ws, prev_cols)])
+    # r13 optimization round: materialize the node/seed-mask state ONCE.
+    # The old loop fed `state` into TWO separately-built joins per round
+    # (the neighbor agg and the mask merge) with no materialization
+    # between rounds — Spark does not reuse common subplans, so round
+    # d's plan recomputed the state-d−1 subtree twice, i.e. the initial
+    # distinct+seed projection ran 2^n_rounds ≈ 8 times in the final
+    # action, with ~5 Exchanges per round. Checkpointing state_0 and
+    # adding a SELF-LOOP row per node folds each round into ONE
+    # equi-join + ONE bit_or hash agg over adjS = sym(E) ∪ {(n, n)}:
+    #     c_d(u) = BIT_OR_{v ∈ N(u) ∪ {u}} c_{d−1}(v)
+    # (identical masks — the self row carries exactly the old merge's
+    # c_{d−1}(u), and BIT_OR is the old coalesce-OR), so the lineage is
+    # LINEAR: 2 Exchanges per round, every subtree computed once, and
+    # the per-round left-join back onto state disappears.
+    st_ids: set[int] = set()
+    state = _tracked_checkpoint(state, st_ids)
+    # Enforce the seed_bit contract BEFORE the rounds: a bit outside
+    # [0, 63·n_words) would otherwise map to an all-zero mask word and
+    # silently drop that seed — quietly-wrong centralities instead of
+    # an error (e.g. a 125-seed panel run with the default n_words=1).
+    # One cheap min/max agg over the ≤|nodes| panel column buys the
+    # raise; min/max skip NULLs (non-members), so an empty panel passes.
+    # (Runs on the checkpointed blocks, so it doubles as the state_0
+    # materialization action.)
+    rng = state.agg(F.min("_bit").alias("_lo"), F.max("_bit").alias("_hi")).first()
+    if rng["_lo"] is not None and (rng["_lo"] < 0 or rng["_hi"] >= 63 * n_words):
+        _release_rdds(state, adj_ids)
+        _release_rdds(state, st_ids)
+        raise ValueError(
+            f"harmonic_centrality: seed_bit out of range [{rng['_lo']}, "
+            f"{rng['_hi']}] for n_words={n_words} (valid bits are "
+            f"[0, {63 * n_words}) — 63 per BIGINT word, sign bit unused); "
+            "widen n_words to cover the panel"
         )
-        state = state.join(nbr, "node", "left")
-        for w, pc in zip(ws, prev_cols):
-            state = state.withColumn(
-                f"c{d}w{w}",
-                F.col(pc).bitwiseOR(F.coalesce(F.col(f"_o{w}"), F.lit(0))),
-            )
-        state = state.drop(*[f"_o{w}" for w in ws])
-    def _shell_count(d_hi: int, d_lo: int):
-        cnt = None
+    state = state.drop("_bit")
+    adj_s = adj.unionAll(
+        state.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    _set_phase(adj, f"avocado:harmonic_centrality:{n_rounds} rounds")
+    # Exact hop shells carried INCREMENTALLY: round d emits the new
+    # cumulative mask words plus s_d = popcount(c_d & ~c_{d−1}) — the
+    # self row supplies c_{d−1}(u) (and the earlier s_j) via a
+    # max-of-one-row when(v = u) pick, so only n_words mask columns +
+    # d shell counters flow between rounds instead of every round's
+    # mask. Σ_d shells ≡ popcount(c_n & ~c_0) because shells partition
+    # the reached set — same harmonic_milli / n_reached integers as the
+    # all-masks form, replayed bit-for-bit by the unchanged oracle.
+    for d in range(1, n_rounds + 1):
+        joined = adj_s.join(
+            state.select(
+                F.col("node").alias("v"),
+                *[F.col(f"cw{w}").alias(f"_pc{w}") for w in ws],
+                *[F.col(f"_s{j}") for j in range(1, d)],
+            ),
+            "v",
+        )
+        self_row = F.col("v") == F.col("u")
+        aggs = [F.bit_or(f"_pc{w}").alias(f"_o{w}") for w in ws]
+        aggs += [
+            F.max(F.when(self_row, F.col(f"_pc{w}"))).alias(f"_m{w}") for w in ws
+        ]
+        aggs += [
+            F.max(F.when(self_row, F.col(f"_s{j}"))).alias(f"_s{j}")
+            for j in range(1, d)
+        ]
+        nbr = joined.groupBy(F.col("u").alias("node")).agg(*aggs)
+        shell = None
         for w in ws:
-            c = F.bit_count(F.expr(f"c{d_hi}w{w} & ~c{d_lo}w{w}")).cast("bigint")
-            cnt = c if cnt is None else cnt + c
-        return cnt
-    shell_milli = [
-        F.lit(1000 // d) * _shell_count(d, d - 1)
-        for d in range(1, n_rounds + 1)
-    ]
-    total = shell_milli[0]
-    for t in shell_milli[1:]:
-        total = total + t
+            c = F.bit_count(F.expr(f"_o{w} & ~_m{w}")).cast("bigint")
+            shell = c if shell is None else shell + c
+        state = nbr.select(
+            "node",
+            *[F.col(f"_o{w}").alias(f"cw{w}") for w in ws],
+            *[F.col(f"_s{j}") for j in range(1, d)],
+            shell.alias(f"_s{d}"),
+        )
+    total = None
+    reached = None
+    for d in range(1, n_rounds + 1):
+        t = F.lit(1000 // d) * F.col(f"_s{d}")
+        total = t if total is None else total + t
+        reached = (
+            F.col(f"_s{d}") if reached is None else reached + F.col(f"_s{d}")
+        )
     out = state.select(
         "node",
         total.cast("bigint").alias("harmonic_milli"),
-        _shell_count(n_rounds, 0).cast("bigint").alias("n_reached"),
+        reached.cast("bigint").alias("n_reached"),
     ).where(F.col("n_reached") > 0)
     residual: set[int] = set()
     out = _tracked_checkpoint(out, residual)
     _release_rdds(out, adj_ids)
+    _release_rdds(out, st_ids)
     if stats is not None:
         stats["residual_rdd_ids"] = residual
     return out
@@ -1472,10 +1579,20 @@ def weighted_sssp(
     )
     adj_ids: set[int] = set()
     adj = _tracked_checkpoint(und, adj_ids)
-    nodes = adj.select(F.col("u").alias("node")).distinct()
-    n_nodes = nodes.count()  # one bounded agg — sizes the broadcast cap
+    # r13 optimization round: the broadcast-cap guard used to run a
+    # full DISTINCT over every endpoint (a 2m-row shuffle) just to
+    # count nodes. The frontier the cap protects is bounded by the
+    # node count, which is bounded by 2m — so a plain count of the
+    # checkpointed adjacency (block scan, NO shuffle) is a conservative
+    # stand-in: 2m ≤ cap ⇒ n_nodes ≤ cap. Graphs past the cap take the
+    # shuffle-join fallback exactly as before. The seed panel then
+    # distincts only the seed-FILTERED endpoints — the shuffle shrinks
+    # from every node to the panel.
+    n_nodes = adj.count()  # upper bound: every node has ≥1 directed row
     dist = (
-        nodes.where(seed_pred(F.col("node")))
+        adj.select(F.col("u").alias("node"))
+        .where(seed_pred(F.col("node")))
+        .distinct()
         .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
     prev_ids: set[int] = set()

@@ -1031,28 +1031,42 @@ def bigram_backoff_scores(
     sp = score.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # r13 optimization round: fold the per-(w1,w2) and per-w2 bit costs
+    # into the Zipf-sized MODEL tables before touching the occurrence
+    # stream — bits are functions of the model alone (seen: c1 div c12;
+    # backoff: 2(N+V) div (c2+1)), so the dominant stream passes through
+    # TWO narrow joins instead of three wide ones, and only a 1-column
+    # payload crosses each exchange (guide §2.3 project-early /
+    # aggregate-before-shuffle; same integers, oracle unchanged).
+    seen = bi.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.expr("c1 div c12"))) - 1).cast("long").alias("_bseen"),
+    )
+    back = c2.crossJoin(F.broadcast(totals)).select(
+        "w2",
+        (
+            F.length(F.bin(F.expr("(2 * (n_tok + v_types)) div (c2 + 1)")))
+            - 1
+        )
+        .cast("long")
+        .alias("_bback"),
+    )
     scored = (
-        sp.join(bi, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .join(c2, "w2", "left")
+        sp.join(seen, ["w1", "w2"], "left")
+        .join(back, "w2", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
-            F.when(
-                F.col("c12").isNotNull(),
-                F.length(F.bin(F.expr("c1 div c12"))) - 1,
-            )
-            .otherwise(
-                F.length(
-                    F.bin(
-                        F.expr("(2 * (n_tok + v_types)) div (coalesce(c2, 0) + 1)")
-                    )
-                )
-                - 1
-            )
-            .cast("long")
-            .alias("bits"),
-            F.col("c12").isNull().cast("int").alias("is_backoff"),
+            F.coalesce(
+                F.col("_bseen"),
+                F.col("_bback"),
+                # w2 absent from the training vocabulary: c2 = 0
+                (F.length(F.bin(F.expr("2 * (n_tok + v_types)"))) - 1).cast(
+                    "long"
+                ),
+            ).alias("bits"),
+            F.col("_bseen").isNull().cast("int").alias("is_backoff"),
         )
     )
     return scored.groupBy("doc_id").agg(

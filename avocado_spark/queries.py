@@ -2886,23 +2886,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     owned: set[int] = set()
     per_cust = _tracked_checkpoint(per_cust, owned)
     n_customers = per_cust.count()
-    ranks = {}
-    for rk_col, metric in (
-        ("r_rk", "recency_days"),
-        ("f_rk", "frequency"),
-        ("m_rk", "monetary_c"),
+    # r13 optimization round: the three rank branches used to join back
+    # onto per_cust in a 3-deep equi-join chain — four exchanges (each
+    # branch re-keyed on o_custkey plus the probe side) and three joins
+    # whose broadcast form would not hold at 100 TB customer counts.
+    # UNION the branches (each tagged r/f/m, the m branch carrying
+    # monetary_c) and pivot with ONE hash agg on o_custkey instead:
+    # same (r_rk, f_rk, m_rk, monetary_c) row per customer — every
+    # customer appears in all three branches, and max-of-one-tagged-row
+    # is the join's value — with a single custkey exchange with
+    # map-side partials.
+    branches = []
+    for which, metric in (
+        ("r", "recency_days"),
+        ("f", "frequency"),
+        ("m", "monetary_c"),
     ):
-        ranks[rk_col] = R.global_rank(
+        b = R.global_rank(
             per_cust.select("o_custkey", metric),
             [F.col(metric), F.col("o_custkey")],
-            rank_col=rk_col,
+            rank_col="_rk",
             rows_hint=n_customers,
-        ).select("o_custkey", rk_col)
+        )
+        branches.append(
+            b.select(
+                "o_custkey",
+                F.lit(which).alias("_w"),
+                F.col("_rk"),
+                (
+                    F.col("monetary_c")
+                    if which == "m"
+                    else F.lit(None).cast("bigint")
+                ).alias("_mc"),
+            )
+        )
     ranked = (
-        per_cust.select("o_custkey", "monetary_c")
-        .join(ranks["r_rk"], "o_custkey")
-        .join(ranks["f_rk"], "o_custkey")
-        .join(ranks["m_rk"], "o_custkey")
+        branches[0]
+        .unionAll(branches[1])
+        .unionAll(branches[2])
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("_w") == "r", F.col("_rk"))).alias("r_rk"),
+            F.max(F.when(F.col("_w") == "f", F.col("_rk"))).alias("f_rk"),
+            F.max(F.when(F.col("_w") == "m", F.col("_rk"))).alias("m_rk"),
+            F.max("_mc").alias("monetary_c"),
+        )
     )
     scored = ranked.withColumn("n", F.lit(n_customers).cast("bigint")).select(
         F.expr("CAST(5 - (5 * (r_rk - 1)) div n AS INT)").alias("r_score"),

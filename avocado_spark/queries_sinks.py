@@ -147,18 +147,36 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="avocado_bucketed_")
     tag = uuid.uuid4().hex[:8]
     to, tl = f"avb_orders_{tag}", f"avb_lineitem_{tag}"
-    IO.write_bucketed(
-        o.select("o_orderkey", "o_orderstatus"),
-        to,
-        ["o_orderkey"],
-        num_buckets=8,
-        sort_cols=["o_orderkey"],
-        path=os.path.join(base, "orders"),
-    )
-    IO.write_bucketed(
-        li, tl, ["l_orderkey"], num_buckets=8,
-        sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
-    )
+    # r13 optimization round (guide §2.6): the two bucketed ingest
+    # writes are independent jobs — submit them from a 2-thread pool so
+    # the second write's tasks back-fill executors freed by the first's
+    # tail instead of waiting for the full commit. Same writes, same
+    # files; ~the smaller write's wall time saved.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _write(args):
+        df, name, key, sub = args
+        IO.write_bucketed(
+            df, name, [key], num_buckets=8, sort_cols=[key],
+            path=os.path.join(base, sub),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                [
+                    (
+                        o.select("o_orderkey", "o_orderstatus"),
+                        to, "o_orderkey", "orders",
+                    ),
+                    (li, tl, "l_orderkey", "lineitem"),
+                ],
+            )
+        )
     ob, lb = spark.table(to), spark.table(tl)
     return (
         ob.hint("merge")
