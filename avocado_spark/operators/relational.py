@@ -1657,16 +1657,37 @@ def global_rank(
     ranged, buckets = frozen_range_ids(
         df, order_cols, "_gr_pid", buckets, rows_hint=rows_hint
     )
+    # r13 optimization round: the rank branch (bucket window) and the
+    # offset branch (bucket groupBy) each planned their OWN exchange
+    # over `ranged`, and Spark does not dedupe distinct exchange
+    # subtrees — the input plan executed twice per action, once per
+    # branch. One explicit repartition on the shared keys satisfies
+    # both the window's and the aggregate's required distribution, so
+    # ReuseExchange collapses them: the input executes ONCE, the
+    # shuffle output is read by both branches (the agg gives up only
+    # its map-side partials over rows the window shuffled raw anyway).
+    ranged = ranged.repartition(F.col("_gr_pid"), *[F.col(c) for c in pcols])
     wl = Window.partitionBy("_gr_pid", *pcols).orderBy(*sorts)
     wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = ranged.withColumn("_gr_lr", F.row_number().over(wl))
     for out_col, in_col in cumsum_cols.items():
         local = local.withColumn(f"_gr_ls_{out_col}", F.sum(in_col).over(wcum))
-    counts = ranged.groupBy("_gr_pid", *pcols).agg(
-        F.count(F.lit(1)).alias("_gr_n"),
+    # Per-bucket totals READ OFF the rank branch instead of re-aggregating
+    # `ranged`: the group size is the max local row_number and each
+    # cumsum's group total is its running value AT that max row (unique
+    # _gr_lr ⇒ max_by is deterministic; sum-over-window and sum-over-group
+    # agree on type and NULL handling). With both branches consuming the
+    # same repartition + window subtree, column pruning below the shared
+    # exchange is identical whenever the order keys + cumsum inputs cover
+    # the input's columns (true for every narrow pre-aggregated caller),
+    # so ReuseExchange collapses the input to ONE execution per action.
+    counts = local.groupBy("_gr_pid", *pcols).agg(
+        F.max("_gr_lr").cast("bigint").alias("_gr_n"),
         *[
-            F.sum(in_col).alias(f"_gr_s_{out_col}")
-            for out_col, in_col in cumsum_cols.items()
+            F.max_by(F.col(f"_gr_ls_{out_col}"), F.col("_gr_lr")).alias(
+                f"_gr_s_{out_col}"
+            )
+            for out_col in cumsum_cols
         ],
     )
     # cumulate the ≤ buckets × groups bucket totals by EXPLODING each
@@ -1675,9 +1696,16 @@ def global_rank(
     # the plan free of both single-partition window exchanges and
     # inequality nested-loop joins, so plan gates can assert the scale
     # property outright
-    spread = counts.where(F.col("_gr_pid") < buckets - 1).select(
+    # The last bucket contributes no offsets: guard the explode with an
+    # empty array instead of a ``where`` — a Filter on the grouping key
+    # would be pushed below the shared repartition, making the two
+    # exchange subtrees non-identical and defeating ReuseExchange.
+    spread = counts.select(
         F.explode(
-            F.sequence(F.col("_gr_pid") + 1, F.lit(buckets - 1))
+            F.when(
+                F.col("_gr_pid") < buckets - 1,
+                F.sequence(F.col("_gr_pid") + 1, F.lit(buckets - 1)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("_gr_pid"),
         *pcols,
         "_gr_n",

@@ -2150,6 +2150,10 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window) and the grand total is a broadcast
     one-row aggregate."""
     o = _t(spark, sf_dir, "orders")
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
     from avocado_spark.operators.relational import global_rank
 
     rev = o.groupBy("o_custkey").agg(
@@ -2157,11 +2161,21 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c")
     )
+    # r13 optimization round: rev (the orders scan + custkey agg) used
+    # to execute FIVE times per run — global_rank's count + boundary
+    # sample at build, its rank + offset branches in the final action,
+    # and the grand-total branch. Checkpoint the ≤|customers|-row
+    # aggregate once (the rfm pattern); the count doubles as
+    # global_rank's rows_hint so its own count job disappears too.
+    owned: set[int] = set()
+    rev = _tracked_checkpoint(rev, owned)
+    n_customers = rev.count()
     cum = global_rank(
         rev,
         [(F.col("rev_c"), "desc"), F.col("o_custkey")],
         rank_col="_rk",
         cumsum_cols={"cum_c": "rev_c"},
+        rows_hint=n_customers,
     )
     tot = rev.agg(F.sum("rev_c").alias("tot_c"))
     ranked = cum.crossJoin(F.broadcast(tot))
@@ -2171,10 +2185,16 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
         .otherwise("C"),
     )
-    return classed.groupBy("abc_class").agg(
+    out = classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("rev_c").cast("bigint").alias("class_rev_c"),
     )
+    # ≤3 rows by construction: materialize, free the checkpoint blocks,
+    # return a local relation (the rfm discipline — the caller's action
+    # can never recompute dead lineage).
+    rows = out.collect()
+    _release_rdds(out, owned)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(

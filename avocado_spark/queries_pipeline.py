@@ -4485,6 +4485,19 @@ def dedup_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         samp.select("doc_id", shingle_hashes(F.col("text")).alias("s"))
         .where(F.size("s") > 0)
     )
+    # r13 optimization round: sh feeds SIX subtrees (truth's two sides,
+    # the LSH candidate table, and the four count branches re-reach it
+    # through truth/cand) and Spark does not dedupe them — the
+    # documents scan + shingle pass executed ~8× per run. The sample is
+    # ≤ ~480 rows BY CONSTRUCTION (fixed id range), so checkpoint it
+    # once; every branch then reads the tiny pinned blocks.
+    from avocado_spark.operators.components import (
+        _release_rdds,
+        _tracked_checkpoint,
+    )
+
+    owned: set[int] = set()
+    sh = _tracked_checkpoint(sh, owned)
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
     inter = F.size(F.array_intersect("a_s", "b_s"))
@@ -4506,7 +4519,7 @@ def dedup_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cand.agg(F.count("*").cast("long").alias("n_lsh_candidates")))
         .crossJoin(found.agg(F.count("*").cast("long").alias("n_found_pairs")))
     )
-    return counts.select(
+    out = counts.select(
         F.col("n_sample_docs").cast("bigint"),
         F.col("n_true_pairs").cast("bigint"),
         F.col("n_lsh_candidates").cast("bigint"),
@@ -4518,6 +4531,11 @@ def dedup_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("candidate_efficiency_bp"),
     )
+    # 1 row by construction: materialize, free the checkpoint blocks,
+    # return a local relation (the rfm discipline).
+    rows = out.collect()
+    _release_rdds(out, owned)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
