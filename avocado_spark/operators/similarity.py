@@ -297,7 +297,13 @@ def train_ivf_centroids(
         cents = (
             cents.join(newc, "c_id", "left")
             .select("c_id", F.coalesce("c_v_new", "c_v").alias("c_v"))
-            .localCheckpoint(eager=True)  # empty cells keep their centroid
+            # empty cells keep their centroid. LAZY checkpoint (r13
+            # optimization round): each round's first consumer is the
+            # next round's (or the caller's) broadcast build, which
+            # materializes these 8 rows anyway — the separate eager
+            # job per round was pure scheduling overhead. Same pinned
+            # blocks, same flat lineage.
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -539,7 +545,10 @@ def train_pq_codebooks(
         cents = (
             cents.join(newc, ["m", "c_id"], "left")
             .select("m", "c_id", F.coalesce("c_v_new", "c_v").alias("c_v"))
-            .localCheckpoint(eager=True)  # empty cells keep their codeword
+            # empty cells keep their codeword; lazy for the same reason
+            # as train_ivf_centroids — the first broadcast build is the
+            # materializing action (r13 optimization round).
+            .localCheckpoint(eager=False)
         )
     return cents
 
